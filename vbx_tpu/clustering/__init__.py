@@ -1,0 +1,127 @@
+"""Agglomerative hierarchical clustering: first-party native NN-chain
+linkage (C++ via ctypes) with a SciPy fallback, plus the flat-cut step.
+
+This replaces the reference's fastcluster dependency (vbhmm.py:33,139-146):
+the TPU computes the pairwise-similarity matrix; the O(n^2) sequential
+merge loop is inherently host work and runs in native code.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_METHODS = {"single": 0, "complete": 1, "average": 2, "weighted": 3}
+
+_lib = None
+_lib_failed = False
+
+
+def _load_native():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        from vbx_tpu.clustering.native.build import build
+        so_path = build()
+        lib = ctypes.CDLL(so_path)
+        lib.nn_chain_linkage_f64.restype = ctypes.c_int
+        lib.nn_chain_linkage_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.nn_chain_linkage_f32.restype = ctypes.c_int
+        lib.nn_chain_linkage_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.fcluster_distance.restype = ctypes.c_int
+        lib.fcluster_distance.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+def linkage(condensed: np.ndarray, method: str = "average",
+            backend: Optional[str] = None) -> np.ndarray:
+    """Hierarchical linkage over a condensed distance matrix.
+
+    Returns a SciPy-compatible (n-1) x 4 linkage matrix Z. `backend` forces
+    'native' or 'scipy'; default prefers native.
+
+    NOTE: like fastcluster with preserve_input=False (the reference call,
+    vbhmm.py:140-141), the native path works in a scratch copy; the input is
+    never mutated.
+    """
+    condensed = np.ascontiguousarray(condensed)
+    m = condensed.shape[0]
+    # solve n*(n-1)/2 = m
+    n = int(round((1 + np.sqrt(1 + 8 * m)) / 2))
+    if n * (n - 1) // 2 != m:
+        raise ValueError(f"invalid condensed matrix size {m}")
+    if method not in _METHODS:
+        raise ValueError(f"unsupported method {method!r}")
+
+    lib = None if backend == "scipy" else _load_native()
+    if lib is None:
+        if backend == "native":
+            raise RuntimeError("native linkage backend unavailable")
+        import scipy.cluster.hierarchy as sch
+        return sch.linkage(condensed.astype(np.float64), method=method)
+
+    out = np.empty((n - 1, 4), dtype=np.float64)
+    if condensed.dtype == np.float32:
+        scratch = condensed.copy()
+        rc = lib.nn_chain_linkage_f32(
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, _METHODS[method],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    else:
+        scratch = condensed.astype(np.float64)
+        rc = lib.nn_chain_linkage_f64(
+            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, _METHODS[method],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise RuntimeError(f"native linkage failed with code {rc}")
+    return out
+
+
+def fcluster_by_distance(Z: np.ndarray, threshold: float,
+                         backend: Optional[str] = None) -> np.ndarray:
+    """Flat clusters from a linkage matrix: all merges with dist <= threshold
+    are applied (scipy fcluster criterion='distance' semantics). Returns
+    0-based labels (the reference subtracts 1 from scipy's 1-based labels,
+    vbhmm.py:145-146). The native backend numbers clusters by first
+    appearance in leaf order; scipy numbers by dendrogram traversal — the
+    partitions are identical (verified), only the arbitrary ids differ,
+    which downstream (VB init, RTTM, DER) is permutation-invariant to."""
+    Z = np.ascontiguousarray(Z, dtype=np.float64)
+    n = Z.shape[0] + 1
+    lib = None if backend == "scipy" else _load_native()
+    if lib is None:
+        if backend == "native":
+            raise RuntimeError("native fcluster backend unavailable")
+        import scipy.cluster.hierarchy as sch
+        return sch.fcluster(Z, threshold, criterion="distance") - 1
+    labels = np.empty(n, dtype=np.int32)
+    rc = lib.fcluster_distance(
+        Z.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, float(threshold),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError(f"native fcluster failed with code {rc}")
+    return labels
+
+
+def squareform_condensed(square: np.ndarray) -> np.ndarray:
+    """Square symmetric matrix -> condensed upper-triangle vector (no checks,
+    like the reference's squareform(..., checks=False) at vbhmm.py:139)."""
+    n = square.shape[0]
+    iu = np.triu_indices(n, k=1)
+    return np.ascontiguousarray(square[iu])

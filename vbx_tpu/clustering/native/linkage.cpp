@@ -1,0 +1,239 @@
+// First-party nearest-neighbor-chain agglomerative linkage.
+//
+// TPU-native replacement for the fastcluster C++ dependency the reference
+// diarization CLI uses for AHC initialization (reference: vbhmm.py:33,140-141
+// calls fastcluster.linkage(condensed, method='average')). The batched
+// pairwise-similarity matrix is computed on the TPU (vbx_tpu.ops.similarity);
+// this host-side step turns the condensed distance matrix into a SciPy-
+// compatible linkage matrix Z[(n-1) x 4] = (id_a, id_b, dist, size) with the
+// standard sorted-by-distance cluster numbering, so scipy.cluster.hierarchy.
+// fcluster consumes it directly.
+//
+// Algorithm: Muellner's NN-chain (O(n^2) time, works in-place on the
+// condensed matrix) + stable sort by merge distance + union-find relabeling.
+// Exact for single/complete/average/weighted linkage (all reducible
+// Lance-Williams updates).
+//
+// Build: see build.py (g++ -O3 -shared -fPIC). Called via ctypes.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+enum Method : int32_t {
+  kSingle = 0,
+  kComplete = 1,
+  kAverage = 2,
+  kWeighted = 3,
+};
+
+// Condensed index of pair (i, j), i < j, for n points.
+inline int64_t condensed_index(int64_t n, int64_t i, int64_t j) {
+  return n * i - i * (i + 1) / 2 + (j - i - 1);
+}
+
+inline int64_t pair_index(int64_t n, int64_t a, int64_t b) {
+  return a < b ? condensed_index(n, a, b) : condensed_index(n, b, a);
+}
+
+struct Merge {
+  int32_t a;
+  int32_t b;
+  double dist;
+};
+
+class UnionFind {
+ public:
+  explicit UnionFind(int64_t n)
+      : parent_(2 * n - 1, -1), size_(2 * n - 1, 1), next_label_(n) {}
+
+  int64_t find(int64_t x) {
+    int64_t root = x;
+    while (parent_[root] != -1) root = parent_[root];
+    while (parent_[x] != -1) {  // path compression
+      int64_t up = parent_[x];
+      parent_[x] = root;
+      x = up;
+    }
+    return root;
+  }
+
+  // Merge the sets containing labels x and y; the merged set gets the next
+  // internal-node label. Returns the new size.
+  int64_t merge(int64_t x, int64_t y) {
+    int64_t label = next_label_++;
+    parent_[x] = label;
+    parent_[y] = label;
+    int64_t s = size_[x] + size_[y];
+    size_[label] = s;
+    return s;
+  }
+
+  int64_t size_of(int64_t label) const { return size_[label]; }
+
+ private:
+  std::vector<int64_t> parent_;
+  std::vector<int64_t> size_;
+  int64_t next_label_;
+};
+
+template <typename T>
+int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
+  if (n < 1) return 1;
+  if (n == 1) return 0;
+
+  std::vector<int64_t> cluster_size(n, 1);
+  std::vector<uint8_t> active(n, 1);
+  // Linked list of active clusters for O(active) scans.
+  std::vector<int32_t> chain;
+  chain.reserve(n);
+
+  std::vector<Merge> merges;
+  merges.reserve(n - 1);
+
+  for (int64_t k = 0; k < n - 1; ++k) {
+    if (chain.empty()) {
+      for (int32_t i = 0; i < n; ++i) {
+        if (active[i]) {
+          chain.push_back(i);
+          break;
+        }
+      }
+    }
+
+    int32_t a, b;
+    for (;;) {
+      a = chain.back();
+      // Prefer the chain predecessor on ties so reciprocity is detected.
+      int32_t best = -1;
+      double best_d = 0;
+      if (chain.size() >= 2) {
+        best = chain[chain.size() - 2];
+        best_d = static_cast<double>(dist[pair_index(n, a, best)]);
+      }
+      for (int32_t x = 0; x < n; ++x) {
+        if (!active[x] || x == a) continue;
+        double d = static_cast<double>(dist[pair_index(n, a, x)]);
+        if (best < 0 || d < best_d) {
+          best = x;
+          best_d = d;
+        }
+      }
+      b = best;
+      if (chain.size() >= 2 && b == chain[chain.size() - 2]) break;
+      chain.push_back(b);
+    }
+    // a and b are reciprocal nearest neighbors -> merge.
+    chain.pop_back();
+    chain.pop_back();
+
+    double d_ab = static_cast<double>(dist[pair_index(n, a, b)]);
+    merges.push_back(Merge{a, b, d_ab});
+
+    int64_t sa = cluster_size[a], sb = cluster_size[b];
+    // Keep the merged cluster in slot b (arbitrary; relabeling fixes ids).
+    active[a] = 0;
+    cluster_size[b] = sa + sb;
+
+    for (int32_t x = 0; x < n; ++x) {
+      if (!active[x] || x == b) continue;
+      double d_xa = static_cast<double>(dist[pair_index(n, x, a)]);
+      double d_xb = static_cast<double>(dist[pair_index(n, x, b)]);
+      double nd;
+      switch (method) {
+        case kSingle:
+          nd = std::min(d_xa, d_xb);
+          break;
+        case kComplete:
+          nd = std::max(d_xa, d_xb);
+          break;
+        case kAverage:
+          nd = (static_cast<double>(sa) * d_xa + static_cast<double>(sb) * d_xb)
+               / static_cast<double>(sa + sb);
+          break;
+        case kWeighted:
+          nd = 0.5 * (d_xa + d_xb);
+          break;
+        default:
+          return 2;
+      }
+      dist[pair_index(n, x, b)] = static_cast<T>(nd);
+    }
+  }
+
+  // Sort merges by distance (stable keeps NN-chain order on ties, which is a
+  // valid merge order by the reducibility of these linkage methods).
+  std::stable_sort(merges.begin(), merges.end(),
+                   [](const Merge& l, const Merge& r) { return l.dist < r.dist; });
+
+  // Relabel with union-find to the SciPy convention: new cluster k gets id
+  // n + k; each output row lists (smaller id, larger id, dist, size).
+  UnionFind uf(n);
+  for (int64_t k = 0; k < n - 1; ++k) {
+    int64_t la = uf.find(merges[k].a);
+    int64_t lb = uf.find(merges[k].b);
+    if (la > lb) std::swap(la, lb);
+    int64_t s = uf.merge(la, lb);
+    out_z[4 * k + 0] = static_cast<double>(la);
+    out_z[4 * k + 1] = static_cast<double>(lb);
+    out_z[4 * k + 2] = merges[k].dist;
+    out_z[4 * k + 3] = static_cast<double>(s);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int nn_chain_linkage_f64(double* dist, int64_t n, int32_t method,
+                         double* out_z) {
+  return nn_chain_linkage_impl<double>(dist, n, method, out_z);
+}
+
+int nn_chain_linkage_f32(float* dist, int64_t n, int32_t method,
+                         double* out_z) {
+  return nn_chain_linkage_impl<float>(dist, n, method, out_z);
+}
+
+// Flat cut of a linkage matrix at threshold t (inclusive), 'distance'
+// criterion: clusters are the connected components formed by all merges with
+// dist <= t. Labels are assigned 0-based in order of first appearance by
+// leaf index (matching scipy.cluster.hierarchy.fcluster(criterion='distance')
+// numbering minus 1, i.e. the reference's `fcluster(...) - 1` at
+// vbhmm.py:145-146).
+int fcluster_distance(const double* z, int64_t n, double threshold,
+                      int32_t* out_labels) {
+  std::vector<int64_t> parent(2 * n - 1);
+  std::iota(parent.begin(), parent.end(), 0);
+  auto find = [&parent](int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int64_t k = 0; k < n - 1; ++k) {
+    if (z[4 * k + 2] <= threshold) {
+      int64_t a = find(static_cast<int64_t>(z[4 * k + 0]));
+      int64_t b = find(static_cast<int64_t>(z[4 * k + 1]));
+      int64_t root = n + k;
+      parent[a] = root;
+      parent[b] = root;
+    }
+  }
+  std::vector<int32_t> label_of_root(2 * n - 1, -1);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = find(i);
+    if (label_of_root[r] < 0) label_of_root[r] = next++;
+    out_labels[i] = label_of_root[r];
+  }
+  return 0;
+}
+
+}  // extern "C"

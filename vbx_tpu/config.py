@@ -1,0 +1,111 @@
+"""Typed configuration for the diarization pipeline.
+
+The reference encodes its per-dataset hyperparameters in bash recipes
+(reference: AMI_run.sh:45-49, CALLHOME_run.sh:42-47, DIHARD2_run.sh:45-47,
+run_example.sh:30-34). Here they are first-class named presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class VBConfig:
+    """VB-HMM hyperparameters (reference: VBx/VBx.py:27-29 defaults and
+    VBx/vbhmm.py:154-158 call site)."""
+
+    Fa: float = 0.3
+    Fb: float = 17.0
+    loop_prob: float = 0.99
+    max_iters: int = 40
+    epsilon: float = 1e-6
+    # dtype for the on-device engine. float32 is the TPU-native choice;
+    # float64 is available on CPU for oracle-parity validation.
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class AHCConfig:
+    """AHC initialization hyperparameters (reference: VBx/vbhmm.py:74-97)."""
+
+    threshold: float = -0.015
+    init_smoothing: float = 5.0
+    # similarity: 'cosine' (reference default path, vbhmm.py:135) or 'plda'
+    # (reference: diarization_lib.kaldi_ivector_plda_scoring_dense)
+    similarity: str = "cosine"
+    target_energy: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractorConfig:
+    """x-vector extraction constants (reference: VBx/predict.py:87-90,145-158,
+    VBx/extract.sh:15,32)."""
+
+    feat_dim: int = 64
+    embed_dim: int = 256
+    seg_len: int = 144
+    seg_jump: int = 24
+    cmvn_lc: int = 150
+    cmvn_rc: int = 149
+    min_tail_frames: int = 10
+    dither_level: float = 8.0
+    dither_seed: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class DiarizationConfig:
+    """Full pipeline configuration for one dataset."""
+
+    name: str = "example"
+    # 'AHC', 'AHC+VB', or 'random_<N>' (reference README.md:24 describes the
+    # random_<number> init for long recordings; vbhmm.py:56-59 only ships AHC*)
+    init: str = "AHC+VB"
+    lda_dim: int = 128
+    vb: VBConfig = dataclasses.field(default_factory=VBConfig)
+    ahc: AHCConfig = dataclasses.field(default_factory=AHCConfig)
+    extractor: ExtractorConfig = dataclasses.field(default_factory=ExtractorConfig)
+    output_2nd: bool = False
+    sample_rate: int = 16000
+
+    def replace(self, **kw) -> "DiarizationConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _preset(name: str, Fa: float, Fb: float, loopP: float, smoothing: float,
+            sample_rate: int) -> DiarizationConfig:
+    return DiarizationConfig(
+        name=name,
+        vb=VBConfig(Fa=Fa, Fb=Fb, loop_prob=loopP),
+        ahc=AHCConfig(threshold=-0.015, init_smoothing=smoothing),
+        sample_rate=sample_rate,
+    )
+
+
+# The config of record (reference recipes; see BASELINE.md table).
+DATASET_PRESETS = {
+    # run_example.sh:30-34 + vbhmm.py:90-97 default smoothing 5.0
+    "example": _preset("example", Fa=0.3, Fb=17.0, loopP=0.99, smoothing=5.0,
+                       sample_rate=16000),
+    # CALLHOME_run.sh:42-47 (8 kHz model)
+    "callhome": _preset("callhome", Fa=0.4, Fb=17.0, loopP=0.40, smoothing=7.0,
+                        sample_rate=8000),
+    # AMI_run.sh:6,45-49 (beamformed: Fb 64)
+    "ami_beamformed": _preset("ami_beamformed", Fa=0.4, Fb=64.0, loopP=0.65,
+                              smoothing=7.0, sample_rate=16000),
+    # AMI_run.sh:6 (Mix-Headset: Fb 68)
+    "ami_mixheadset": _preset("ami_mixheadset", Fa=0.4, Fb=68.0, loopP=0.65,
+                              smoothing=7.0, sample_rate=16000),
+    # DIHARD2_run.sh:42-47
+    "dihard2": _preset("dihard2", Fa=0.2, Fb=6.0, loopP=0.35, smoothing=7.0,
+                       sample_rate=16000),
+}
+
+
+def get_preset(name: str) -> DiarizationConfig:
+    try:
+        return DATASET_PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(DATASET_PRESETS)}")

@@ -1,0 +1,258 @@
+"""End-to-end diarization pipeline: transformed x-vectors -> initialization
+-> VB-HMM -> merged RTTM segments.
+
+Orchestration parity with the reference diarization CLI (vbhmm.py:54-179),
+re-architected for TPU: per-recording math happens in jitted JAX programs;
+recordings can run one-by-one (streaming) or padded+batched (throughput,
+`diarize_ark(..., batch=True)`), where the batched path buckets recordings
+and runs the vmapped engine with per-recording convergence masking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vbx_tpu.config import DiarizationConfig
+from vbx_tpu.engine.ahc import ahc_labels, random_labels, smooth_labels_to_gamma
+from vbx_tpu.engine.vbhmm import vbx, vbx_batched
+from vbx_tpu.io.ark import iter_vec_ark, group_by_recording
+from vbx_tpu.io.plda import read_plda, rediagonalize_plda
+from vbx_tpu.io.rttm import merge_adjacent_labels, write_rttm
+from vbx_tpu.io.segments import read_xvector_timing_dict
+from vbx_tpu.io.transform import read_xvec_transform
+from vbx_tpu.ops.similarity import apply_xvec_transform
+from vbx_tpu.utils.bucketing import pad_to_buckets
+
+
+@dataclasses.dataclass
+class DiarizationOutput:
+    recording: str
+    labels1st: np.ndarray             # [N] 0-based speaker labels
+    labels2nd: Optional[np.ndarray]   # [N] second-best labels (if VB ran, S>1)
+    n_speakers: int                   # surviving speakers (distinct labels1st)
+    n_iters: int                      # VB iterations run (0 if init-only)
+    elbo: Optional[np.ndarray]        # ELBO trace (nan-padded) or None
+    gamma: Optional[np.ndarray]       # [N, S] final responsibilities or None
+
+
+def _parse_init(init: str) -> Tuple[str, Optional[int], bool]:
+    """-> (kind, n_random_speakers, run_vb). Accepts 'AHC', 'AHC+VB',
+    'random_<N>', 'random_<N>+VB'."""
+    run_vb = init.endswith("VB")
+    base = init[:-3] if run_vb else init
+    if base == "AHC":
+        return "AHC", None, run_vb
+    if base.startswith("random_"):
+        return "random", int(base.split("_", 1)[1]), run_vb
+    raise ValueError(f"unsupported init {init!r} (use AHC, AHC+VB, "
+                     "random_<N>, random_<N>+VB)")
+
+
+class Diarizer:
+    """Holds the (tiny, host-prepped) models and the device-side transform;
+    reusable across recordings/corpora."""
+
+    def __init__(self, config: DiarizationConfig,
+                 plda: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                 transform: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                 dtype=None):
+        self.config = config
+        # one-time 128x128 host-side re-diagonalization (vbhmm.py:109-113)
+        self.plda_mu, self.plda_tr, self.plda_psi = rediagonalize_plda(*plda)
+        self.raw_plda = plda
+        self.mean1, self.lda, self.mean2 = transform
+        self.dtype = dtype or jnp.dtype(config.vb.dtype)
+
+    @classmethod
+    def from_files(cls, config: DiarizationConfig, plda_file: str,
+                   transform_file: str, dtype=None) -> "Diarizer":
+        return cls(config, read_plda(plda_file),
+                   read_xvec_transform(transform_file), dtype=dtype)
+
+    # -- per-recording stages ------------------------------------------------
+
+    def transform_xvectors(self, x_raw: np.ndarray) -> np.ndarray:
+        """Raw embeddings (N, 256) -> PLDA-space unit vectors (N, 128)
+        (vbhmm.py:125-129). Runs on device in float32 by default; float64 on
+        CPU for oracle parity."""
+        dt = self.dtype
+        y = apply_xvec_transform(
+            jnp.asarray(x_raw, dt), jnp.asarray(self.mean1, dt),
+            jnp.asarray(self.lda, dt), jnp.asarray(self.mean2, dt))
+        return np.asarray(y)
+
+    def initial_labels(self, x: np.ndarray, seed: int = 0) -> np.ndarray:
+        kind, n_rand, _ = _parse_init(self.config.init)
+        if kind == "AHC":
+            return ahc_labels(
+                x, self.config.ahc.threshold,
+                similarity=self.config.ahc.similarity,
+                plda=self.raw_plda,
+                target_energy=self.config.ahc.target_energy)
+        return random_labels(len(x), n_rand, seed=seed)
+
+    def vb_inputs(self, x: np.ndarray, labels: np.ndarray):
+        """(features, phi, qinit) for the VB stage (vbhmm.py:150-153)."""
+        cfg = self.config
+        qinit = smooth_labels_to_gamma(labels, cfg.ahc.init_smoothing)
+        fea = (x - self.plda_mu) @ self.plda_tr.T[:, :cfg.lda_dim]
+        phi = self.plda_psi[:cfg.lda_dim]
+        return fea, phi, qinit
+
+    def diarize_xvectors(self, x_raw: np.ndarray, seed: int = 0,
+                         keep_gamma: bool = False) -> DiarizationOutput:
+        """Full single-recording path (streaming mode)."""
+        cfg = self.config
+        _, _, run_vb = _parse_init(cfg.init)
+        x = self.transform_xvectors(x_raw)
+        labels1st = self.initial_labels(x, seed=seed)
+        labels2nd = None
+        n_iters = 0
+        elbo = None
+        gamma_out = None
+
+        if run_vb:
+            fea, phi, qinit = self.vb_inputs(x, labels1st)
+            res = vbx(
+                jnp.asarray(fea, self.dtype), jnp.asarray(phi, self.dtype),
+                loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+                pi=jnp.full((qinit.shape[1],), 1.0 / qinit.shape[1],
+                            dtype=self.dtype),
+                gamma=jnp.asarray(qinit, self.dtype),
+                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+            q = np.asarray(res.gamma)
+            order = np.argsort(-q, axis=1)
+            labels1st = order[:, 0].astype(np.int32)
+            if q.shape[1] > 1:
+                labels2nd = order[:, 1].astype(np.int32)
+            n_iters = int(res.n_iters)
+            elbo = np.asarray(res.elbo)
+            if keep_gamma:
+                gamma_out = q
+
+        return DiarizationOutput(
+            recording="", labels1st=labels1st, labels2nd=labels2nd,
+            n_speakers=len(np.unique(labels1st)), n_iters=n_iters,
+            elbo=elbo, gamma=gamma_out)
+
+
+def diarize_xvectors(x_raw: np.ndarray, config: DiarizationConfig,
+                     plda, transform, **kw) -> DiarizationOutput:
+    return Diarizer(config, plda, transform).diarize_xvectors(x_raw, **kw)
+
+
+def diarize_ark(
+    ark_file: str,
+    segments_file: str,
+    out_rttm_dir: str,
+    config: DiarizationConfig,
+    plda_file: str,
+    transform_file: str,
+    batch: bool = True,
+    max_batch_frames: int = 2_000_000,
+    verbose: bool = True,
+) -> Dict[str, DiarizationOutput]:
+    """Diarize every recording in an ark file and write per-recording RTTMs
+    (CLI parity: vbhmm.py:115-179). `batch=True` pads recordings into
+    (T, S)-buckets and runs the vmapped engine — the TPU throughput path."""
+    diar = Diarizer.from_files(config, plda_file, transform_file)
+    segs_dict = read_xvector_timing_dict(segments_file)
+    os.makedirs(out_rttm_dir, exist_ok=True)
+
+    recs: List[Tuple[str, List[str], np.ndarray]] = list(
+        group_by_recording(iter_vec_ark(ark_file)))
+
+    outputs: Dict[str, DiarizationOutput] = {}
+    _, _, run_vb = _parse_init(config.init)
+
+    if not batch or not run_vb or len(recs) == 1:
+        for rec, seg_names, x_raw in recs:
+            if verbose:
+                print(rec)
+            out = diar.diarize_xvectors(x_raw)
+            out.recording = rec
+            outputs[rec] = out
+    else:
+        outputs = _diarize_batched(diar, recs, max_batch_frames, verbose)
+
+    for rec, seg_names, x_raw in recs:
+        names, times = segs_dict[rec]
+        if not np.all(names == np.array(seg_names)):
+            raise ValueError(f"segments/ark name mismatch for {rec}")
+        out = outputs[rec]
+        start, end = times.T
+        starts, ends, out_labels = merge_adjacent_labels(
+            start, end, out.labels1st)
+        write_rttm(os.path.join(out_rttm_dir, f"{rec}.rttm"),
+                   rec, starts, ends, out_labels)
+        if (config.output_2nd and out.labels2nd is not None):
+            starts2, ends2, labels2 = merge_adjacent_labels(
+                start, end, out.labels2nd)
+            dir2 = f"{out_rttm_dir}2nd"
+            os.makedirs(dir2, exist_ok=True)
+            write_rttm(os.path.join(dir2, f"{rec}.rttm"),
+                       rec, starts2, ends2, labels2)
+    return outputs
+
+
+def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
+                     verbose: bool) -> Dict[str, DiarizationOutput]:
+    """Bucketed-padded batched VB over all recordings. AHC (host linkage)
+    still runs per recording; the VB EM runs as one vmapped program per
+    bucket."""
+    cfg = diar.config
+    prepped = []  # (rec, fea, phi, qinit)
+    phi = None
+    for rec, _, x_raw in recs:
+        if verbose:
+            print(rec)
+        x = diar.transform_xvectors(x_raw)
+        labels = diar.initial_labels(x)
+        fea, phi, qinit = diar.vb_inputs(x, labels)
+        prepped.append((rec, fea, qinit))
+
+    outputs: Dict[str, DiarizationOutput] = {}
+    for bucket in pad_to_buckets(
+            [(fea.shape[0], qinit.shape[1]) for _, fea, qinit in prepped],
+            max_batch_frames=max_batch_frames):
+        idxs, T_pad, S_pad = bucket
+        B = len(idxs)
+        D = prepped[0][1].shape[1]
+        X = np.zeros((B, T_pad, D), dtype=diar.dtype)
+        G = np.zeros((B, T_pad, S_pad), dtype=diar.dtype)
+        PI = np.zeros((B, S_pad), dtype=diar.dtype)
+        FM = np.zeros((B, T_pad), dtype=bool)
+        SM = np.zeros((B, S_pad), dtype=bool)
+        for bi, i in enumerate(idxs):
+            _, fea, qinit = prepped[i]
+            T, S = qinit.shape
+            X[bi, :T] = fea
+            G[bi, :T, :S] = qinit
+            PI[bi, :S] = 1.0 / S
+            FM[bi, :T] = True
+            SM[bi, :S] = True
+        res = vbx_batched(
+            jnp.asarray(X), jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
+            jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
+            loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+            max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+        q_all = np.asarray(res.gamma)
+        iters = np.asarray(res.n_iters)
+        elbos = np.asarray(res.elbo)
+        for bi, i in enumerate(idxs):
+            rec, fea, qinit = prepped[i]
+            T, S = qinit.shape
+            q = q_all[bi, :T, :S]
+            order = np.argsort(-q, axis=1)
+            outputs[rec] = DiarizationOutput(
+                recording=rec,
+                labels1st=order[:, 0].astype(np.int32),
+                labels2nd=(order[:, 1].astype(np.int32) if S > 1 else None),
+                n_speakers=len(np.unique(order[:, 0])),
+                n_iters=int(iters[bi]), elbo=elbos[bi], gamma=None)
+    return outputs

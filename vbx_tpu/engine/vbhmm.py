@@ -1,0 +1,260 @@
+"""Batched VB-HMM diarization engine.
+
+Runs the VBx EM loop — M-step speaker-model estimation, per-frame expected
+log-likelihoods, structured O(S)-per-frame forward-backward, ELBO and
+speaker-prior updates — as one jitted program. Semantics match the reference
+loop (VBx/VBx.py:27-126) at the EM-fixed-point level:
+
+- iteration 0 never triggers the convergence check (VBx.py:122),
+- convergence is Delta-ELBO < epsilon, checked after state update, so the
+  crossing iteration's gamma/pi are kept,
+- optionally-provided (alpha, invL) skip the first M-step (VBx.py:94),
+- pi update uses the alpha-recursion occupation statistic (VBx.py:101-104).
+
+TPU-first design notes:
+- the whole EM loop is a `lax.while_loop` with per-recording convergence
+  *masking* under vmap: a batch keeps stepping until every recording has
+  converged, but converged recordings freeze (their state stops changing),
+  which reproduces the reference's per-recording early stopping exactly,
+- recordings are padded to common [T, S] with boolean masks; padding is
+  exact (see ops.forward_backward / ops.vb_steps docstrings),
+- everything runs in one dtype (float32 on TPU, float64 available on CPU
+  for oracle parity testing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vbx_tpu.ops.forward_backward import (
+    forward_backward_assoc, forward_backward_structured)
+from vbx_tpu.ops.lse import NEG_INF, masked_fill
+from vbx_tpu.ops.vb_steps import (
+    vb_elbo_model_term, vb_log_likelihoods, vb_m_step, vb_pi_update,
+    vb_precompute)
+
+_FB_IMPLS = {
+    "structured": forward_backward_structured,
+    "assoc": forward_backward_assoc,
+}
+
+
+class VBxResult(NamedTuple):
+    gamma: jax.Array       # [T, S] final responsibilities
+    pi: jax.Array          # [S] final speaker priors
+    elbo: jax.Array        # [max_iters] ELBO trace (NaN past convergence)
+    n_iters: jax.Array     # scalar int32: iterations actually run
+    alpha: jax.Array       # [S, D] final speaker means
+    invL: jax.Array        # [S, D] final speaker posterior covariances
+
+
+class _State(NamedTuple):
+    it: jax.Array
+    converged: jax.Array
+    gamma: jax.Array
+    pi: jax.Array
+    elbo: jax.Array
+    last_elbo: jax.Array
+    alpha: jax.Array
+    invL: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "fb_impl", "has_initial_model"))
+def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
+             loop_prob, fa, fb, epsilon,
+             alpha0, invL0,
+             *, max_iters: int, fb_impl: str, has_initial_model: bool):
+    dtype = X.dtype
+    T, D = X.shape
+    S = gamma.shape[1]
+    fb_fn = _FB_IMPLS[fb_impl]
+
+    G, rho = vb_precompute(X, phi)
+    fa_over_fb = fa / fb
+
+    # zero out padded frames/speakers in the initial responsibilities
+    gamma = (gamma * frame_mask[:, None].astype(dtype)
+             * speaker_mask[None, :].astype(dtype))
+    pi = pi * speaker_mask.astype(dtype)
+
+    def one_iteration(state: _State) -> _State:
+        first = state.it == 0
+        if has_initial_model:
+            # use the provided model on iteration 0 (reference: VBx.py:94)
+            est_invL, est_alpha = vb_m_step(state.gamma, rho, phi, fa_over_fb)
+            invL = jnp.where(first, state.invL, est_invL)
+            alpha = jnp.where(first, state.alpha, est_alpha)
+        else:
+            invL, alpha = vb_m_step(state.gamma, rho, phi, fa_over_fb)
+
+        log_p = vb_log_likelihoods(rho, G, invL, alpha, phi, fa)
+        log_p = masked_fill(log_p, speaker_mask[None, :])
+        fbr = fb_fn(log_p, state.pi, loop_prob, frame_mask=frame_mask)
+        elbo_val = fbr.log_px + vb_elbo_model_term(invL, alpha, fb)
+        new_pi = vb_pi_update(fbr.gamma[0], state.pi, fbr.pi_stat, loop_prob)
+
+        now_converged = jnp.logical_and(
+            jnp.logical_not(first), elbo_val - state.last_elbo < epsilon)
+
+        # freeze recordings that converged on a PREVIOUS iteration; the
+        # iteration that crosses the threshold keeps its update (VBx.py:122-125)
+        keep = state.converged
+
+        def sel(old, new):
+            return jnp.where(keep, old, new)
+
+        new_state = _State(
+            it=state.it + 1,
+            converged=jnp.logical_or(keep, now_converged),
+            gamma=sel(state.gamma, fbr.gamma),
+            pi=sel(state.pi, new_pi),
+            elbo=sel(state.elbo, state.elbo.at[state.it].set(elbo_val)),
+            last_elbo=sel(state.last_elbo, elbo_val),
+            alpha=sel(state.alpha, alpha),
+            invL=sel(state.invL, invL),
+        )
+        return new_state
+
+    def cond(state: _State):
+        return jnp.logical_and(state.it < max_iters,
+                               jnp.logical_not(state.converged))
+
+    init = _State(
+        it=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+        gamma=gamma,
+        pi=pi,
+        elbo=jnp.full((max_iters,), jnp.nan, dtype=dtype),
+        last_elbo=jnp.asarray(NEG_INF, dtype),
+        alpha=(alpha0 if has_initial_model
+               else jnp.zeros((S, D), dtype)),
+        invL=(invL0 if has_initial_model
+              else jnp.ones((S, D), dtype)),
+    )
+    final = jax.lax.while_loop(cond, one_iteration, init)
+    return VBxResult(final.gamma, final.pi, final.elbo, final.it,
+                     final.alpha, final.invL)
+
+
+def vbx(
+    X: jax.Array,
+    phi: jax.Array,
+    loop_prob: float = 0.9,
+    Fa: float = 1.0,
+    Fb: float = 1.0,
+    pi=10,
+    gamma: Optional[jax.Array] = None,
+    max_iters: int = 10,
+    epsilon: float = 1e-4,
+    alpha_q_init: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    frame_mask: Optional[jax.Array] = None,
+    speaker_mask: Optional[jax.Array] = None,
+    alpha: Optional[jax.Array] = None,
+    invL: Optional[jax.Array] = None,
+    fb_impl: str = "structured",
+    dtype=None,
+) -> VBxResult:
+    """Single-recording VB-HMM (API parity with reference VBx.VBx:27-126).
+
+    X:       [T, D] PLDA-space features.
+    phi:     [D] across-class covariance diagonal.
+    pi:      int S (max speakers, uniform prior) or [S] prior vector.
+    gamma:   [T, S] initial responsibilities; if None, sampled from a flat
+             Dirichlet with concentration alpha_q_init (requires rng).
+    """
+    dtype = dtype or X.dtype
+    X = jnp.asarray(X, dtype)
+    phi = jnp.asarray(phi, dtype)
+    T = X.shape[0]
+
+    if isinstance(pi, int):
+        pi = jnp.ones((pi,), dtype) / pi
+    else:
+        pi = jnp.asarray(pi, dtype)
+    S = pi.shape[0]
+
+    if gamma is None:
+        if rng is None:
+            raise ValueError("gamma=None requires an rng key for the "
+                             "Dirichlet initialization")
+        g = jax.random.gamma(rng, alpha_q_init, shape=(T, S), dtype=dtype)
+        gamma = g / jnp.sum(g, axis=1, keepdims=True)
+    else:
+        gamma = jnp.asarray(gamma, dtype)
+    if gamma.shape != (T, S):
+        raise ValueError(f"gamma shape {gamma.shape} != {(T, S)}")
+
+    if frame_mask is None:
+        frame_mask = jnp.ones((T,), bool)
+    if speaker_mask is None:
+        speaker_mask = jnp.ones((S,), bool)
+
+    has_model = alpha is not None and invL is not None
+    alpha0 = (jnp.asarray(alpha, dtype) if has_model
+              else jnp.zeros((S, X.shape[1]), dtype))
+    invL0 = (jnp.asarray(invL, dtype) if has_model
+             else jnp.ones((S, X.shape[1]), dtype))
+
+    return _vbx_jit(
+        X, phi, gamma, pi, frame_mask, speaker_mask,
+        jnp.asarray(loop_prob, dtype), jnp.asarray(Fa, dtype),
+        jnp.asarray(Fb, dtype), jnp.asarray(epsilon, dtype),
+        alpha0, invL0,
+        max_iters=max_iters, fb_impl=fb_impl,
+        has_initial_model=has_model)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iters", "fb_impl"))
+def _vbx_batched_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
+                     loop_prob, fa, fb, epsilon,
+                     *, max_iters: int, fb_impl: str):
+    B, T, S = gamma.shape
+    D = X.shape[-1]
+    zeros_a = jnp.zeros((B, S, D), X.dtype)
+    ones_l = jnp.ones((B, S, D), X.dtype)
+    fn = functools.partial(
+        _vbx_jit.__wrapped__,  # call through vmap, jit applied outside
+        max_iters=max_iters, fb_impl=fb_impl, has_initial_model=False)
+    return jax.vmap(
+        lambda x, g, p, fm, sm, a0, l0: fn(
+            x, phi, g, p, fm, sm, loop_prob, fa, fb, epsilon, a0, l0)
+    )(X, gamma, pi, frame_mask, speaker_mask, zeros_a, ones_l)
+
+
+def vbx_batched(
+    X: jax.Array,            # [B, T, D] padded features
+    phi: jax.Array,          # [D]
+    gamma: jax.Array,        # [B, T, S] padded initial responsibilities
+    pi: jax.Array,           # [B, S] padded initial priors
+    frame_mask: jax.Array,   # [B, T] bool
+    speaker_mask: jax.Array,  # [B, S] bool
+    loop_prob: float,
+    Fa: float,
+    Fb: float,
+    max_iters: int = 40,
+    epsilon: float = 1e-6,
+    fb_impl: str = "structured",
+) -> VBxResult:
+    """Batched VB-HMM over padded recordings with per-recording convergence.
+
+    This is the throughput path: the vmapped while_loop keeps stepping until
+    the slowest recording in the batch converges, with converged recordings
+    frozen (bit-identical to running each recording alone). Bucket
+    recordings by comparable T to minimize the padding + straggler waste
+    (vbx_tpu.utils.bucketing).
+    """
+    dtype = X.dtype
+    return _vbx_batched_jit(
+        X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
+        jnp.asarray(loop_prob, dtype), jnp.asarray(Fa, dtype),
+        jnp.asarray(Fb, dtype), jnp.asarray(epsilon, dtype),
+        max_iters=max_iters, fb_impl=fb_impl)

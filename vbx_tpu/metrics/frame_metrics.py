@@ -1,0 +1,113 @@
+"""Frame-based clustering metrics (dscore parity set beyond DER/JER):
+B-cubed precision/recall/F1, Goodman-Kruskal tau (both directions),
+conditional entropies H(ref|sys), H(sys|ref), mutual information and NMI —
+the remaining columns of the dscore results table (reference README.md:53-56).
+
+Computed on a 10 ms frame grid like dscore, from per-frame (ref, sys) label
+pairs; overlap frames take the label set's lexicographically merged id the
+same way dscore flattens overlaps for these metrics (dscore treats each
+frame's speaker *set* as a single categorical label).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence, Tuple
+
+import numpy as np
+
+from vbx_tpu.metrics.der import Turn
+
+
+def _frame_labels(turns: Sequence[Turn], t0: float, t1: float,
+                  step: float = 0.01) -> np.ndarray:
+    """Per-frame speaker-set labels over [t0, t1); empty set = ''."""
+    n = int(round((t1 - t0) / step))
+    sets = [[] for _ in range(n)]
+    for t in turns:
+        i0 = max(0, int(round((t.start - t0) / step)))
+        i1 = min(n, int(round((t.end - t0) / step)))
+        for i in range(i0, i1):
+            sets[i].append(t.speaker)
+    return np.array([",".join(sorted(set(s))) for s in sets], dtype=object)
+
+
+def _contingency(ref: np.ndarray, sys: np.ndarray):
+    ref_ids, ref_inv = np.unique(ref, return_inverse=True)
+    sys_ids, sys_inv = np.unique(sys, return_inverse=True)
+    cm = np.zeros((len(ref_ids), len(sys_ids)))
+    np.add.at(cm, (ref_inv, sys_inv), 1.0)
+    return cm
+
+
+def frame_clustering_metrics(
+    ref: Mapping[str, Sequence[Turn]],
+    sys: Mapping[str, Sequence[Turn]],
+    step: float = 0.01,
+) -> Dict[str, float]:
+    """Corpus-pooled frame clustering metrics over speech frames."""
+    refs, syss = [], []
+    for rec in sorted(set(ref) | set(sys)):
+        rturns = list(ref.get(rec, ()))
+        sturns = list(sys.get(rec, ()))
+        allt = rturns + sturns
+        if not allt:
+            continue
+        t0 = min(t.start for t in allt)
+        t1 = max(t.end for t in allt)
+        rl = _frame_labels(rturns, t0, t1, step)
+        sl = _frame_labels(sturns, t0, t1, step)
+        keep = (rl != "") | (sl != "")
+        refs.append(np.char.add(f"{rec}/", rl[keep].astype(str)))
+        syss.append(np.char.add(f"{rec}/", sl[keep].astype(str)))
+    if not refs:
+        return {}
+    r = np.concatenate(refs)
+    s = np.concatenate(syss)
+    cm = _contingency(r, s)
+    n = cm.sum()
+    pr = cm.sum(axis=1) / n
+    ps = cm.sum(axis=0) / n
+    p = cm / n
+
+    # B-cubed over frames
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = float(np.nansum(p * (p / ps[None, :])))
+        recall = float(np.nansum(p * (p / pr[:, None])))
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+
+    # entropies / MI (nats -> bits to match dscore's base-2 reporting)
+    def h(x):
+        x = x[x > 0]
+        return float(-(x * np.log2(x)).sum())
+
+    h_ref = h(pr)
+    h_sys = h(ps)
+    h_joint = h(p.ravel())
+    mi = h_ref + h_sys - h_joint
+    h_ref_given_sys = h_joint - h_sys
+    h_sys_given_ref = h_joint - h_ref
+    nmi = mi / np.sqrt(h_ref * h_sys) if h_ref > 0 and h_sys > 0 else 0.0
+
+    # Goodman-Kruskal tau in both directions
+    def gk_tau(p_joint, p_row, p_col):
+        # proportional reduction in prediction error of columns given rows
+        e_col = 1.0 - np.sum(p_col ** 2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e_given = 1.0 - np.nansum(p_joint ** 2 / p_row[:, None])
+        return float((e_col - e_given) / e_col) if e_col > 0 else 0.0
+
+    tau_ref_sys = gk_tau(p, pr, ps)
+    tau_sys_ref = gk_tau(p.T, ps, pr)
+
+    return {
+        "b3_precision": precision,
+        "b3_recall": recall,
+        "b3_f1": f1,
+        "gkt_ref_sys": tau_ref_sys,
+        "gkt_sys_ref": tau_sys_ref,
+        "h_ref_given_sys": h_ref_given_sys,
+        "h_sys_given_ref": h_sys_given_ref,
+        "mi": mi,
+        "nmi": float(nmi),
+    }

@@ -1,0 +1,121 @@
+"""Two-Gaussian score calibration (shared-variance GMM EM).
+
+Finds the utterance-specific AHC threshold by fitting a 2-component GMM with
+shared variance to the N^2 pairwise similarity scores and returning the
+equal-posterior crossing point (reference: diarization_lib.
+twoGMMcalib_lin:13-31, 20 EM iterations).
+
+TPU-first formulation: each EM iteration needs only six scalar reductions
+over the scores (responsibility-weighted counts and first/second moments),
+so instead of materializing the [N^2, 2] responsibility matrix we fuse the
+reductions and run the whole 20-iteration EM as one jitted fori_loop — the
+scores array is read once per iteration and nothing but scalars live between
+iterations. Accumulation uses float32 tree reductions (XLA) which keep
+~1e-6 relative error even at N^2 ~ 1e8 elements; float64 is available on CPU
+for oracle validation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def two_gmm_calib_lin(scores: jax.Array, niters: int = 20) -> jax.Array:
+    """Return the calibration threshold for flattened scores.
+
+    Matches the reference fixed point: responsibilities via softmax over the
+    two shared-variance Gaussians, weight/mean/variance M-steps, and the
+    closed-form equal-LLR threshold
+      -0.5 * (log(w^2/var) - m^2/var) . [1,-1] / ((m/var) . [1,-1]).
+    """
+    s = scores.reshape(-1)
+    dtype = s.dtype
+    n = s.shape[0]
+
+    mean_s = jnp.mean(s)
+    std_s = jnp.std(s)
+    sum_s = jnp.sum(s)
+    sum_s2 = jnp.sum(s * s)
+
+    weights0 = jnp.array([0.5, 0.5], dtype=dtype)
+    means0 = mean_s + std_s * jnp.array([-1.0, 1.0], dtype=dtype)
+    var0 = jnp.var(s)
+
+    def em_iter(_, state):
+        weights, means, var = state
+        # responsibilities for component 1 (sigmoid of the LLR); component 0
+        # responsibility is 1 - g1. Only three weighted reductions of s are
+        # needed: sum(g1), sum(g1*s), sum(g1*s^2).
+        logw = jnp.log(weights)
+        # ll_k(s) = logw_k - 0.5*log(var) - 0.5*(s - m_k)^2/var
+        d = (means[1] - means[0]) / var
+        c = (logw[1] - logw[0]) - 0.5 * (means[1] ** 2 - means[0] ** 2) / var
+        g1 = jax.nn.sigmoid(s * d + c)
+        cnt1 = jnp.sum(g1)
+        s1 = jnp.dot(g1, s, preferred_element_type=dtype)
+        s2 = jnp.dot(g1, s * s, preferred_element_type=dtype)
+        cnt0 = n - cnt1
+        s0 = sum_s - s1
+        q0 = sum_s2 - s2
+        cnts = jnp.stack([cnt0, cnt1])
+        new_weights = cnts / (cnt0 + cnt1)
+        new_means = jnp.stack([s0 / cnt0, s1 / cnt1])
+        second = jnp.stack([q0 / cnt0, s2 / cnt1])
+        new_var = jnp.dot(second - new_means ** 2, new_weights,
+                          preferred_element_type=dtype)
+        return new_weights, new_means, new_var
+
+    weights, means, var = jax.lax.fori_loop(
+        0, niters, em_iter, (weights0, means0, var0))
+
+    sel = jnp.array([1.0, -1.0], dtype=dtype)
+    threshold = (-0.5 * jnp.dot(jnp.log(weights ** 2 / var) - means ** 2 / var, sel)
+                 / jnp.dot(means / var, sel))
+    return threshold
+
+
+def two_gmm_calib_with_llrs(scores: jax.Array,
+                            niters: int = 20) -> Tuple[jax.Array, jax.Array]:
+    """Threshold plus linearly calibrated log-odds-ratio scores ordered so
+    the higher-mean component is 'target' (reference returns
+    lls[:, argmax] - lls[:, argmin])."""
+    s = scores.reshape(-1)
+    threshold = two_gmm_calib_lin(s, niters)
+    # Re-run EM to recover final component params for the LLR projection.
+    # (Scalar-only loop; negligible next to the reductions above.)
+    dtype = s.dtype
+    n = s.shape[0]
+    sum_s = jnp.sum(s)
+    sum_s2 = jnp.sum(s * s)
+    weights = jnp.array([0.5, 0.5], dtype=dtype)
+    means = jnp.mean(s) + jnp.std(s) * jnp.array([-1.0, 1.0], dtype=dtype)
+    var = jnp.var(s)
+
+    def em_iter(_, state):
+        weights, means, var = state
+        logw = jnp.log(weights)
+        d = (means[1] - means[0]) / var
+        c = (logw[1] - logw[0]) - 0.5 * (means[1] ** 2 - means[0] ** 2) / var
+        g1 = jax.nn.sigmoid(s * d + c)
+        cnt1 = jnp.sum(g1)
+        s1 = jnp.dot(g1, s, preferred_element_type=dtype)
+        s2 = jnp.dot(g1, s * s, preferred_element_type=dtype)
+        cnt0, s0, q0 = n - cnt1, sum_s - s1, sum_s2 - s2
+        cnts = jnp.stack([cnt0, cnt1])
+        new_weights = cnts / (cnt0 + cnt1)
+        new_means = jnp.stack([s0 / cnt0, s1 / cnt1])
+        second = jnp.stack([q0 / cnt0, s2 / cnt1])
+        new_var = jnp.dot(second - new_means ** 2, new_weights,
+                          preferred_element_type=dtype)
+        return new_weights, new_means, new_var
+
+    weights, means, var = jax.lax.fori_loop(0, niters, em_iter,
+                                            (weights, means, var))
+    lls = (jnp.log(weights) - 0.5 * jnp.log(var)
+           - 0.5 * (s[:, None] - means) ** 2 / var)
+    hi = jnp.argmax(means)
+    llrs = lls[:, hi] - lls[:, 1 - hi]
+    return threshold, llrs

@@ -1,0 +1,54 @@
+"""Ragged-batch bucketing for XLA's static-shape world.
+
+Corpus recordings vary in length by orders of magnitude (T ~ 1e2..1e5
+x-vectors). Recompiling the engine per shape would dominate runtime, and one
+global pad wastes chips. Strategy: round each recording's (T, S) up to a
+small set of power-of-two-ish bucket shapes and group same-bucket recordings
+into batches capped by a total-frames budget — few compiled shapes, bounded
+padding waste (< 2x worst case, far less in practice).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+
+def round_up(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
+def bucket_shape(t: int, s: int, t_quantum: int = 256,
+                 s_quantum: int = 8) -> Tuple[int, int]:
+    """Round (T, S) to a bucket: T to the next power-of-two-ish step
+    (1, 1.5, or 2 x a power of two, quantized), S to a multiple of
+    s_quantum. Keeps the compiled-shape count logarithmic in the T range."""
+    t = max(t, 1)
+    tq = t_quantum
+    while tq < t:
+        if int(tq * 1.5) >= t:
+            tq = int(tq * 1.5)
+            break
+        tq *= 2
+    return round_up(min(tq, round_up(t, t_quantum)), t_quantum), round_up(max(s, 1), s_quantum)
+
+
+def pad_to_buckets(
+    shapes: Sequence[Tuple[int, int]],
+    max_batch_frames: int = 2_000_000,
+    t_quantum: int = 256,
+    s_quantum: int = 8,
+) -> Iterator[Tuple[List[int], int, int]]:
+    """Group recording indices by bucket shape.
+
+    shapes: per-recording (T, S).
+    Yields (indices, T_pad, S_pad) with len(indices) * T_pad <=
+    max_batch_frames per batch (at least one recording per batch).
+    """
+    groups = {}
+    for i, (t, s) in enumerate(shapes):
+        key = bucket_shape(t, s, t_quantum, s_quantum)
+        groups.setdefault(key, []).append(i)
+    for (t_pad, s_pad), idxs in sorted(groups.items()):
+        per_batch = max(1, max_batch_frames // t_pad)
+        for k in range(0, len(idxs), per_batch):
+            yield idxs[k:k + per_batch], t_pad, s_pad
