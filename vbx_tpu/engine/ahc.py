@@ -17,7 +17,7 @@ import numpy as np
 
 from vbx_tpu.clustering import (
     fcluster_by_distance, linkage, squareform_condensed)
-from vbx_tpu.ops.calibration import two_gmm_calib_lin
+from vbx_tpu.ops.calibration import two_gmm_calib_lin, two_gmm_calib_lin_np
 from vbx_tpu.ops.similarity import cos_similarity, kaldi_plda_scoring_dense
 
 
@@ -29,19 +29,35 @@ def ahc_labels(
     target_energy: float = 1.0,
     pca_dim: Optional[int] = None,
     linkage_backend: Optional[str] = None,
+    compute_backend: str = "host",
 ) -> np.ndarray:
     """Cluster x-vectors; returns 0-based integer labels [N].
 
     x is the transformed (PLDA-space, length-normalized) x-vector matrix.
     `similarity` selects cosine (reference default, vbhmm.py:135) or the
     Kaldi-equivalent dense PLDA scoring (diarization_lib.py:59-93).
+
+    `compute_backend='host'` (default) runs the similarity matrix and the
+    2-GMM calibration in float64 NumPy: the calibration threshold feeds the
+    linkage cut, so it decides the AHC cluster count, and f32 perturbations
+    there measurably shift the VB init (observed: 31 -> 32 clusters on the
+    ES2005a golden run). The init chain is O(N^2 D) once per recording —
+    host-cheap next to the VB loop. 'device' computes the similarity matrix
+    and calibration on the accelerator in its dtype (for very long
+    recordings where the N x N matmul dominates); the calibration then runs
+    in f64 on the host over the device-computed scores.
     """
     n = x.shape[0]
     if n == 1:
         return np.zeros(1, dtype=np.int32)
 
     if similarity == "cosine":
-        scr_mx = np.asarray(cos_similarity(jnp.asarray(x)))
+        if compute_backend == "host":
+            x64 = np.asarray(x, dtype=np.float64)
+            xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True)) + 1e-32)
+            scr_mx = xn @ xn.T
+        else:
+            scr_mx = np.asarray(cos_similarity(jnp.asarray(x)))
     elif similarity == "plda":
         if plda is None:
             raise ValueError("similarity='plda' requires a plda model")
@@ -51,8 +67,8 @@ def ahc_labels(
         raise ValueError(f"unknown similarity {similarity!r}")
 
     # utterance-specific calibration threshold over all N^2 scores
-    # (vbhmm.py:137). Runs on device; scalar result to host.
-    thr = float(two_gmm_calib_lin(jnp.asarray(scr_mx).reshape(-1)))
+    # (vbhmm.py:137), in f64 on host for cut-threshold parity.
+    thr = two_gmm_calib_lin_np(scr_mx)
 
     condensed = squareform_condensed(-scr_mx)
     Z = linkage(condensed, method="average", backend=linkage_backend)

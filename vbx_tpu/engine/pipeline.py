@@ -25,7 +25,6 @@ from vbx_tpu.io.plda import read_plda, rediagonalize_plda
 from vbx_tpu.io.rttm import merge_adjacent_labels, write_rttm
 from vbx_tpu.io.segments import read_xvector_timing_dict
 from vbx_tpu.io.transform import read_xvec_transform
-from vbx_tpu.ops.similarity import apply_xvec_transform
 from vbx_tpu.utils.bucketing import pad_to_buckets
 
 
@@ -78,13 +77,17 @@ class Diarizer:
 
     def transform_xvectors(self, x_raw: np.ndarray) -> np.ndarray:
         """Raw embeddings (N, 256) -> PLDA-space unit vectors (N, 128)
-        (vbhmm.py:125-129). Runs on device in float32 by default; float64 on
-        CPU for oracle parity."""
-        dt = self.dtype
-        y = apply_xvec_transform(
-            jnp.asarray(x_raw, dt), jnp.asarray(self.mean1, dt),
-            jnp.asarray(self.lda, dt), jnp.asarray(self.mean2, dt))
-        return np.asarray(y)
+        (vbhmm.py:125-129). Runs in float64 on the host: the transformed
+        vectors feed the AHC init chain, whose calibration threshold and
+        linkage cut are sensitive below f32 resolution (see ahc_labels);
+        O(N*256*128) is negligible next to the VB loop. The VB engine then
+        receives them cast to the engine dtype (f32 on TPU)."""
+        x = np.asarray(x_raw, dtype=np.float64)
+        y = x - self.mean1
+        y /= np.sqrt((y * y).sum(axis=1, keepdims=True))
+        y = y @ self.lda - self.mean2
+        y /= np.sqrt((y * y).sum(axis=1, keepdims=True))
+        return y
 
     def initial_labels(self, x: np.ndarray, seed: int = 0) -> np.ndarray:
         kind, n_rand, _ = _parse_init(self.config.init)

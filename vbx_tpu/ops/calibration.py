@@ -77,6 +77,44 @@ def two_gmm_calib_lin(scores: jax.Array, niters: int = 20) -> jax.Array:
     return threshold
 
 
+def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
+    """Host float64 two-GMM calibration (same fixed point as
+    `two_gmm_calib_lin`). The AHC init chain runs in float64 on the host by
+    default because the calibration threshold feeds the linkage cut and
+    therefore the cluster count: sub-1e-3 threshold shifts can change the
+    number of AHC clusters and move the VB fixed point (reference parity:
+    diarization_lib.twoGMMcalib_lin:13-31). N^2 <= ~1e8 scalar reductions
+    are host-cheap; the device path exists for very long recordings."""
+    import numpy as np
+
+    s = np.asarray(scores, dtype=np.float64).reshape(-1)
+    n = s.size
+    sum_s = s.sum()
+    sum_s2 = (s * s).sum()
+    weights = np.array([0.5, 0.5])
+    means = s.mean() + s.std() * np.array([-1.0, 1.0])
+    var = s.var()
+    for _ in range(niters):
+        d = (means[1] - means[0]) / var
+        c = (np.log(weights[1]) - np.log(weights[0])
+             - 0.5 * (means[1] ** 2 - means[0] ** 2) / var)
+        z = s * d + c
+        g1 = np.where(z >= 0, 1.0 / (1.0 + np.exp(-z)),
+                      np.exp(z) / (1.0 + np.exp(z)))
+        cnt1 = g1.sum()
+        s1 = g1 @ s
+        s2 = g1 @ (s * s)
+        cnt0, s0, q0 = n - cnt1, sum_s - s1, sum_s2 - s2
+        cnts = np.array([cnt0, cnt1])
+        weights = cnts / n
+        means = np.array([s0 / cnt0, s1 / cnt1])
+        second = np.array([q0 / cnt0, s2 / cnt1])
+        var = (second - means ** 2) @ weights
+    sel = np.array([1.0, -1.0])
+    return float(-0.5 * ((np.log(weights ** 2 / var) - means ** 2 / var) @ sel)
+                 / ((means / var) @ sel))
+
+
 def two_gmm_calib_with_llrs(scores: jax.Array,
                             niters: int = 20) -> Tuple[jax.Array, jax.Array]:
     """Threshold plus linearly calibrated log-odds-ratio scores ordered so
