@@ -1,0 +1,122 @@
+"""AHC: native linkage vs scipy, calibration, label smoothing."""
+
+import numpy as np
+import pytest
+import scipy.cluster.hierarchy as sch
+
+from vbx_tpu.clustering import (fcluster_by_distance, linkage,
+                                squareform_condensed)
+from vbx_tpu.engine.ahc import ahc_labels, random_labels, smooth_labels_to_gamma
+from vbx_tpu.ops.calibration import two_gmm_calib_lin, two_gmm_calib_lin_np
+
+from .oracle import smooth_labels_oracle
+
+
+def _random_condensed(rng, n):
+    x = rng.standard_normal((n, 8))
+    d = np.sqrt(((x[:, None] - x[None, :]) ** 2).sum(-1))
+    return squareform_condensed(d), d
+
+
+def _partition_equal(a, b):
+    """Cluster labelings equal up to renaming."""
+    amap, bmap = {}, {}
+    for x, y in zip(a, b):
+        if amap.setdefault(x, y) != y or bmap.setdefault(y, x) != x:
+            return False
+    return True
+
+
+@pytest.mark.parametrize("n", [2, 3, 10, 64, 200])
+def test_native_linkage_matches_scipy(n):
+    rng = np.random.default_rng(n)
+    condensed, _ = _random_condensed(rng, n)
+    Z_native = linkage(condensed, method="average", backend="native")
+    Z_scipy = sch.linkage(condensed, method="average")
+    # merge heights and sizes must agree exactly; merge ids can permute
+    # between equal-height merges, so compare sorted heights and the
+    # resulting flat partitions at several thresholds
+    np.testing.assert_allclose(np.sort(Z_native[:, 2]), np.sort(Z_scipy[:, 2]),
+                               rtol=1e-12)
+    for q in (0.15, 0.5, 0.85):
+        thr = np.quantile(Z_scipy[:, 2], q)
+        a = fcluster_by_distance(Z_native, thr, backend="native")
+        b = sch.fcluster(Z_scipy, thr, criterion="distance") - 1
+        assert _partition_equal(a, b), (n, q)
+
+
+def test_native_fcluster_matches_scipy_on_scipy_tree():
+    rng = np.random.default_rng(77)
+    condensed, _ = _random_condensed(rng, 50)
+    Z = sch.linkage(condensed, method="average")
+    for thr in np.quantile(Z[:, 2], [0.1, 0.4, 0.9]):
+        a = fcluster_by_distance(Z, thr, backend="native")
+        b = sch.fcluster(Z, thr, criterion="distance") - 1
+        assert _partition_equal(a, b)
+
+
+def test_negative_similarity_flow_like_reference():
+    """The reference clusters on -cosine shifted nonnegative
+    (vbhmm.py:139-146); check the full transform pipeline yields the same
+    partition via our native path and pure scipy."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((40, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    scr = x @ x.T
+    condensed = squareform_condensed(-scr)
+    thr = 0.1
+
+    Z = linkage(condensed, method="average", backend="native")
+    adj = abs(Z[:, 2].min())
+    Z2 = Z.copy()
+    Z2[:, 2] += adj
+    a = fcluster_by_distance(Z2, -thr + adj, backend="native")
+
+    Zs = sch.linkage(condensed, method="average")
+    adj_s = abs(Zs[:, 2].min())
+    Zs[:, 2] += adj_s
+    b = sch.fcluster(Zs, -thr + adj_s, criterion="distance") - 1
+    assert _partition_equal(a, b)
+
+
+def test_two_gmm_calibration_device_matches_host():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    scores = np.concatenate([rng.normal(-1.0, 0.5, 4000),
+                             rng.normal(1.2, 0.5, 1000)])
+    thr_np = two_gmm_calib_lin_np(scores)
+    thr_dev = float(two_gmm_calib_lin(jnp.asarray(scores)))
+    assert abs(thr_np - thr_dev) < 1e-8
+    assert -1.0 < thr_np < 1.2   # threshold lies between the two means
+
+
+def test_ahc_labels_basic_separation():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((30, 16)) * 0.05 + np.r_[np.ones(8), np.zeros(8)]
+    b = rng.standard_normal((30, 16)) * 0.05 + np.r_[np.zeros(8), np.ones(8)]
+    x = np.vstack([a, b])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    labels = ahc_labels(x, threshold_bias=0.0)
+    assert len(np.unique(labels)) == 2
+    assert len(np.unique(labels[:30])) == 1
+    assert len(np.unique(labels[30:])) == 1
+
+
+def test_ahc_single_vector():
+    assert ahc_labels(np.ones((1, 4)), 0.0).tolist() == [0]
+
+
+def test_smooth_labels_to_gamma():
+    labels = np.array([0, 1, 2, 1, 0])
+    g = smooth_labels_to_gamma(labels, 5.0)
+    np.testing.assert_allclose(g, smooth_labels_oracle(labels, 5.0),
+                               rtol=1e-12)
+    np.testing.assert_allclose(g.sum(1), 1.0, rtol=1e-12)
+    assert np.array_equal(g.argmax(1), labels)
+
+
+def test_random_labels_deterministic():
+    a = random_labels(100, 8, seed=4)
+    b = random_labels(100, 8, seed=4)
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() < 8

@@ -1,0 +1,120 @@
+"""VB-HMM engine vs the float64 EM oracle, plus batching/masking parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbx_tpu.engine.vbhmm import vbx, vbx_batched
+
+from .oracle import random_vb_problem, vbx_oracle
+
+
+def _problem(seed, T=120, S=6, D=16):
+    rng = np.random.default_rng(seed)
+    return random_vb_problem(rng, T, S, D)
+
+
+@pytest.mark.parametrize("fb_impl", ["structured", "assoc"])
+def test_engine_matches_oracle_f64(fb_impl):
+    X, phi, gamma, pi = _problem(0)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=15, epsilon=1e-6)
+    g_ref, pi_ref, elbos_ref, _, _ = vbx_oracle(
+        X, phi, 0.9, 0.4, 11.0, pi, gamma, max_iters=15, epsilon=1e-6)
+    res = vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
+              gamma=jnp.asarray(gamma), fb_impl=fb_impl, **kw)
+    assert int(res.n_iters) == len(elbos_ref)
+    np.testing.assert_allclose(np.asarray(res.elbo)[:len(elbos_ref)],
+                               elbos_ref, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.gamma), g_ref, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.pi), pi_ref, atol=1e-8)
+
+
+def test_engine_f32_reaches_same_fixed_point():
+    X, phi, gamma, pi = _problem(1)
+    g_ref, pi_ref, elbos_ref, _, _ = vbx_oracle(
+        X, phi, 0.95, 0.3, 8.0, pi, gamma, max_iters=30, epsilon=1e-6)
+    res = vbx(jnp.asarray(X, jnp.float32), jnp.asarray(phi, jnp.float32),
+              pi=jnp.asarray(pi, jnp.float32),
+              gamma=jnp.asarray(gamma, jnp.float32),
+              loop_prob=0.95, Fa=0.3, Fb=8.0, max_iters=30, epsilon=1e-6)
+    # f32 may stop a few iterations earlier (Delta-ELBO quantizes below eps)
+    # but the decoded labels and speaker priors must agree
+    assert np.array_equal(np.asarray(res.gamma).argmax(1), g_ref.argmax(1))
+    np.testing.assert_allclose(np.asarray(res.pi), pi_ref, atol=5e-4)
+
+
+def test_initial_model_skips_first_m_step():
+    X, phi, gamma, pi = _problem(2)
+    S, D = gamma.shape[1], X.shape[1]
+    rng = np.random.default_rng(9)
+    alpha0 = rng.standard_normal((S, D)) * 0.3
+    invL0 = rng.uniform(0.2, 1.0, (S, D))
+    g_ref, pi_ref, elbos_ref, _, _ = vbx_oracle(
+        X, phi, 0.9, 0.4, 11.0, pi, gamma, max_iters=8, epsilon=1e-6,
+        alpha=alpha0, invL=invL0)
+    res = vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
+              gamma=jnp.asarray(gamma), loop_prob=0.9, Fa=0.4, Fb=11.0,
+              max_iters=8, epsilon=1e-6,
+              alpha=jnp.asarray(alpha0), invL=jnp.asarray(invL0))
+    np.testing.assert_allclose(np.asarray(res.elbo)[:len(elbos_ref)],
+                               elbos_ref, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.gamma), g_ref, atol=1e-7)
+
+
+def test_dirichlet_init_requires_rng():
+    X, phi, _, pi = _problem(3)
+    with pytest.raises(ValueError):
+        vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi))
+
+
+def test_batched_matches_individual_runs_with_padding():
+    """Padded+batched engine must reproduce each recording's individual run,
+    including per-recording early stopping (convergence masking)."""
+    problems = [_problem(10, T=60, S=4, D=12), _problem(11, T=90, S=6, D=12),
+                _problem(12, T=33, S=3, D=12)]
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=12, epsilon=1e-6)
+    singles = [
+        vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
+            gamma=jnp.asarray(g), **kw)
+        for X, phi, g, pi in problems]
+
+    phi = problems[0][1]
+    T_pad = max(p[0].shape[0] for p in problems)
+    S_pad = max(p[2].shape[1] for p in problems)
+    B, D = len(problems), problems[0][0].shape[1]
+    Xb = np.zeros((B, T_pad, D))
+    Gb = np.zeros((B, T_pad, S_pad))
+    PIb = np.zeros((B, S_pad))
+    FM = np.zeros((B, T_pad), bool)
+    SM = np.zeros((B, S_pad), bool)
+    for i, (X, _, g, pi) in enumerate(problems):
+        T, S = g.shape
+        Xb[i, :T] = X
+        Gb[i, :T, :S] = g
+        PIb[i, :S] = pi
+        FM[i, :T] = True
+        SM[i, :S] = True
+
+    batched = vbx_batched(
+        jnp.asarray(Xb), jnp.asarray(phi), jnp.asarray(Gb), jnp.asarray(PIb),
+        jnp.asarray(FM), jnp.asarray(SM),
+        loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=12, epsilon=1e-6)
+
+    for i, (single, (X, _, g, pi)) in enumerate(zip(singles, problems)):
+        T, S = g.shape
+        assert int(batched.n_iters[i]) == int(single.n_iters)
+        np.testing.assert_allclose(np.asarray(batched.gamma[i, :T, :S]),
+                                   np.asarray(single.gamma), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(batched.pi[i, :S]),
+                                   np.asarray(single.pi), atol=1e-9)
+        assert np.all(np.asarray(batched.gamma[i, T:]) == 0)
+        assert np.all(np.asarray(batched.gamma[i, :, S:]) == 0)
+
+
+def test_elbo_monotone_nondecreasing():
+    X, phi, gamma, pi = _problem(21, T=200, S=8, D=20)
+    res = vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
+              gamma=jnp.asarray(gamma), loop_prob=0.9, Fa=0.4, Fb=11.0,
+              max_iters=25, epsilon=1e-9)
+    e = np.asarray(res.elbo)[:int(res.n_iters)]
+    assert np.all(np.diff(e) > -1e-6), e

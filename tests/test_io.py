@@ -1,0 +1,149 @@
+"""I/O codecs: ark, segments, RTTM, PLDA, transform, VAD."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from vbx_tpu.io.ark import (group_by_recording, iter_vec_ark, read_vec_ark,
+                            recording_of_key, write_vec_ark)
+from vbx_tpu.io.plda import read_plda, rediagonalize_plda
+from vbx_tpu.io.rttm import (merge_adjacent_labels, read_rttm,
+                             segment_to_frame_labels, write_rttm)
+from vbx_tpu.io.segments import read_xvector_timing_dict, write_segments
+from vbx_tpu.io.transform import read_xvec_transform
+from vbx_tpu.io.vad import lab_to_sample_ranges, read_lab
+
+REF = "/root/reference"
+REF_PLDA = f"{REF}/VBx/models/ResNet101_16kHz/plda"
+REF_H5 = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
+REF_ARK = f"{REF}/exp/ES2005a.ark"
+REF_SEG = f"{REF}/exp/ES2005a.seg"
+
+
+def test_ark_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = [(f"rec1_{i:04d}", rng.standard_normal(16).astype(np.float32))
+            for i in range(5)]
+    p = tmp_path / "t.ark"
+    write_vec_ark(str(p), data)
+    back = list(iter_vec_ark(str(p)))
+    assert [k for k, _ in back] == [k for k, _ in data]
+    for (_, a), (_, b) in zip(data, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ark_reads_reference_file():
+    d = read_vec_ark(REF_ARK)
+    assert len(d) == 1025
+    v = next(iter(d.values()))
+    assert v.shape == (256,) and v.dtype == np.float32
+
+
+def test_group_by_recording():
+    items = [("a_0001", np.zeros(2)), ("a_0002", np.ones(2)),
+             ("b_x_0001", np.full(2, 2.0))]
+    groups = list(group_by_recording(iter(items)))
+    assert [g[0] for g in groups] == ["a", "b_x"]
+    assert groups[0][1] == ["a_0001", "a_0002"]
+    assert groups[1][2].shape == (1, 2)
+    assert recording_of_key("ES2005a_0042") == "ES2005a"
+
+
+def test_segments_roundtrip(tmp_path):
+    rows = [("ES2005a_0000", "ES2005a", 0.0, 1.44),
+            ("ES2005a_0001", "ES2005a", 0.24, 1.68)]
+    p = tmp_path / "seg"
+    write_segments(str(p), rows)
+    d = read_xvector_timing_dict(str(p))
+    names, times = d["ES2005a"]
+    assert list(names) == ["ES2005a_0000", "ES2005a_0001"]
+    np.testing.assert_allclose(times, [[0.0, 1.44], [0.24, 1.68]])
+
+
+def test_segments_reads_reference_file():
+    d = read_xvector_timing_dict(REF_SEG)
+    names, times = d["ES2005a"]
+    assert len(names) == 1025
+    assert times.shape == (1025, 2)
+    assert np.all(times[:, 1] > times[:, 0])
+
+
+def test_rttm_write_read_roundtrip(tmp_path):
+    p = tmp_path / "x.rttm"
+    write_rttm(str(p), "recA", [0.0, 2.5], [1.5, 4.0], [0, 3])
+    segs = read_rttm(str(p))
+    assert len(segs) == 2
+    assert segs[0].recording == "recA"
+    assert segs[0].speaker == "1"       # label + 1, reference vbhmm.py:49
+    assert segs[1].speaker == "4"
+    np.testing.assert_allclose([s.start for s in segs], [0.0, 2.5])
+    np.testing.assert_allclose([s.duration for s in segs], [1.5, 1.5])
+
+
+def test_merge_adjacent_labels():
+    # same-label adjacent merge
+    s, e, l = merge_adjacent_labels([0.0, 1.0], [1.0, 2.0], [5, 5])
+    np.testing.assert_allclose(s, [0.0])
+    np.testing.assert_allclose(e, [2.0])
+    assert l.tolist() == [5]
+    # different-label overlap split at the middle
+    s, e, l = merge_adjacent_labels([0.0, 1.0], [1.5, 2.0], [1, 2])
+    np.testing.assert_allclose(s, [0.0, 1.25])
+    np.testing.assert_allclose(e, [1.25, 2.0])
+    assert l.tolist() == [1, 2]
+    # gap is preserved
+    s, e, l = merge_adjacent_labels([0.0, 3.0], [1.0, 4.0], [1, 1])
+    np.testing.assert_allclose(s, [0.0, 3.0])
+    np.testing.assert_allclose(e, [1.0, 4.0])
+
+
+def test_segment_to_frame_labels():
+    frms = segment_to_frame_labels([0.1, 0.3], [0.2, 0.4], [1, 2], length=50)
+    assert len(frms) == 50
+    assert all(x is None for x in frms[:10])
+    assert all(x == 1 for x in frms[10:20])
+    assert all(x is None for x in frms[20:30])
+    assert all(x == 2 for x in frms[30:40])
+    assert all(x is None for x in frms[40:])
+
+
+def test_read_plda_reference_model():
+    mu, tr, psi = read_plda(REF_PLDA)
+    assert mu.shape == (128,)
+    assert tr.shape == (128, 128)
+    assert psi.shape == (128,)
+    assert np.all(psi >= 0)
+    # psi sorted descending (Kaldi convention)
+    assert psi[0] == psi.max()
+
+
+def test_rediagonalize_plda_whitening_property():
+    """After re-diagonalization (vbhmm.py:109-113): tr' @ W @ tr'.T = I and
+    tr' @ B @ tr'.T = diag(psi') where W/B are within/across-class covs."""
+    mu, tr, psi = read_plda(REF_PLDA)
+    mu2, tr2, psi2 = rediagonalize_plda(mu, tr, psi)
+    W = np.linalg.inv(tr.T @ tr)
+    B = np.linalg.inv((tr.T / psi) @ tr)
+    np.testing.assert_allclose(tr2 @ W @ tr2.T, np.eye(128), atol=1e-8)
+    np.testing.assert_allclose(tr2 @ B @ tr2.T, np.diag(psi2), atol=1e-6)
+    # descending variances so [:lda_dim] keeps the strongest directions
+    assert np.all(np.diff(psi2) <= 1e-12)
+    np.testing.assert_array_equal(mu2, mu)
+
+
+def test_read_xvec_transform():
+    mean1, lda, mean2 = read_xvec_transform(REF_H5)
+    assert mean1.shape == (256,)
+    assert lda.shape == (256, 128)
+    assert mean2.shape == (128,)
+
+
+def test_vad_lab(tmp_path):
+    p = tmp_path / "v.lab"
+    p.write_text("0.00 1.50 sp\n2.00 2.75 sp\n")
+    labs = read_lab(str(p))
+    np.testing.assert_allclose(labs, [[0.0, 1.5], [2.0, 2.75]])
+    rng = lab_to_sample_ranges(labs, 16000)
+    np.testing.assert_array_equal(rng, [[0, 24000], [32000, 44000]])

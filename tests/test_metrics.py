@@ -1,0 +1,97 @@
+"""Scorer: DER/JER event-based scoring vs hand-computed cases."""
+
+import numpy as np
+import pytest
+
+from vbx_tpu.metrics.der import Turn, score_corpus, score_recording
+
+
+def T(s, e, spk):
+    return Turn(s, e, spk)
+
+
+def test_perfect_match():
+    ref = [T(0, 10, "a"), T(12, 20, "b")]
+    r = score_recording(ref, [T(0, 10, "x"), T(12, 20, "y")], collar=0.0)
+    assert r.der == pytest.approx(0.0, abs=1e-9)
+    assert r.jer == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pure_miss():
+    ref = [T(0, 10, "a")]
+    r = score_recording(ref, [T(0, 5, "x")], collar=0.0)
+    assert r.missed == pytest.approx(5.0)
+    assert r.falarm == pytest.approx(0.0)
+    assert r.confusion == pytest.approx(0.0)
+    assert r.der == pytest.approx(50.0)
+
+
+def test_false_alarm_inside_uem():
+    # sys speech beyond ref extends the UEM; FA time counted
+    ref = [T(0, 10, "a")]
+    r = score_recording(ref, [T(0, 10, "x"), T(10, 12, "x")], collar=0.0)
+    assert r.falarm == pytest.approx(2.0)
+    assert r.der == pytest.approx(20.0)
+
+
+def test_confusion_with_optimal_mapping():
+    # two ref speakers; sys swaps one half -> mapping picks the better match
+    ref = [T(0, 10, "a"), T(10, 20, "b")]
+    sys = [T(0, 10, "x"), T(10, 15, "x"), T(15, 20, "y")]
+    r = score_recording(ref, sys, collar=0.0)
+    # x->a (10s), y->b (5s); 10..15 b spoken but attributed to x => confusion
+    assert r.confusion == pytest.approx(5.0)
+    assert r.der == pytest.approx(25.0)
+
+
+def test_collar_removes_boundary_regions():
+    ref = [T(0, 10, "a")]
+    # sys misses 0.2s at each end; collar 0.25 forgives both
+    sys = [T(0.2, 9.8, "x")]
+    assert score_recording(ref, sys, collar=0.25).der == pytest.approx(0.0)
+    assert score_recording(ref, sys, collar=0.0).der > 0
+
+
+def test_ignore_overlaps():
+    ref = [T(0, 10, "a"), T(4, 6, "b")]   # overlap region 4..6
+    sys = [T(0, 10, "x")]                 # misses b entirely
+    fair = score_recording(ref, sys, collar=0.0)
+    forgiving = score_recording(ref, sys, collar=0.0, ignore_overlaps=True)
+    assert fair.missed == pytest.approx(2.0)     # b's 2s in overlap missed
+    assert forgiving.missed == pytest.approx(0.0)
+    assert forgiving.der == pytest.approx(0.0)
+
+
+def test_overlap_counts_double_in_scored_time():
+    ref = [T(0, 10, "a"), T(0, 10, "b")]
+    sys = [T(0, 10, "x")]
+    r = score_recording(ref, sys, collar=0.0)
+    assert r.scored_time == pytest.approx(20.0)
+    assert r.missed == pytest.approx(10.0)
+    assert r.der == pytest.approx(50.0)
+
+
+def test_empty_sys():
+    ref = [T(0, 4, "a")]
+    r = score_recording(ref, [], collar=0.0)
+    assert r.der == pytest.approx(100.0)
+    assert r.jer == pytest.approx(100.0)
+
+
+def test_jer_definition():
+    # one ref speaker, sys covers half the time plus an extra half elsewhere:
+    # intersection 5, union 15 -> JER = 100*(1 - 5/15)
+    ref = [T(0, 10, "a")]
+    sys = [T(0, 5, "x"), T(10, 15, "x")]
+    r = score_recording(ref, sys, collar=0.0)
+    assert r.jer == pytest.approx(100.0 * (1 - 5.0 / 15.0))
+
+
+def test_score_corpus_time_weighted():
+    ref = {"r1": [T(0, 10, "a")], "r2": [T(0, 30, "a")]}
+    sys = {"r1": [T(0, 5, "x")], "r2": [T(0, 30, "x")]}
+    per, total = score_corpus(ref, sys, collar=0.0)
+    assert per["r1"].der == pytest.approx(50.0)
+    assert per["r2"].der == pytest.approx(0.0)
+    # corpus DER is time-weighted: 5 error / 40 scored
+    assert total.der == pytest.approx(12.5)

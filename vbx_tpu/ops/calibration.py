@@ -99,8 +99,8 @@ def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
         c = (np.log(weights[1]) - np.log(weights[0])
              - 0.5 * (means[1] ** 2 - means[0] ** 2) / var)
         z = s * d + c
-        g1 = np.where(z >= 0, 1.0 / (1.0 + np.exp(-z)),
-                      np.exp(z) / (1.0 + np.exp(z)))
+        ez = np.exp(-np.abs(z))          # always in (0, 1]: no overflow
+        g1 = np.where(z >= 0, 1.0 / (1.0 + ez), ez / (1.0 + ez))
         cnt1 = g1.sum()
         s1 = g1 @ s
         s2 = g1 @ (s * s)
