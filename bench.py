@@ -1,0 +1,131 @@
+"""Benchmark: batched VB-HMM diarization throughput vs the reference
+implementation.
+
+Workload: the reference's shipped ES2005a x-vectors (1025 frames, 31 AHC
+clusters after the survey-verified init chain) — the exact hot loop of
+VBx/vbhmm.py:147-158 — run to convergence.
+
+- baseline: the reference algorithm (sequential float64 NumPy EM with
+  log-domain forward-backward, == tests/oracle.vbx_oracle, which matches
+  the reference's per-iteration ELBO trace to 1e-9) timed on this host's
+  CPU, one recording at a time (the only mode the reference has).
+- this framework: the batched f32 engine (vmapped scaled-scan EM) on the
+  default accelerator, B recordings per batch.
+
+Prints ONE JSON line: recordings/sec with vs_baseline = speedup over the
+reference (per-recording wall time ratio). Details go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF = "/root/reference"
+ARK = f"{REF}/exp/ES2005a.ark"
+PLDA = f"{REF}/VBx/models/ResNet101_16kHz/plda"
+H5 = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
+
+B = 16          # recordings per device batch
+REPEATS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def prepare_inputs():
+    from scipy.special import softmax
+
+    from vbx_tpu.engine.ahc import ahc_labels
+    from vbx_tpu.io.ark import group_by_recording, iter_vec_ark
+    from vbx_tpu.io.plda import read_plda, rediagonalize_plda
+    from vbx_tpu.io.transform import read_xvec_transform
+
+    _, _, x_raw = next(group_by_recording(iter_vec_ark(ARK)))
+    mu, tr, psi = rediagonalize_plda(*read_plda(PLDA))
+    mean1, lda, mean2 = read_xvec_transform(H5)
+    x = np.asarray(x_raw, np.float64) - mean1
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = x @ lda - mean2
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    labels = ahc_labels(x, -0.015)
+    S = int(labels.max()) + 1
+    qinit = softmax(np.eye(S)[labels] * 5.0, axis=1)
+    fea = (x - mu) @ tr.T[:, :128]
+    return fea, psi[:128], qinit
+
+
+def bench_baseline(fea, phi, qinit, hp):
+    from tests.oracle import vbx_oracle
+
+    S = qinit.shape[1]
+    pi = np.full(S, 1.0 / S)
+    t0 = time.perf_counter()
+    _, _, elbos, _, _ = vbx_oracle(fea, phi, hp["loopP"], hp["Fa"], hp["Fb"],
+                                   pi, qinit, max_iters=40, epsilon=1e-6)
+    t = time.perf_counter() - t0
+    log(f"baseline (reference NumPy f64, 1 recording): {t:.3f}s "
+        f"({len(elbos)} EM iterations)")
+    return t
+
+
+def bench_tpu(fea, phi, qinit, hp):
+    import jax
+    import jax.numpy as jnp
+
+    from vbx_tpu.engine.vbhmm import vbx_batched
+
+    log(f"device: {jax.devices()[0]}")
+    T, S = qinit.shape
+    D = fea.shape[1]
+    X = jnp.asarray(np.broadcast_to(fea, (B, T, D)), jnp.float32)
+    G = jnp.asarray(np.broadcast_to(qinit, (B, T, S)), jnp.float32)
+    PI = jnp.full((B, S), 1.0 / S, jnp.float32)
+    FM = jnp.ones((B, T), bool)
+    SM = jnp.ones((B, S), bool)
+    phi32 = jnp.asarray(phi, jnp.float32)
+
+    def run():
+        r = vbx_batched(X, phi32, G, PI, FM, SM, loop_prob=hp["loopP"],
+                        Fa=hp["Fa"], Fb=hp["Fb"], max_iters=40, epsilon=1e-6)
+        jax.block_until_ready(r.gamma)
+        return r
+
+    t0 = time.perf_counter()
+    r = run()                                    # compile + first run
+    log(f"compile+first batch: {time.perf_counter() - t0:.2f}s "
+        f"(iters={int(np.max(np.asarray(r.n_iters)))})")
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    log(f"steady-state batch of {B}: {t * 1e3:.1f}ms "
+        f"-> {B / t:.1f} recordings/s, {B * T / t / 1e6:.2f}M frames/s")
+    return t
+
+
+def main():
+    hp = {"Fa": 0.3, "Fb": 17.0, "loopP": 0.99}   # run_example.sh:30-34
+    fea, phi, qinit = prepare_inputs()
+    log(f"workload: T={fea.shape[0]} S={qinit.shape[1]} D={fea.shape[1]}")
+    t_ref = bench_baseline(fea, phi, qinit, hp)
+    t_tpu = bench_tpu(fea, phi, qinit, hp)
+    rec_per_sec = B / t_tpu
+    vs = (B / t_tpu) / (1.0 / t_ref)
+    print(json.dumps({
+        "metric": "vb_diarization_throughput",
+        "value": round(rec_per_sec, 3),
+        "unit": "recordings/s",
+        "vs_baseline": round(vs, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
