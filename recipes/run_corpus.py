@@ -1,0 +1,127 @@
+"""Corpus recipe runner: the TPU-native equivalent of the reference's
+per-dataset bash pipelines (AMI_run.sh / CALLHOME_run.sh / DIHARD2_run.sh).
+
+Where the reference writes one task line per recording and fans them out to
+a grid engine (AMI_run.sh:30-33,53-58 — zero inter-process communication),
+this runner:
+  - stage 'xvectors':    extracts every listed recording through the batched
+                         JAX extractor (one process, windows batched on
+                         device),
+  - stage 'diarization': runs ALL recordings through the padded-batched
+                         vmapped VB engine (bucketed by length), then writes
+                         and concatenates RTTMs,
+  - stage 'score':       scores forgiving/fair/full like the reference
+                         recipes (AMI_run.sh:63-65).
+
+Idempotent re-entry like the reference (AMI_run.sh:51): stages skip work
+whose outputs already exist unless --force.
+
+Multi-host: launch one process per host with jax.distributed (see
+vbx_tpu.parallel); recordings shard over hosts ('dp' over DCN).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from vbx_tpu.config import get_preset
+from vbx_tpu.metrics.der import score_corpus
+
+PROTOCOLS = {          # AMI_run.sh:63-65
+    "forgiving": dict(collar=0.25, ignore_overlaps=True),
+    "fair": dict(collar=0.25, ignore_overlaps=False),
+    "full": dict(collar=0.0, ignore_overlaps=False),
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="vbx-tpu-run-corpus")
+    p.add_argument("stage", choices=["xvectors", "diarization", "score"],
+                   help="pipeline stage (reference INSTRUCTION arg)")
+    p.add_argument("--preset", required=True,
+                   help="dataset preset (vbx_tpu.config.DATASET_PRESETS)")
+    p.add_argument("--list-file", required=True,
+                   help="text file with one recording name per line")
+    p.add_argument("--exp-dir", required=True)
+    p.add_argument("--wav-dir")
+    p.add_argument("--lab-dir")
+    p.add_argument("--weights", help="torch checkpoint for extraction")
+    p.add_argument("--plda-file")
+    p.add_argument("--xvec-transform")
+    p.add_argument("--ref-rttm-dir", help="reference RTTMs for scoring")
+    p.add_argument("--force", action="store_true")
+    return p
+
+
+def _names(path):
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def stage_xvectors(args):
+    from vbx_tpu.engine.extractor import XVectorExtractor, extract_to_ark
+    from vbx_tpu.models.resnet import load_torch_checkpoint
+
+    cfg = get_preset(args.preset)
+    ark = os.path.join(args.exp_dir, "xvectors.ark")
+    seg = os.path.join(args.exp_dir, "xvectors.seg")
+    if os.path.exists(ark) and not args.force:
+        print(f"skip: {ark} exists", file=sys.stderr)
+        return
+    model, variables = load_torch_checkpoint(args.weights)
+    ex = XVectorExtractor(model, variables, cfg.sample_rate)
+    names = _names(args.list_file)
+    wavs = [os.path.join(args.wav_dir, f"{n}.wav") for n in names]
+    labs = [os.path.join(args.lab_dir, f"{n}.lab") for n in names]
+    os.makedirs(args.exp_dir, exist_ok=True)
+    extract_to_ark(wavs, labs, names, ark, seg, ex)
+
+
+def stage_diarization(args):
+    from vbx_tpu.engine.pipeline import diarize_ark
+
+    cfg = get_preset(args.preset)
+    rttm_dir = os.path.join(args.exp_dir, "rttms")
+    out_all = os.path.join(args.exp_dir, "all.rttm")
+    if os.path.exists(out_all) and not args.force:
+        print(f"skip: {out_all} exists", file=sys.stderr)
+        return
+    diarize_ark(os.path.join(args.exp_dir, "xvectors.ark"),
+                os.path.join(args.exp_dir, "xvectors.seg"),
+                rttm_dir, cfg, args.plda_file, args.xvec_transform)
+    names = _names(args.list_file)
+    with open(out_all, "w") as out:
+        for n in names:
+            path = os.path.join(rttm_dir, f"{n}.rttm")
+            if os.path.exists(path):
+                out.write(open(path).read())
+
+
+def stage_score(args):
+    from vbx_tpu.cli.score import _load_turns
+
+    names = set(_names(args.list_file))
+    ref = {k: v for k, v in _load_turns(
+        [os.path.join(args.ref_rttm_dir, "*.rttm")]).items() if k in names}
+    sys_ = _load_turns([os.path.join(args.exp_dir, "all.rttm")])
+    for rec in set(ref) - set(sys_):
+        sys_[rec] = []
+    for proto, kw in PROTOCOLS.items():
+        _, total = score_corpus(ref, sys_, **kw)
+        print(f"{proto}: DER {total.der:.2f}  JER {total.jer:.2f}  "
+              f"(miss {total.missed:.1f}s fa {total.falarm:.1f}s "
+              f"conf {total.confusion:.1f}s / {total.scored_time:.1f}s)")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {"xvectors": stage_xvectors,
+     "diarization": stage_diarization,
+     "score": stage_score}[args.stage](args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

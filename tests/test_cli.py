@@ -1,0 +1,64 @@
+"""CLI surfaces: diarize + score driven end-to-end in-process."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vbx_tpu.cli.diarize import main as diarize_main
+from vbx_tpu.cli.score import main as score_main
+
+REF = "/root/reference"
+needs_assets = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/exp/ES2005a.ark"),
+    reason="reference assets not mounted")
+
+
+@needs_assets
+def test_diarize_then_score_cli(tmp_path, capsys):
+    rc = diarize_main([
+        "--init", "AHC+VB",
+        "--out-rttm-dir", str(tmp_path),
+        "--xvec-ark-file", f"{REF}/exp/ES2005a.ark",
+        "--segments-file", f"{REF}/exp/ES2005a.seg",
+        "--xvec-transform", f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+        "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
+        "--threshold", "-0.015", "--lda-dim", "128",
+        "--Fa", "0.3", "--Fb", "17", "--loopP", "0.99"])
+    assert rc == 0
+    assert (tmp_path / "ES2005a.rttm").exists()
+
+    rc = score_main([
+        "-r", f"{REF}/example/rttm/ES2005a.rttm",
+        "-s", str(tmp_path / "ES2005a.rttm"),
+        "--collar", "0.25", "--ignore_overlaps"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    overall = [line for line in out.splitlines()
+               if line.startswith("*** OVERALL ***")][0]
+    der = float(overall.split("\t")[1])
+    assert der == pytest.approx(7.06, abs=0.02)
+
+
+def test_diarize_rejects_bad_loopP(tmp_path):
+    with pytest.raises(SystemExit):
+        diarize_main([
+            "--init", "AHC+VB", "--out-rttm-dir", str(tmp_path),
+            "--xvec-ark-file", "x", "--segments-file", "x",
+            "--xvec-transform", "x", "--plda-file", "x",
+            "--threshold", "-0.015", "--lda-dim", "128",
+            "--Fa", "0.3", "--Fb", "17", "--loopP", "1.5"])
+
+
+@needs_assets
+def test_score_cli_missing_sys_recording(tmp_path, capsys):
+    (tmp_path / "empty.rttm").write_text("")
+    rc = score_main([
+        "-r", f"{REF}/example/rttm/ES2005a.rttm",
+        "-s", str(tmp_path / "empty.rttm"), "--collar", "0.25"])
+    assert rc == 0
+    out = capsys.readouterr()
+    overall = [line for line in out.out.splitlines()
+               if line.startswith("*** OVERALL ***")][0]
+    assert float(overall.split("\t")[1]) == pytest.approx(100.0)
+    assert "missing" in out.err

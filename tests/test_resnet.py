@@ -1,0 +1,124 @@
+"""Flax ResNet x-vector model vs the reference PyTorch model (used as an
+architecture oracle with random weights — the snapshot ships no NN
+checkpoints, SURVEY.md C14)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vbx_tpu.models.resnet import (BasicBlock, Bottleneck, ResNetXVector,
+                                   convert_torch_state_dict, fold_batchnorm,
+                                   resnet34, resnet101)
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
+                               reason="reference not mounted")
+torch = pytest.importorskip("torch")
+
+
+def _ref_resnet():
+    sys.path.insert(0, f"{REF}/VBx")
+    import models.resnet as ref_resnet
+    return ref_resnet
+
+
+def _compare(torch_model, flax_model, num_blocks, feat, tol):
+    torch_model.eval()
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params, stats = convert_torch_state_dict(sd, num_blocks=num_blocks)
+    variables = {**params, **stats}
+
+    with torch.no_grad():
+        theirs = torch_model(torch.tensor(feat.copy(), dtype=torch.float32)
+                             ).numpy()
+    ours = np.asarray(flax_model.apply(variables, jnp.asarray(feat)))
+    assert ours.shape == theirs.shape
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours, theirs, atol=tol * scale)
+    return variables, ours
+
+
+@needs_ref
+def test_resnet101_matches_torch_reference():
+    ref = _ref_resnet()
+    torch.manual_seed(0)
+    tm = ref.ResNet101(feat_dim=64, embed_dim=256)
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((2, 64, 50)).astype(np.float32)
+    variables, ours = _compare(tm, resnet101(64, 256), (3, 4, 23, 3), feat,
+                               tol=2e-4)
+
+    # BN folding must not change the output
+    folded = fold_batchnorm(variables)
+    ours_folded = np.asarray(resnet101(64, 256).apply(
+        folded, jnp.asarray(feat)))
+    np.testing.assert_allclose(ours_folded, ours,
+                               atol=1e-4 * np.abs(ours).max())
+
+
+@needs_ref
+def test_resnet34_matches_torch_reference():
+    ref = _ref_resnet()
+    torch.manual_seed(1)
+    tm = ref.ResNet(ref.BasicBlock, [3, 4, 6, 3], feat_dim=64, embed_dim=256)
+    rng = np.random.default_rng(1)
+    feat = rng.standard_normal((2, 64, 144)).astype(np.float32)
+    _compare(tm, resnet34(64, 256), (3, 4, 6, 3), feat, tol=2e-4)
+
+
+@needs_ref
+@pytest.mark.parametrize("block_name", ["basic", "bottleneck"])
+def test_masked_variable_length_equals_true_length(block_name):
+    """A zero-padded batch entry with `lengths` must reproduce the torch
+    model's output at the true length exactly (the tail-window batching
+    path, predict.py:195-210)."""
+    ref = _ref_resnet()
+    torch.manual_seed(2)
+    if block_name == "basic":
+        tm = ref.ResNet(ref.BasicBlock, [2, 2, 2, 2], feat_dim=64,
+                        embed_dim=64)
+        fm = ResNetXVector(block=BasicBlock, num_blocks=(2, 2, 2, 2),
+                           feat_dim=64, embed_dim=64)
+        nb = (2, 2, 2, 2)
+    else:
+        tm = ref.ResNet(ref.Bottleneck, [1, 1, 1, 1], feat_dim=64,
+                        embed_dim=64)
+        fm = ResNetXVector(block=Bottleneck, num_blocks=(1, 1, 1, 1),
+                           feat_dim=64, embed_dim=64)
+        nb = (1, 1, 1, 1)
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_torch_state_dict(sd, num_blocks=nb)
+    variables = {**params, **stats}
+
+    rng = np.random.default_rng(3)
+    lengths = [10, 77, 144]
+    T_pad = 144
+    feat = np.zeros((len(lengths), 64, T_pad), np.float32)
+    refs = []
+    for i, L in enumerate(lengths):
+        f = rng.standard_normal((64, L)).astype(np.float32)
+        feat[i, :, :L] = f
+        with torch.no_grad():
+            refs.append(tm(torch.tensor(f[None].copy())).numpy()[0])
+    theirs = np.stack(refs)
+    ours = np.asarray(fm.apply(variables, jnp.asarray(feat),
+                               lengths=jnp.asarray(lengths)))
+    np.testing.assert_allclose(ours, theirs,
+                               atol=2e-4 * np.abs(theirs).max())
+
+
+def test_resnet_output_shape_and_determinism():
+    model = resnet34(64, 256)
+    rng = np.random.default_rng(2)
+    feat = jnp.asarray(rng.standard_normal((3, 64, 144)), jnp.float32)
+    import jax
+    variables = model.init(jax.random.key(0), feat)
+    a = model.apply(variables, feat)
+    b = model.apply(variables, feat)
+    assert a.shape == (3, 256)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,95 @@
+"""Diarization CLI: x-vector ark + segments + PLDA -> per-recording RTTMs.
+
+Argument parity with the reference diarization CLI (VBx/vbhmm.py:54-102) —
+same flag names and semantics — plus TPU-era extensions: `--init` also
+accepts random_<N>[+VB] (the reference README's long-recording init,
+README.md:24), `--preset` loads a dataset's config of record, and
+`--no-batch` disables the padded-batched engine (streaming per-recording
+mode, the reference's only mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from vbx_tpu.config import DATASET_PRESETS, AHCConfig, DiarizationConfig, \
+    VBConfig, get_preset
+from vbx_tpu.engine.pipeline import diarize_ark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vbx-tpu-diarize",
+        description="VB-HMM x-vector diarization (TPU-native)")
+    p.add_argument("--init", required=True, type=str,
+                   help="AHC, AHC+VB, random_<N>, or random_<N>+VB")
+    p.add_argument("--out-rttm-dir", required=True, type=str)
+    p.add_argument("--xvec-ark-file", required=True, type=str)
+    p.add_argument("--segments-file", required=True, type=str)
+    p.add_argument("--xvec-transform", required=True, type=str)
+    p.add_argument("--plda-file", required=True, type=str)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="bias added to the AHC calibration threshold")
+    p.add_argument("--lda-dim", type=int, default=None)
+    p.add_argument("--Fa", type=float, default=None)
+    p.add_argument("--Fb", type=float, default=None)
+    p.add_argument("--loopP", type=float, default=None)
+    p.add_argument("--target-energy", type=float, default=1.0)
+    p.add_argument("--init-smoothing", type=float, default=None)
+    p.add_argument("--output-2nd", action="store_true", default=False)
+    p.add_argument("--preset", type=str, default=None,
+                   choices=sorted(DATASET_PRESETS),
+                   help="dataset preset supplying defaults for "
+                        "threshold/lda-dim/Fa/Fb/loopP/smoothing")
+    p.add_argument("--no-batch", action="store_true",
+                   help="run recordings one by one (streaming) instead of "
+                        "the padded-batched engine")
+    p.add_argument("--max-batch-frames", type=int, default=2_000_000)
+    return p
+
+
+def config_from_args(args) -> DiarizationConfig:
+    cfg = get_preset(args.preset) if args.preset else get_preset("example")
+    vb = cfg.vb
+    ahc = cfg.ahc
+    if args.Fa is not None or args.Fb is not None or args.loopP is not None:
+        vb = dataclasses.replace(
+            vb,
+            Fa=args.Fa if args.Fa is not None else vb.Fa,
+            Fb=args.Fb if args.Fb is not None else vb.Fb,
+            loop_prob=args.loopP if args.loopP is not None else vb.loop_prob)
+    if args.threshold is not None or args.init_smoothing is not None:
+        ahc = dataclasses.replace(
+            ahc,
+            threshold=(args.threshold if args.threshold is not None
+                       else ahc.threshold),
+            init_smoothing=(args.init_smoothing
+                            if args.init_smoothing is not None
+                            else ahc.init_smoothing))
+    ahc = dataclasses.replace(ahc, target_energy=args.target_energy)
+    if not 0 <= vb.loop_prob <= 1:
+        raise SystemExit(f"Expecting loopP between 0 and 1, got "
+                         f"{vb.loop_prob} instead.")
+    return cfg.replace(
+        init=args.init, vb=vb, ahc=ahc,
+        lda_dim=args.lda_dim if args.lda_dim is not None else cfg.lda_dim,
+        output_2nd=args.output_2nd)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    outputs = diarize_ark(
+        args.xvec_ark_file, args.segments_file, args.out_rttm_dir, cfg,
+        args.plda_file, args.xvec_transform,
+        batch=not args.no_batch, max_batch_frames=args.max_batch_frames)
+    for rec, out in outputs.items():
+        print(f"{rec}: {out.n_speakers} speakers, {out.n_iters} VB "
+              f"iterations", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,81 @@
+"""x-vector extraction CLI: wav + VAD labels -> Kaldi ark + segments.
+
+Argument parity with the reference extractor CLI (VBx/predict.py:82-100):
+same flag names; `--weights` accepts the reference's torch .pth/.pt
+checkpoints (converted on load, models.resnet.convert_torch_state_dict).
+`--gpus` is accepted for compatibility and ignored — device selection is
+JAX's (the TPU runtime replaces free_gpu.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from vbx_tpu.config import ExtractorConfig
+from vbx_tpu.engine.extractor import XVectorExtractor, extract_to_ark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vbx-tpu-extract",
+        description="ResNet x-vector extraction (TPU-native)")
+    p.add_argument("--gpus", type=str, default="",
+                   help="ignored (JAX owns device selection)")
+    p.add_argument("--model", type=str, default="ResNet101",
+                   choices=["ResNet101", "ResNet34"])
+    p.add_argument("--weights", required=True, type=str,
+                   help="torch .pth/.pt checkpoint (reference format)")
+    p.add_argument("--model-file", type=str, default=None,
+                   help="ignored (architecture selected via --model)")
+    p.add_argument("--ndim", type=int, default=64)
+    p.add_argument("--embed-dim", type=int, default=256)
+    p.add_argument("--seg-len", type=int, default=144)
+    p.add_argument("--seg-jump", type=int, default=24)
+    p.add_argument("--in-file-list", required=True, type=str)
+    p.add_argument("--in-lab-dir", required=True, type=str)
+    p.add_argument("--in-wav-dir", required=True, type=str)
+    p.add_argument("--out-ark-fn", required=True, type=str)
+    p.add_argument("--out-seg-fn", required=True, type=str)
+    p.add_argument("--backend", default="jax", choices=["jax", "pytorch"],
+                   help="'pytorch' is accepted for reference-recipe "
+                        "compatibility and maps to the JAX model with "
+                        "converted weights")
+    p.add_argument("--sample-rate", type=int, default=16000,
+                   choices=[8000, 16000])
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="extraction windows per device batch")
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    args = build_parser().parse_args(argv)
+
+    from vbx_tpu.models.resnet import load_torch_checkpoint
+    model, variables = load_torch_checkpoint(
+        args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim)
+    if args.model == "ResNet34":
+        from vbx_tpu.models.resnet import resnet34
+        model = resnet34(args.ndim, args.embed_dim)
+
+    cfg = ExtractorConfig(feat_dim=args.ndim, embed_dim=args.embed_dim,
+                          seg_len=args.seg_len, seg_jump=args.seg_jump)
+    extractor = XVectorExtractor(model, variables, args.sample_rate,
+                                 config=cfg, batch_size=args.batch_size)
+
+    with open(args.in_file_list) as f:
+        names = [line.strip() for line in f if line.strip()]
+    wavs = [os.path.join(args.in_wav_dir, f"{n}.wav") for n in names]
+    labs = [os.path.join(args.in_lab_dir, f"{n}.lab") for n in names]
+    counts = extract_to_ark(wavs, labs, names, args.out_ark_fn,
+                            args.out_seg_fn, extractor)
+    for name, n in counts.items():
+        print(f"{name}: {n} x-vectors", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Scoring CLI: dscore-equivalent diarization evaluation.
+
+Interface parity with dscore/score.py as invoked by the reference recipes
+(run_example.sh:40, AMI_run.sh:63-65): `-r/--ref` and `-s/--sys` RTTM
+file(s) or glob(s), `--collar`, `--ignore_overlaps`; prints the same
+column set (DER, JER, B3-Precision/Recall/F1, GKT in both directions,
+conditional entropies, MI, NMI — README.md:53-56) per recording plus the
+time-weighted OVERALL row. First-party implementation (metrics.der event
+scoring + metrics.frame_metrics) — no Perl md-eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import sys
+from typing import Dict, List
+
+from vbx_tpu.metrics.der import Turn, score_corpus
+from vbx_tpu.metrics.frame_metrics import frame_clustering_metrics
+
+
+def _load_turns(paths: List[str]) -> Dict[str, List[Turn]]:
+    from vbx_tpu.io.rttm import read_rttm
+    out: Dict[str, List[Turn]] = {}
+    for pattern in paths:
+        files = sorted(globmod.glob(pattern)) or [pattern]
+        for path in files:
+            for seg in read_rttm(path):
+                out.setdefault(seg.recording, []).append(
+                    Turn(seg.start, seg.start + seg.duration, seg.speaker))
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vbx-tpu-score",
+        description="diarization scoring (dscore-equivalent)")
+    p.add_argument("-r", "--ref", required=True, nargs="+",
+                   help="reference RTTM file(s)/glob(s)")
+    p.add_argument("-s", "--sys", required=True, nargs="+",
+                   help="system RTTM file(s)/glob(s)")
+    p.add_argument("--collar", type=float, default=0.0)
+    p.add_argument("--ignore_overlaps", action="store_true")
+    p.add_argument("--per-recording", action="store_true",
+                   help="also print one row per recording")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    ref = _load_turns(args.ref)
+    sys_ = _load_turns(args.sys)
+    missing = sorted(set(ref) - set(sys_))
+    for rec in missing:
+        sys_.setdefault(rec, [])
+    per, total = score_corpus(ref, sys_, collar=args.collar,
+                              ignore_overlaps=args.ignore_overlaps)
+    cm = frame_clustering_metrics(ref, sys_)
+
+    cols = ["DER", "JER", "B3-Precision", "B3-Recall", "B3-F1",
+            "GKT(ref, sys)", "GKT(sys, ref)", "H(ref|sys)", "H(sys|ref)",
+            "MI", "NMI"]
+    print("\t".join(["File"] + cols))
+    if args.per_recording:
+        for rec in sorted(per):
+            r = per[rec]
+            print(f"{rec}\t{r.der:.2f}\t{r.jer:.2f}" + "\t--" * 9)
+    print("\t".join(
+        ["*** OVERALL ***",
+         f"{total.der:.2f}", f"{total.jer:.2f}",
+         f"{cm.get('b3_precision', 0):.2f}", f"{cm.get('b3_recall', 0):.2f}",
+         f"{cm.get('b3_f1', 0):.2f}",
+         f"{cm.get('gkt_ref_sys', 0):.2f}", f"{cm.get('gkt_sys_ref', 0):.2f}",
+         f"{cm.get('h_ref_given_sys', 0):.2f}",
+         f"{cm.get('h_sys_given_ref', 0):.2f}",
+         f"{cm.get('mi', 0):.2f}", f"{cm.get('nmi', 0):.2f}"]))
+    if missing:
+        print(f"WARNING: {len(missing)} recording(s) missing from sys: "
+              + " ".join(missing), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,306 @@
+"""x-vector embedding model: ResNet with statistics pooling, in Flax.
+
+Architecture parity with the reference PyTorch model (VBx/models/resnet.py):
+ResNet101 = Bottleneck [3, 4, 23, 3], 32 base channels, 3x3 stem conv
+(stride 1), stages at strides [1, 2, 2, 2], statistics pooling over time
+(mean || std with +1e-10 variance floor, resnet.py:138-142), linear
+embedding head (256-d for the shipped models). BasicBlock variant included
+for the smaller ResNets the reference family supports.
+
+TPU-first layout choices:
+- NHWC ([batch, freq, time, channels]) — the native layout for TPU
+  convolutions (channels on the 128-lane minor dimension), vs the
+  reference's NCHW,
+- inference runs in bfloat16 on the MXU with float32 statistics pooling
+  (the mean/var reduction is the only precision-sensitive op),
+- BatchNorm folds into a scale+bias at load time for inference
+  (`fold_batchnorm`), removing every normalization op from the compiled
+  graph — XLA then fuses conv+scale+bias+relu chains end-to-end.
+
+`convert_torch_state_dict` imports the reference's released .pth
+checkpoints (OIHW -> HWIO transposition + BN stat mapping), so the shipped
+ResNet101_{8,16}kHz weights load directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _mask_time(y, mask):
+    """Zero NHWC activations beyond the valid time prefix
+    (mask [B, T] bool or None)."""
+    if mask is None:
+        return y
+    return y * mask[:, None, :, None].astype(y.dtype)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut
+    (reference: resnet.py:44-71)."""
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, in_mask=None):
+        """`in_mask` [B, T_in]: valid-time mask at the INPUT resolution;
+        re-applied after the first activation so the 3x3 conv's receptive
+        field sees exact zeros in the padded region (variable-length
+        batching, see ResNetXVector)."""
+        out_ch = self.planes * self.expansion
+        norm = lambda name: nn.BatchNorm(   # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = _mask_time(y, in_mask)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = norm("bn3")(y)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            x = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype, name="shortcut_conv")(x)
+            x = norm("shortcut_bn")(x)
+        return nn.relu(y + x)
+
+
+class BasicBlock(nn.Module):
+    """3x3(stride) -> 3x3 with projection shortcut
+    (reference: resnet.py:17-41)."""
+    planes: int
+    stride: int = 1
+    expansion: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, out_mask=None):
+        """`out_mask` [B, T_out]: valid-time mask at the OUTPUT resolution;
+        re-applied between the two 3x3 convs (see Bottleneck.in_mask)."""
+        norm = lambda name: nn.BatchNorm(   # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = _mask_time(y, out_mask)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype, name="shortcut_conv")(x)
+            x = norm("shortcut_bn")(x)
+        return nn.relu(y + x)
+
+
+class ResNetXVector(nn.Module):
+    """[B, F, T] log-fbank -> [B, embed_dim] x-vectors."""
+    block: type = Bottleneck
+    num_blocks: Sequence[int] = (3, 4, 23, 3)
+    m_channels: int = 32
+    feat_dim: int = 64
+    embed_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, lengths=None):
+        """x: [B, F, T] log-fbanks. `lengths` ([B] int, optional) marks the
+        valid time prefix per example: frames beyond it are zeroed after
+        every stage, which makes a zero-padded batch entry produce EXACTLY
+        the embedding of an unpadded run at its true length (zero padding
+        in the tensor is then indistinguishable from the convs' virtual
+        boundary padding, and the statistics pool over valid frames only).
+        This is how variable-length tail windows (predict.py:195-210,
+        10..144 frames) batch into one fixed-shape compile."""
+        # [B, F, T] -> NHWC [B, F, T, 1]
+        x = x[..., None].astype(self.dtype)
+        T0 = x.shape[2]
+
+        def time_mask(length_per_ex, t):
+            if length_per_ex is None:
+                return None
+            return (jnp.arange(t)[None, :]
+                    < length_per_ex[:, None])  # [B, t] bool
+
+        cur_len = lengths
+        mask = time_mask(cur_len, T0)
+        y = nn.Conv(self.m_channels, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 name="bn1")(y))
+        y = _mask_time(y, mask)
+        for li, (n, stride) in enumerate(
+                zip(self.num_blocks, (1, 2, 2, 2)), start=1):
+            planes = self.m_channels * (2 ** (li - 1))
+            for bi in range(n):
+                blk_stride = stride if bi == 0 else 1
+                in_mask = mask
+                if blk_stride == 2 and cur_len is not None:
+                    # out_t = floor((t-1)/2)+1 = ceil(t/2) for 3x3/s2/p1
+                    cur_len = (cur_len + 1) // 2
+                blk = self.block(planes=planes, stride=blk_stride,
+                                 dtype=self.dtype, name=f"layer{li}_{bi}")
+                if self.block is Bottleneck:
+                    # its 3x3 conv reads at INPUT resolution
+                    y = blk(y, train=train, in_mask=in_mask)
+                else:
+                    # BasicBlock's second 3x3 reads at OUTPUT resolution
+                    if blk_stride == 2 and cur_len is not None:
+                        mask = time_mask(cur_len, (y.shape[2] + 1) // 2)
+                    y = blk(y, train=train, out_mask=mask)
+                if blk_stride == 2 and cur_len is not None:
+                    mask = time_mask(cur_len, y.shape[2])
+                y = _mask_time(y, mask)
+        # statistics pooling over time (resnet.py:138-142): f32 reduction
+        y = y.astype(jnp.float32)
+        if cur_len is None:
+            mean = jnp.mean(y, axis=2)                 # [B, F', C]
+            meansq = jnp.mean(y * y, axis=2)
+        else:
+            denom = cur_len[:, None, None].astype(jnp.float32)
+            mean = jnp.sum(y, axis=2) / denom
+            meansq = jnp.sum(y * y, axis=2) / denom
+        std = jnp.sqrt(meansq - mean ** 2 + 1e-10)
+        # flatten [B, F', C] with channels-major to match the torch
+        # flatten of [B, C, F'] (resnet.py:143-144)
+        B = y.shape[0]
+        flat = jnp.concatenate(
+            [jnp.transpose(mean, (0, 2, 1)).reshape(B, -1),
+             jnp.transpose(std, (0, 2, 1)).reshape(B, -1)], axis=1)
+        return nn.Dense(self.embed_dim, dtype=jnp.float32,
+                        name="embedding")(flat)
+
+
+def resnet101(feat_dim: int = 64, embed_dim: int = 256,
+              dtype=jnp.float32) -> ResNetXVector:
+    """The reference's shipped extractor architecture
+    (resnet.py:148-149)."""
+    return ResNetXVector(block=Bottleneck, num_blocks=(3, 4, 23, 3),
+                         feat_dim=feat_dim, embed_dim=embed_dim, dtype=dtype)
+
+
+def resnet34(feat_dim: int = 64, embed_dim: int = 256,
+             dtype=jnp.float32) -> ResNetXVector:
+    return ResNetXVector(block=BasicBlock, num_blocks=(3, 4, 6, 3),
+                         feat_dim=feat_dim, embed_dim=embed_dim, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import
+# ---------------------------------------------------------------------------
+
+def _conv_w(t):
+    # torch OIHW -> flax HWIO
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def convert_torch_state_dict(sd: Dict[str, Any], num_blocks=(3, 4, 23, 3)
+                             ) -> Tuple[Dict, Dict]:
+    """Map a reference-format torch state dict (resnet.py module names,
+    possibly prefixed — AMI_run.sh checkpoints) to flax (params,
+    batch_stats) trees."""
+    sd = {k.split("module.", 1)[-1]: np.asarray(v) for k, v in sd.items()}
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_bn(dst, src):
+        params[dst] = {"scale": sd[f"{src}.weight"],
+                       "bias": sd[f"{src}.bias"]}
+        stats[dst] = {"mean": sd[f"{src}.running_mean"],
+                      "var": sd[f"{src}.running_var"]}
+
+    params["conv1"] = {"kernel": _conv_w(sd["conv1.weight"])}
+    put_bn("bn1", "bn1")
+    for li, n in enumerate(num_blocks, start=1):
+        for bi in range(n):
+            src = f"layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            blk_p: Dict[str, Any] = {}
+            blk_s: Dict[str, Any] = {}
+            convs = [k for k in ("conv1", "conv2", "conv3")
+                     if f"{src}.{k}.weight" in sd]
+            for c in convs:
+                blk_p[c] = {"kernel": _conv_w(sd[f"{src}.{c}.weight"])}
+                bn = c.replace("conv", "bn")
+                blk_p[bn] = {"scale": sd[f"{src}.{bn}.weight"],
+                             "bias": sd[f"{src}.{bn}.bias"]}
+                blk_s[bn] = {"mean": sd[f"{src}.{bn}.running_mean"],
+                             "var": sd[f"{src}.{bn}.running_var"]}
+            if f"{src}.shortcut.0.weight" in sd:
+                blk_p["shortcut_conv"] = {
+                    "kernel": _conv_w(sd[f"{src}.shortcut.0.weight"])}
+                blk_p["shortcut_bn"] = {
+                    "scale": sd[f"{src}.shortcut.1.weight"],
+                    "bias": sd[f"{src}.shortcut.1.bias"]}
+                blk_s["shortcut_bn"] = {
+                    "mean": sd[f"{src}.shortcut.1.running_mean"],
+                    "var": sd[f"{src}.shortcut.1.running_var"]}
+            params[dst] = blk_p
+            stats[dst] = blk_s
+
+    # torch Linear [out, in] -> flax Dense [in, out]; the input ordering
+    # (channels-major flatten of mean||std) matches __call__ above
+    params["embedding"] = {"kernel": np.asarray(sd["embedding.weight"]).T,
+                           "bias": np.asarray(sd["embedding.bias"])}
+    return {"params": params}, {"batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str, feat_dim: int = 64,
+                          embed_dim: int = 256, dtype=jnp.float32):
+    """Load a reference .pth/.pt checkpoint into (model, variables)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else \
+        ckpt.state_dict()
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    model = resnet101(feat_dim, embed_dim, dtype=dtype)
+    params, stats = convert_torch_state_dict(sd)
+    variables = {**params, **stats}
+    return model, variables
+
+
+def fold_batchnorm(variables: Dict) -> Dict:
+    """Fold inference-mode BatchNorm into per-channel scale+bias.
+
+    Returns a variables dict where every BatchNorm's running statistics are
+    absorbed: scale' = scale/sqrt(var+eps), bias' = bias - mean*scale'.
+    The model still applies nn.BatchNorm, but with mean=0/var=1-eps folded
+    out numerically — XLA fuses the remaining affine into the convs. Kept
+    simple (stats rewritten, structure unchanged) so folded and unfolded
+    variables are interchangeable.
+    """
+    import copy
+
+    eps = 1e-5
+    v = copy.deepcopy({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]})
+
+    def walk(p, s):
+        for k in list(s.keys()):
+            if isinstance(s[k], dict) and "mean" in s[k]:
+                scale = p[k]["scale"] / np.sqrt(s[k]["var"] + eps)
+                p[k] = {"scale": scale,
+                        "bias": p[k]["bias"] - s[k]["mean"] * scale}
+                s[k] = {"mean": np.zeros_like(s[k]["mean"]),
+                        "var": np.full_like(s[k]["var"], 1.0 - eps)}
+            elif isinstance(s.get(k), dict):
+                walk(p[k], s[k])
+
+    walk(v["params"], v["batch_stats"])
+    return v
