@@ -211,6 +211,133 @@ def vbx(
         has_initial_model=has_model)
 
 
+class _PState(NamedTuple):
+    it: jax.Array
+    converged: jax.Array      # [B]
+    gamma: jax.Array          # [T, B, S] (time-major for the kernel)
+    pi: jax.Array             # [B, S]
+    elbo: jax.Array           # [B, max_iters]
+    last_elbo: jax.Array      # [B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "interpret"))
+def _vbx_batched_pallas_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
+                            loop_prob, fa, fb, epsilon,
+                            *, max_iters: int, interpret: bool):
+    """Batched EM with the fused Pallas forward-backward (ops.fb_pallas).
+
+    Unlike the vmapped scan path, every op here is natively batched
+    ([B, ...] einsums on the MXU, one kernel launch for all recordings'
+    recursions per iteration) — the TPU throughput path. Semantics are
+    identical to `_vbx_jit` under vmap (validated in tests/test_pallas.py):
+    per-recording convergence freezing, reference pi/ELBO updates, exact
+    padding behavior.
+    """
+    from vbx_tpu.ops.fb_pallas import fb_scan_pallas
+
+    dtype = jnp.float32
+    B, T, D = X.shape
+    S = gamma.shape[-1]
+    X = X.astype(dtype)
+    phi = phi.astype(dtype)
+    eps = jnp.asarray(1e-8, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    fmask = frame_mask.astype(dtype)                  # [B, T]
+    smask = speaker_mask.astype(dtype)                # [B, S]
+    valid_tb = fmask.T                                # [T, B]
+
+    G = -0.5 * (jnp.sum(X * X, axis=-1)
+                + D * jnp.log(2 * jnp.pi).astype(dtype))   # [B, T]
+    rho = X * jnp.sqrt(phi)[None, None, :]            # [B, T, D]
+    fa_over_fb = fa / fb
+
+    gamma = (gamma.astype(dtype) * fmask[:, :, None] * smask[:, None, :])
+    gamma_tbs = jnp.transpose(gamma, (1, 0, 2))       # [T, B, S]
+    pi = pi.astype(dtype) * smask
+
+    def one_iteration(state: _PState) -> _PState:
+        first = state.it == 0
+        g_bts = jnp.transpose(state.gamma, (1, 0, 2))
+        counts = jnp.sum(g_bts, axis=1)               # [B, S]
+        stats = jnp.einsum("bts,btd->bsd", g_bts, rho,
+                           preferred_element_type=dtype)
+        invL = 1.0 / (1.0 + fa_over_fb * counts[:, :, None] * phi)
+        alpha = fa_over_fb * invL * stats             # [B, S, D]
+
+        cross = jnp.einsum("btd,bsd->tbs", rho, alpha,
+                           preferred_element_type=dtype)
+        quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
+                          preferred_element_type=dtype)
+        log_p = fa * (cross - 0.5 * quad[None] + G.T[:, :, None])
+        log_p = masked_fill(log_p, speaker_mask[None, :, :])
+
+        m = jnp.max(log_p, axis=-1)                   # [T, B]
+        w = jnp.exp(log_p - m[:, :, None]) * smask[None]
+        col = (1.0 - loop_prob) * state.pi + eps
+        pinit = state.pi + eps
+        ahat, bhat, cfw = fb_scan_pallas(w, valid_tb, col, pinit,
+                                         loop_prob, interpret=interpret)
+
+        ab = ahat * bhat
+        denom = jnp.maximum(jnp.sum(ab, axis=-1, keepdims=True), tiny)
+        new_gamma = (ab / denom) * valid_tb[:, :, None]
+        log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)   # [B]
+
+        not_first_frame = valid_tb.at[0].set(0.0)     # exclude global t=0
+        terms = w * bhat / (denom * cfw[:, :, None])
+        pi_stat = jnp.sum(terms * not_first_frame[:, :, None], axis=0)
+        gamma0 = new_gamma[0]                         # [B, S]
+
+        model_term = fb * 0.5 * jnp.sum(
+            jnp.log(invL) - invL - alpha * alpha + 1.0, axis=(1, 2))
+        elbo_val = log_px + model_term                # [B]
+        raw_pi = gamma0 + (1.0 - loop_prob) * state.pi * pi_stat
+        new_pi = raw_pi / jnp.sum(raw_pi, axis=-1, keepdims=True)
+
+        now_conv = jnp.logical_and(jnp.logical_not(first),
+                                   elbo_val - state.last_elbo < epsilon)
+        keep = state.converged                        # [B]
+
+        def sel(old, new, bdim):
+            shape = [1] * old.ndim
+            shape[bdim] = keep.shape[0]
+            return jnp.where(keep.reshape(shape), old, new)
+
+        return _PState(
+            it=state.it + 1,
+            converged=jnp.logical_or(keep, now_conv),
+            gamma=sel(state.gamma, new_gamma, 1),
+            pi=sel(state.pi, new_pi, 0),
+            elbo=sel(state.elbo,
+                     state.elbo.at[:, state.it].set(elbo_val), 0),
+            last_elbo=sel(state.last_elbo, elbo_val, 0),
+        )
+
+    def cond(state: _PState):
+        return jnp.logical_and(state.it < max_iters,
+                               jnp.logical_not(jnp.all(state.converged)))
+
+    init = _PState(
+        it=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((B,), bool),
+        gamma=gamma_tbs,
+        pi=pi,
+        elbo=jnp.full((B, max_iters), jnp.nan, dtype),
+        last_elbo=jnp.full((B,), NEG_INF, dtype),
+    )
+    final = jax.lax.while_loop(cond, one_iteration, init)
+
+    # per-recording iteration counts: first NaN slot in the elbo trace
+    n_iters = jnp.sum(jnp.logical_not(jnp.isnan(final.elbo)),
+                      axis=1).astype(jnp.int32)
+    g_out = jnp.transpose(final.gamma, (1, 0, 2))
+    zeros_a = jnp.zeros((B, S, D), dtype)
+    ones_l = jnp.ones((B, S, D), dtype)
+    return VBxResult(g_out, final.pi, final.elbo, n_iters, zeros_a, ones_l)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_iters", "fb_impl"))
@@ -242,16 +369,29 @@ def vbx_batched(
     Fb: float,
     max_iters: int = 40,
     epsilon: float = 1e-6,
-    fb_impl: str = "structured",
+    fb_impl: Optional[str] = None,
 ) -> VBxResult:
     """Batched VB-HMM over padded recordings with per-recording convergence.
 
-    This is the throughput path: the vmapped while_loop keeps stepping until
-    the slowest recording in the batch converges, with converged recordings
-    frozen (bit-identical to running each recording alone). Bucket
-    recordings by comparable T to minimize the padding + straggler waste
-    (vbx_tpu.utils.bucketing).
+    This is the throughput path: the batch keeps stepping until the slowest
+    recording converges, with converged recordings frozen (bit-identical to
+    running each recording alone). Bucket recordings by comparable T to
+    minimize the padding + straggler waste (vbx_tpu.utils.bucketing).
+
+    fb_impl: 'structured' (default — XLA compiles the scan into a tight
+    on-device loop; measured at parity with or ahead of the Pallas kernel
+    on v5e and it supports float64 on CPU), 'pallas' (the fused
+    natively-batched kernel path, ops.fb_pallas), or 'assoc'
+    (work-parallel associative scan for very long recordings).
     """
+    if fb_impl is None:
+        fb_impl = "structured"
+    if fb_impl == "pallas":
+        interpret = jax.default_backend() == "cpu"
+        return _vbx_batched_pallas_jit(
+            X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
+            jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
+            jnp.float32(epsilon), max_iters=max_iters, interpret=interpret)
     dtype = X.dtype
     return _vbx_batched_jit(
         X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
