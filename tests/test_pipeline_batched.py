@@ -1,0 +1,53 @@
+"""Batched multi-recording pipeline: bucketed-padded engine vs streaming."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vbx_tpu.config import get_preset
+from vbx_tpu.engine.pipeline import diarize_ark
+from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
+from vbx_tpu.io.segments import read_segments, write_segments
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/exp/ES2005a.ark"),
+    reason="reference assets not mounted")
+
+
+def _split_ark(tmp_path):
+    """Make a 2-recording corpus by splitting ES2005a in half."""
+    vecs = list(iter_vec_ark(f"{REF}/exp/ES2005a.ark"))
+    segs = read_segments(f"{REF}/exp/ES2005a.seg")
+    half = len(vecs) // 2
+    out_vecs, out_rows = [], []
+    for i, ((key, v), (sname, _, s, e)) in enumerate(zip(vecs, segs)):
+        rec = "recA" if i < half else "recB"
+        newkey = f"{rec}_{key.split('_', 1)[1]}"
+        out_vecs.append((newkey, v))
+        out_rows.append((newkey, rec, s, e))
+    write_vec_ark(str(tmp_path / "two.ark"), out_vecs)
+    write_segments(str(tmp_path / "two.seg"), out_rows)
+    return str(tmp_path / "two.ark"), str(tmp_path / "two.seg")
+
+
+@needs_ref
+def test_batched_equals_streaming(tmp_path):
+    ark, seg = _split_ark(tmp_path)
+    cfg = get_preset("example")
+    common = (ark, seg)
+    kw = dict(config=cfg,
+              plda_file=f"{REF}/VBx/models/ResNet101_16kHz/plda",
+              transform_file=f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+              verbose=False)
+    out_b = diarize_ark(*common, str(tmp_path / "b"), batch=True, **kw)
+    out_s = diarize_ark(*common, str(tmp_path / "s"), batch=False, **kw)
+    assert set(out_b) == {"recA", "recB"}
+    for rec in ("recA", "recB"):
+        assert out_b[rec].n_iters == out_s[rec].n_iters, rec
+        agree = np.mean(out_b[rec].labels1st == out_s[rec].labels1st)
+        assert agree > 0.999, (rec, agree)
+        rb = open(tmp_path / "b" / f"{rec}.rttm").read()
+        rs = open(tmp_path / "s" / f"{rec}.rttm").read()
+        assert rb == rs, rec

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run recordings one by one (streaming) instead of "
                         "the padded-batched engine")
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
+    p.add_argument("--resume", action="store_true",
+                   help="skip recordings whose RTTM already exists "
+                        "(per-recording checkpointing)")
+    p.add_argument("--runlog", type=str, default=None,
+                   help="append per-recording JSON records to this file")
     return p
 
 
@@ -84,7 +89,8 @@ def main(argv=None) -> int:
     outputs = diarize_ark(
         args.xvec_ark_file, args.segments_file, args.out_rttm_dir, cfg,
         args.plda_file, args.xvec_transform,
-        batch=not args.no_batch, max_batch_frames=args.max_batch_frames)
+        batch=not args.no_batch, max_batch_frames=args.max_batch_frames,
+        resume=args.resume, runlog_path=args.runlog)
     for rec, out in outputs.items():
         print(f"{rec}: {out.n_speakers} speakers, {out.n_iters} VB "
               f"iterations", file=sys.stderr)

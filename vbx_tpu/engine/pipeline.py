@@ -159,16 +159,41 @@ def diarize_ark(
     batch: bool = True,
     max_batch_frames: int = 2_000_000,
     verbose: bool = True,
+    resume: bool = False,
+    runlog_path: Optional[str] = None,
 ) -> Dict[str, DiarizationOutput]:
     """Diarize every recording in an ark file and write per-recording RTTMs
     (CLI parity: vbhmm.py:115-179). `batch=True` pads recordings into
-    (T, S)-buckets and runs the vmapped engine — the TPU throughput path."""
+    (T, S)-buckets and runs the vmapped engine — the TPU throughput path.
+
+    `resume=True` skips recordings whose RTTM already exists (per-recording
+    checkpointing: a preempted corpus run restarts where it stopped, the
+    durable state being the RTTM files themselves — the TPU-era analogue of
+    the reference recipes' skip-if-output-exists re-entry, AMI_run.sh:51).
+    `runlog_path` appends one JSON record per recording (iterations, ELBO,
+    speakers, wall time) plus a summary.
+    """
+    import time as _time
+
+    from vbx_tpu.utils.runlog import RunLog
+
     diar = Diarizer.from_files(config, plda_file, transform_file)
     segs_dict = read_xvector_timing_dict(segments_file)
     os.makedirs(out_rttm_dir, exist_ok=True)
+    runlog = RunLog(runlog_path)
+    t_start = _time.perf_counter()
 
     recs: List[Tuple[str, List[str], np.ndarray]] = list(
         group_by_recording(iter_vec_ark(ark_file)))
+    if resume:
+        skipped = [r for r, _, _ in recs if os.path.exists(
+            os.path.join(out_rttm_dir, f"{r}.rttm"))]
+        recs = [it for it in recs if it[0] not in set(skipped)]
+        if skipped and verbose:
+            print(f"resume: skipping {len(skipped)} finished recording(s)")
+        if not recs:
+            runlog.close()
+            return {}
 
     outputs: Dict[str, DiarizationOutput] = {}
     _, _, run_vb = _parse_init(config.init)
@@ -200,6 +225,12 @@ def diarize_ark(
             os.makedirs(dir2, exist_ok=True)
             write_rttm(os.path.join(dir2, f"{rec}.rttm"),
                        rec, starts2, ends2, labels2)
+        runlog.recording(rec, n_speakers=out.n_speakers,
+                         n_iters=out.n_iters, elbo=out.elbo)
+    runlog.write({"event": "summary", "n_recordings": len(recs),
+                  "seconds": round(_time.perf_counter() - t_start, 3),
+                  "config": config.name, "init": config.init})
+    runlog.close()
     return outputs
 
 
