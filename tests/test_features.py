@@ -19,8 +19,12 @@ needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
 
 
 def _ref_features():
-    sys.path.insert(0, REF)
-    from VBx import features
+    # import the module directly off /root/reference/VBx: other test
+    # modules put that directory on sys.path too, which shadows the `VBx`
+    # package name with the VBx.py module, so `from VBx import features`
+    # is order-dependent
+    sys.path.insert(0, f"{REF}/VBx")
+    import features
     return features
 
 
