@@ -14,8 +14,7 @@ import argparse
 import dataclasses
 import sys
 
-from vbx_tpu.config import DATASET_PRESETS, AHCConfig, DiarizationConfig, \
-    VBConfig, get_preset
+from vbx_tpu.config import DATASET_PRESETS, DiarizationConfig, get_preset
 from vbx_tpu.engine.pipeline import diarize_ark
 
 

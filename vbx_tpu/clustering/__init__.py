@@ -9,7 +9,6 @@ merge loop is inherently host work and runs in native code.
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional
 
 import numpy as np

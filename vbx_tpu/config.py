@@ -8,7 +8,6 @@ run_example.sh:30-34). Here they are first-class named presets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

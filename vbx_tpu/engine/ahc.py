@@ -17,7 +17,7 @@ import numpy as np
 
 from vbx_tpu.clustering import (
     fcluster_by_distance, linkage, squareform_condensed)
-from vbx_tpu.ops.calibration import two_gmm_calib_lin, two_gmm_calib_lin_np
+from vbx_tpu.ops.calibration import two_gmm_calib_lin_np
 from vbx_tpu.ops.similarity import cos_similarity, kaldi_plda_scoring_dense
 
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax

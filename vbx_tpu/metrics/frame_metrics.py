@@ -23,7 +23,7 @@ metrics, are validated against the published table exactly
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence, Tuple
+from typing import Dict, Mapping, Sequence
 
 import numpy as np
 

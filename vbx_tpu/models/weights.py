@@ -1,0 +1,58 @@
+"""Released-weights handling.
+
+The reference distributes its NN checkpoints as split zip archives
+reassembled at install or recipe time (reference: setup.py:21-39,
+AMI_run.sh:20-23: `cat ResNet101_16kHz.zip.part-a* > zip; unzip`). This is
+the first-party equivalent, so the released artifacts work here directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import zipfile
+from typing import List, Optional
+
+
+def reassemble_split_zip(parts_glob: str, out_dir: str,
+                         keep_zip: bool = False) -> List[str]:
+    """Concatenate `<name>.zip.part-a*` pieces and extract into out_dir.
+
+    Returns the extracted file paths. Idempotent: if every member already
+    exists in out_dir, nothing is rewritten (reference recipes' unzip-if-
+    missing behavior, AMI_run.sh:20-23).
+    """
+    parts = sorted(glob.glob(parts_glob))
+    if not parts:
+        raise FileNotFoundError(f"no parts match {parts_glob}")
+    zip_path = parts[0].rsplit(".part-", 1)[0]
+    os.makedirs(out_dir, exist_ok=True)
+
+    tmp = zip_path if os.path.exists(zip_path) else zip_path + ".tmp"
+    if not os.path.exists(zip_path):
+        with open(tmp, "wb") as out:
+            for p in parts:
+                with open(p, "rb") as f:
+                    out.write(f.read())
+        os.replace(tmp, zip_path)
+
+    out_paths: List[str] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for member in zf.namelist():
+            dst = os.path.join(out_dir, member)
+            out_paths.append(dst)
+            if not os.path.exists(dst):
+                zf.extract(member, out_dir)
+    if not keep_zip:
+        os.remove(zip_path)
+    return out_paths
+
+
+def find_checkpoint(model_dir: str) -> Optional[str]:
+    """Locate a torch checkpoint (.pth/.pt) under a model directory."""
+    for pat in ("*.pth", "*.pt"):
+        hits = sorted(glob.glob(os.path.join(model_dir, "**", pat),
+                                recursive=True))
+        if hits:
+            return hits[0]
+    return None

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vbx_tpu.ops.lse import NEG_INF, masked_fill
 from vbx_tpu.ops.vb_steps import (vb_elbo_model_term, vb_log_likelihoods,
