@@ -100,6 +100,12 @@ def bench_tpu(fea, phi, qinit, hp):
     r = run()                                    # compile + first run
     log(f"compile+first batch: {time.perf_counter() - t0:.2f}s "
         f"(iters={int(np.max(np.asarray(r.n_iters)))})")
+    # quality-at-speed guard: the benchmarked configuration must still
+    # produce the golden diarization (5 surviving speakers on ES2005a)
+    n_spk = len(np.unique(np.asarray(r.gamma[0]).argmax(1)))
+    log(f"speakers at convergence: {n_spk} (golden: 5)")
+    if n_spk != 5:
+        log("WARNING: benchmark output diverged from the golden result")
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()

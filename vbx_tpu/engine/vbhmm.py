@@ -386,6 +386,9 @@ def vbx_batched(
     """
     if fb_impl is None:
         fb_impl = "structured"
+    if fb_impl == "pallas" and gamma.shape[-1] > 128:
+        # the fused kernel holds speakers on the 128-lane axis
+        fb_impl = "structured"
     if fb_impl == "pallas":
         interpret = jax.default_backend() == "cpu"
         return _vbx_batched_pallas_jit(
