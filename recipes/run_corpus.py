@@ -80,8 +80,12 @@ def stage_xvectors(args):
 
 
 def stage_diarization(args):
-    from vbx_tpu.engine.pipeline import diarize_ark
+    import jax
 
+    from vbx_tpu.engine.pipeline import diarize_ark
+    from vbx_tpu.parallel.distributed import initialize
+
+    initialize()          # multi-host: no-op unless COORDINATOR_ADDRESS set
     cfg = get_preset(args.preset)
     rttm_dir = os.path.join(args.exp_dir, "rttms")
     out_all = os.path.join(args.exp_dir, "all.rttm")
@@ -90,7 +94,11 @@ def stage_diarization(args):
         return
     diarize_ark(os.path.join(args.exp_dir, "xvectors.ark"),
                 os.path.join(args.exp_dir, "xvectors.seg"),
-                rttm_dir, cfg, args.plda_file, args.xvec_transform)
+                rttm_dir, cfg, args.plda_file, args.xvec_transform,
+                resume=True, shard_over_hosts=True,
+                runlog_path=os.path.join(args.exp_dir, "diarization.jsonl"))
+    if jax.process_index() != 0:
+        return               # host 0 concatenates
     names = _names(args.list_file)
     with open(out_all, "w") as out:
         for n in names:

@@ -161,6 +161,7 @@ def diarize_ark(
     verbose: bool = True,
     resume: bool = False,
     runlog_path: Optional[str] = None,
+    shard_over_hosts: bool = False,
 ) -> Dict[str, DiarizationOutput]:
     """Diarize every recording in an ark file and write per-recording RTTMs
     (CLI parity: vbhmm.py:115-179). `batch=True` pads recordings into
@@ -185,6 +186,12 @@ def diarize_ark(
 
     recs: List[Tuple[str, List[str], np.ndarray]] = list(
         group_by_recording(iter_vec_ark(ark_file)))
+    if shard_over_hosts:
+        # corpus data-parallelism over hosts (DCN): each process owns a
+        # contiguous slice; per-recording RTTMs are the durable outputs so
+        # no gather is needed beyond concatenation by host 0
+        from vbx_tpu.parallel.distributed import local_recording_slice
+        recs = recs[local_recording_slice(len(recs))]
     if resume:
         skipped = [r for r, _, _ in recs if os.path.exists(
             os.path.join(out_rttm_dir, f"{r}.rttm"))]
@@ -235,20 +242,30 @@ def diarize_ark(
 
 
 def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
-                     verbose: bool) -> Dict[str, DiarizationOutput]:
-    """Bucketed-padded batched VB over all recordings. AHC (host linkage)
-    still runs per recording; the VB EM runs as one vmapped program per
-    bucket."""
+                     verbose: bool, init_workers: int = 8
+                     ) -> Dict[str, DiarizationOutput]:
+    """Bucketed-padded batched VB over all recordings. The host init chain
+    (f64 transform + cosine + calibration + native linkage) runs across a
+    thread pool — BLAS and the ctypes linkage release the GIL, so corpus
+    initialization parallelizes across cores while the VB EM runs as one
+    batched device program per bucket."""
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = diar.config
-    prepped = []  # (rec, fea, phi, qinit)
-    phi = None
-    for rec, _, x_raw in recs:
-        if verbose:
-            print(rec)
+
+    def prep(item):
+        rec, _, x_raw = item
         x = diar.transform_xvectors(x_raw)
         labels = diar.initial_labels(x)
         fea, phi, qinit = diar.vb_inputs(x, labels)
-        prepped.append((rec, fea, qinit))
+        if verbose:
+            print(rec)
+        return rec, fea, qinit, phi
+
+    with ThreadPoolExecutor(max_workers=init_workers) as pool:
+        results = list(pool.map(prep, recs))
+    prepped = [(rec, fea, qinit) for rec, fea, qinit, _ in results]
+    phi = results[0][3]
 
     outputs: Dict[str, DiarizationOutput] = {}
     for bucket in pad_to_buckets(
