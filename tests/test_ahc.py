@@ -120,3 +120,16 @@ def test_random_labels_deterministic():
     b = random_labels(100, 8, seed=4)
     assert np.array_equal(a, b)
     assert a.min() >= 0 and a.max() < 8
+
+
+def test_binned_calibration_matches_exact():
+    """Histogram EM (long-recording path) agrees with the exact EM far
+    below AHC-cut sensitivity."""
+    from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
+    rng = np.random.default_rng(9)
+    s = np.concatenate([rng.normal(-0.8, 0.3, 300_000),
+                        rng.normal(0.9, 0.35, 80_000)])
+    big = np.tile(s, 15)          # 5.7M elements > 2^22 -> binned path
+    binned = two_gmm_calib_lin_binned(big)
+    exact_big = two_gmm_calib_lin_np(big)
+    assert abs(binned - exact_big) < 1e-7, (binned, exact_big)

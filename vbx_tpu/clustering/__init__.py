@@ -118,9 +118,22 @@ def fcluster_by_distance(Z: np.ndarray, threshold: float,
     return labels
 
 
-def squareform_condensed(square: np.ndarray) -> np.ndarray:
+def squareform_condensed(square: np.ndarray, negate: bool = False
+                         ) -> np.ndarray:
     """Square symmetric matrix -> condensed upper-triangle vector (no checks,
-    like the reference's squareform(..., checks=False) at vbhmm.py:139)."""
+    like the reference's squareform(..., checks=False) at vbhmm.py:139).
+
+    Row-sliced copy instead of triu_indices fancy indexing: at N ~ 1e4 the
+    two N^2/2 int64 index arrays plus the gather cost ~10x more than the
+    contiguous row copies."""
     n = square.shape[0]
-    iu = np.triu_indices(n, k=1)
-    return np.ascontiguousarray(square[iu])
+    out = np.empty(n * (n - 1) // 2, dtype=square.dtype)
+    o = 0
+    for i in range(n - 1):
+        m = n - i - 1
+        if negate:
+            np.negative(square[i, i + 1:], out=out[o:o + m])
+        else:
+            out[o:o + m] = square[i, i + 1:]
+        o += m
+    return out

@@ -17,7 +17,7 @@ import numpy as np
 
 from vbx_tpu.clustering import (
     fcluster_by_distance, linkage, squareform_condensed)
-from vbx_tpu.ops.calibration import two_gmm_calib_lin_np
+from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
 from vbx_tpu.ops.similarity import cos_similarity, kaldi_plda_scoring_dense
 
 
@@ -68,9 +68,9 @@ def ahc_labels(
 
     # utterance-specific calibration threshold over all N^2 scores
     # (vbhmm.py:137), in f64 on host for cut-threshold parity.
-    thr = two_gmm_calib_lin_np(scr_mx)
+    thr = two_gmm_calib_lin_binned(scr_mx)
 
-    condensed = squareform_condensed(-scr_mx)
+    condensed = squareform_condensed(scr_mx, negate=True)
     Z = linkage(condensed, method="average", backend=linkage_backend)
     # shift distances nonnegative exactly as the reference does
     # (vbhmm.py:143-146) so the cut threshold transforms identically
