@@ -1,0 +1,112 @@
+"""End-to-end diarization parity against the reference implementation run
+on the same synthetic input (stronger than the single golden file: fresh
+data, different speaker counts/durations)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
+                               reason="reference not mounted")
+
+
+def _synth_recording(rng, T, K, D=256):
+    centers = rng.standard_normal((K, D)) * 0.4
+    z = np.zeros(T, int)
+    cur = 0
+    for t in range(T):
+        if rng.random() < 0.02:
+            cur = rng.integers(0, K)
+        z[t] = cur
+    x = centers[z] + 0.6 * rng.standard_normal((T, D))
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+def _reference_diarize(x_raw, plda_file, h5_file, Fa, Fb, loopP,
+                       threshold, smoothing, lda_dim=128):
+    """The exact vbhmm.py:104-162 flow using the reference's own modules."""
+    sys.path.insert(0, f"{REF}/VBx")
+    import h5py
+    import scipy.cluster.hierarchy as sch
+    from scipy.special import softmax
+    from scipy.linalg import eigh
+    from scipy.spatial.distance import squareform
+
+    import diarization_lib as dl
+    from VBx import VBx as ref_vbx
+
+    # reference kaldi_utils needs the kaldi_io pip package (absent);
+    # our reader is format-validated separately (tests/test_io.py)
+    from vbx_tpu.io.plda import read_plda
+    plda_mu, plda_tr, plda_psi = read_plda(plda_file)
+    W = np.linalg.inv(plda_tr.T.dot(plda_tr))
+    B = np.linalg.inv((plda_tr.T / plda_psi).dot(plda_tr))
+    acvar, wccn = eigh(B, W)
+    plda_psi = acvar[::-1]
+    plda_tr = wccn.T[::-1]
+
+    with h5py.File(h5_file, "r") as f:
+        mean1, mean2 = np.array(f["mean1"]), np.array(f["mean2"])
+        lda = np.array(f["lda"])
+        x = dl.l2_norm(lda.T.dot(dl.l2_norm(x_raw - mean1.T).transpose()).transpose() - mean2)
+
+    scr_mx = dl.cos_similarity(x)
+    thr, _ = dl.twoGMMcalib_lin(scr_mx.ravel())
+    lin_mat = sch.linkage(squareform(-scr_mx, checks=False),
+                          method="average", metric="euclidean")
+    adjust = abs(lin_mat[:, 2].min())
+    lin_mat[:, 2] += adjust
+    labels1st = sch.fcluster(lin_mat, -(thr + threshold) + adjust,
+                             criterion="distance") - 1
+
+    qinit = np.zeros((len(labels1st), np.max(labels1st) + 1))
+    qinit[range(len(labels1st)), labels1st] = 1.0
+    qinit = softmax(qinit * smoothing, axis=1)
+    fea = (x - plda_mu).dot(plda_tr.T)[:, :lda_dim]
+    q, sp, L = ref_vbx(
+        fea, plda_psi[:lda_dim], pi=int(qinit.shape[1]), gamma=qinit,
+        maxIters=40, epsilon=1e-6, loopProb=loopP, Fa=Fa, Fb=Fb)
+    return q.argmax(1), len(L)
+
+
+@needs_ref
+@pytest.mark.parametrize("seed,T,K,preset_name", [
+    (0, 1500, 3, "example"),
+    (1, 2500, 5, "ami_mixheadset"),
+    (2, 900, 2, "dihard2"),
+])
+def test_full_flow_matches_reference(seed, T, K, preset_name):
+    from vbx_tpu.config import get_preset
+    from vbx_tpu.engine.pipeline import Diarizer
+
+    rng = np.random.default_rng(seed)
+    x_raw = _synth_recording(rng, T, K)
+    plda_file = f"{REF}/VBx/models/ResNet101_16kHz/plda"
+    h5_file = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
+
+    cfg = get_preset(preset_name)
+    ref_labels, ref_iters = _reference_diarize(
+        x_raw.astype(np.float64), plda_file, h5_file,
+        Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, loopP=cfg.vb.loop_prob,
+        threshold=cfg.ahc.threshold, smoothing=cfg.ahc.init_smoothing)
+
+    diar = Diarizer.from_files(cfg, plda_file, h5_file)
+    out = diar.diarize_xvectors(x_raw)
+
+    # identical partitions up to label renaming, within a tiny flip budget
+    # (f32 engine vs f64 reference at genuinely-tied frames)
+    from collections import Counter
+    pairs = Counter(zip(ref_labels.tolist(), out.labels1st.tolist()))
+    mapping = {}
+    for (a, b), _ in pairs.most_common():
+        if a not in mapping and b not in mapping.values():
+            mapping[a] = b
+    agree = np.mean([mapping.get(a) == b
+                     for a, b in zip(ref_labels, out.labels1st)])
+    assert agree > 0.995, (agree, preset_name)
+    assert out.n_speakers == len(np.unique(ref_labels))
