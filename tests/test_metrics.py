@@ -95,3 +95,27 @@ def test_score_corpus_time_weighted():
     assert per["r2"].der == pytest.approx(0.0)
     # corpus DER is time-weighted: 5 error / 40 scored
     assert total.der == pytest.approx(12.5)
+
+
+def test_uem_restriction():
+    ref = [T(0, 10, "a"), T(20, 30, "a")]
+    sys = [T(0, 10, "x")]          # misses the 20..30 turn entirely
+    full = score_recording(ref, sys, collar=0.0)
+    assert full.der == pytest.approx(50.0)
+    # UEM excluding 15..35 forgives the miss
+    r = score_recording(ref, sys, collar=0.0, uem=[(0.0, 15.0)])
+    assert r.der == pytest.approx(0.0)
+    # multiple intervals
+    r2 = score_recording(ref, sys, collar=0.0,
+                         uem=[(0.0, 5.0), (25.0, 30.0)])
+    assert r2.scored_time == pytest.approx(10.0)
+    assert r2.missed == pytest.approx(5.0)
+
+
+def test_uem_file_roundtrip(tmp_path):
+    from vbx_tpu.io.uem import read_uem, write_uem
+    uem = {"recA": [(0.0, 10.5)], "recB": [(1.0, 2.0), (3.0, 4.5)]}
+    p = tmp_path / "x.uem"
+    write_uem(str(p), uem)
+    back = read_uem(str(p))
+    assert back == uem

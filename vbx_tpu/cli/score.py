@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference RTTM file(s)/glob(s)")
     p.add_argument("-s", "--sys", required=True, nargs="+",
                    help="system RTTM file(s)/glob(s)")
+    p.add_argument("-u", "--uem", type=str, default=None,
+                   help="NIST UEM file restricting the scoring regions "
+                        "(default: per-recording min onset..max offset, "
+                        "dscore's gen_uem behavior)")
     p.add_argument("--collar", type=float, default=0.0)
     p.add_argument("--ignore_overlaps", action="store_true")
     p.add_argument("--per-recording", action="store_true",
@@ -54,8 +58,13 @@ def main(argv=None) -> int:
     missing = sorted(set(ref) - set(sys_))
     for rec in missing:
         sys_.setdefault(rec, [])
+    uems = None
+    if args.uem:
+        from vbx_tpu.io.uem import read_uem
+        uems = read_uem(args.uem)
     per, total = score_corpus(ref, sys_, collar=args.collar,
-                              ignore_overlaps=args.ignore_overlaps)
+                              ignore_overlaps=args.ignore_overlaps,
+                              uems=uems)
     cm = frame_clustering_metrics(ref, sys_)
 
     cols = ["DER", "JER", "B3-Precision", "B3-Recall", "B3-F1",

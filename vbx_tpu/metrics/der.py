@@ -124,7 +124,12 @@ def score_recording(
             return RecordingScore(0.0, 0.0, 0.0, 0.0, 0.0, 0, 0)
         uem = (min(t.start for t in all_turns), max(t.end for t in all_turns))
 
-    scored = [(float(uem[0]), float(uem[1]))]
+    # uem: one (onset, offset) pair or a list of them (NIST UEM files can
+    # carry several scoring regions per recording, io.uem.read_uem)
+    if uem and isinstance(uem[0], (tuple, list)):
+        scored = _merge_intervals((float(a), float(b)) for a, b in uem)
+    else:
+        scored = [(float(uem[0]), float(uem[1]))]
     if collar > 0:
         cuts = []
         for t in ref_turns:
