@@ -97,6 +97,11 @@ def stage_diarization(args):
                 rttm_dir, cfg, args.plda_file, args.xvec_transform,
                 resume=True, shard_over_hosts=True,
                 runlog_path=os.path.join(args.exp_dir, "diarization.jsonl"))
+    if jax.process_count() > 1:
+        # barrier: every host must have written its RTTM slice before
+        # host 0 concatenates, or all.rttm silently drops recordings
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("diarization_rttms_written")
     if jax.process_index() != 0:
         return               # host 0 concatenates
     names = _names(args.list_file)

@@ -65,7 +65,7 @@ def main(argv=None) -> int:
     per, total = score_corpus(ref, sys_, collar=args.collar,
                               ignore_overlaps=args.ignore_overlaps,
                               uems=uems)
-    cm = frame_clustering_metrics(ref, sys_)
+    cm = frame_clustering_metrics(ref, sys_, uems=uems)
 
     cols = ["DER", "JER", "B3-Precision", "B3-Recall", "B3-F1",
             "GKT(ref, sys)", "GKT(sys, ref)", "H(ref|sys)", "H(sys|ref)",

@@ -193,14 +193,14 @@ def diarize_ark(
         from vbx_tpu.parallel.distributed import local_recording_slice
         recs = recs[local_recording_slice(len(recs))]
     if resume:
-        skipped = [r for r, _, _ in recs if os.path.exists(
-            os.path.join(out_rttm_dir, f"{r}.rttm"))]
-        recs = [it for it in recs if it[0] not in set(skipped)]
+        skipped = {r for r, _, _ in recs if os.path.exists(
+            os.path.join(out_rttm_dir, f"{r}.rttm"))}
+        recs = [it for it in recs if it[0] not in skipped]
         if skipped and verbose:
             print(f"resume: skipping {len(skipped)} finished recording(s)")
-        if not recs:
-            runlog.close()
-            return {}
+    if not recs:
+        runlog.close()
+        return {}
 
     outputs: Dict[str, DiarizationOutput] = {}
     _, _, run_vb = _parse_init(config.init)

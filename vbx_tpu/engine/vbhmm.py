@@ -333,9 +333,16 @@ def _vbx_batched_pallas_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     n_iters = jnp.sum(jnp.logical_not(jnp.isnan(final.elbo)),
                       axis=1).astype(jnp.int32)
     g_out = jnp.transpose(final.gamma, (1, 0, 2))
-    zeros_a = jnp.zeros((B, S, D), dtype)
-    ones_l = jnp.ones((B, S, D), dtype)
-    return VBxResult(g_out, final.pi, final.elbo, n_iters, zeros_a, ones_l)
+    # speaker model recomputed from the FINAL responsibilities (one extra
+    # M-step): the scan paths return the model of the crossing iteration
+    # (computed from the previous gamma); both are valid converged models
+    # and agree to within the convergence tolerance
+    counts = jnp.sum(g_out, axis=1)
+    stats = jnp.einsum("bts,btd->bsd", g_out, rho,
+                       preferred_element_type=dtype)
+    invL_f = 1.0 / (1.0 + fa_over_fb * counts[:, :, None] * phi)
+    alpha_f = fa_over_fb * invL_f * stats
+    return VBxResult(g_out, final.pi, final.elbo, n_iters, alpha_f, invL_f)
 
 
 @functools.partial(

@@ -115,9 +115,6 @@ def score_recording(
     uem: Optional[Tuple[float, float]] = None,
 ) -> RecordingScore:
     """Score one recording. See module docstring for semantics."""
-    ref_spks = sorted({t.speaker for t in ref_turns})
-    sys_spks = sorted({t.speaker for t in sys_turns})
-
     if uem is None:
         all_turns = list(ref_turns) + list(sys_turns)
         if not all_turns:
@@ -130,6 +127,14 @@ def score_recording(
         scored = _merge_intervals((float(a), float(b)) for a, b in uem)
     else:
         scored = [(float(uem[0]), float(uem[1]))]
+    # dscore trims every turn to the UEM before computing ANY metric, so
+    # JER (computed below without collars) must also see only in-UEM time
+    ref_turns = _clip_turns(ref_turns, scored)
+    sys_turns = _clip_turns(sys_turns, scored)
+    # speaker inventories AFTER the UEM trim: a speaker with no in-UEM
+    # speech does not exist for scoring (dscore semantics)
+    ref_spks = sorted({t.speaker for t in ref_turns})
+    sys_spks = sorted({t.speaker for t in sys_turns})
     if collar > 0:
         cuts = []
         for t in ref_turns:

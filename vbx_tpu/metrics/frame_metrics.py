@@ -55,19 +55,39 @@ def frame_clustering_metrics(
     ref: Mapping[str, Sequence[Turn]],
     sys: Mapping[str, Sequence[Turn]],
     step: float = 0.01,
+    uems: Mapping[str, Sequence] = None,
 ) -> Dict[str, float]:
-    """Corpus-pooled frame clustering metrics over speech frames."""
+    """Corpus-pooled frame clustering metrics over UEM frames. `uems` maps
+    recording -> list of (onset, offset) scoring intervals (dscore trims
+    turns and the frame grid to the UEM before every metric)."""
+    from vbx_tpu.metrics.der import _clip_turns
+
     refs, syss = [], []
     for rec in sorted(set(ref) | set(sys)):
         rturns = list(ref.get(rec, ()))
         sturns = list(sys.get(rec, ()))
+        regions = None
+        if uems is not None and rec in uems:
+            u = uems[rec]
+            regions = ([(float(u[0]), float(u[1]))]
+                       if u and not isinstance(u[0], (tuple, list))
+                       else [(float(a), float(b)) for a, b in u])
+            rturns = _clip_turns(rturns, regions)
+            sturns = _clip_turns(sturns, regions)
         allt = rturns + sturns
         if not allt:
             continue
-        t0 = min(t.start for t in allt)
-        t1 = max(t.end for t in allt)
-        rl = _frame_labels(rturns, t0, t1, step)
-        sl = _frame_labels(sturns, t0, t1, step)
+        if regions is None:
+            segments = [(min(t.start for t in allt),
+                         max(t.end for t in allt))]
+        else:
+            segments = regions
+        rl_parts, sl_parts = [], []
+        for t0, t1 in segments:
+            rl_parts.append(_frame_labels(rturns, t0, t1, step))
+            sl_parts.append(_frame_labels(sturns, t0, t1, step))
+        rl = np.concatenate(rl_parts)
+        sl = np.concatenate(sl_parts)
         refs.append(np.char.add(f"{rec}/", rl.astype(str)))
         syss.append(np.char.add(f"{rec}/", sl.astype(str)))
     if not refs:

@@ -28,8 +28,9 @@ def reassemble_split_zip(parts_glob: str, out_dir: str,
     zip_path = parts[0].rsplit(".part-", 1)[0]
     os.makedirs(out_dir, exist_ok=True)
 
-    tmp = zip_path if os.path.exists(zip_path) else zip_path + ".tmp"
-    if not os.path.exists(zip_path):
+    created_zip = not os.path.exists(zip_path)
+    if created_zip:
+        tmp = zip_path + ".tmp"
         with open(tmp, "wb") as out:
             for p in parts:
                 with open(p, "rb") as f:
@@ -43,7 +44,8 @@ def reassemble_split_zip(parts_glob: str, out_dir: str,
             out_paths.append(dst)
             if not os.path.exists(dst):
                 zf.extract(member, out_dir)
-    if not keep_zip:
+    if not keep_zip and created_zip:
+        # only remove what this call assembled — never a pre-existing zip
         os.remove(zip_path)
     return out_paths
 

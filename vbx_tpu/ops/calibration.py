@@ -77,36 +77,34 @@ def two_gmm_calib_lin(scores: jax.Array, niters: int = 20) -> jax.Array:
     return threshold
 
 
-def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
-    """Host float64 two-GMM calibration (same fixed point as
-    `two_gmm_calib_lin`). The AHC init chain runs in float64 on the host by
-    default because the calibration threshold feeds the linkage cut and
-    therefore the cluster count: sub-1e-3 threshold shifts can change the
-    number of AHC clusters and move the VB fixed point (reference parity:
-    diarization_lib.twoGMMcalib_lin:13-31). N^2 <= ~1e8 scalar reductions
-    are host-cheap; the device path exists for very long recordings."""
+def _weighted_em_threshold(cnt, ssum, s2sum, sc, niters: int) -> float:
+    """Shared-variance 2-GMM EM over weighted score atoms, returning the
+    equal-LLR threshold (the fixed point of diarization_lib.
+    twoGMMcalib_lin:13-31). Atoms are (count, sum, sum-of-squares,
+    mean-score) — individual scores are atoms with cnt == 1, histogram bins
+    carry their exact moments; both the exact and the binned public entry
+    points run THIS loop so they cannot diverge."""
     import numpy as np
 
-    s = np.asarray(scores, dtype=np.float64).reshape(-1)
-    n = s.size
-    sum_s = s.sum()
-    sum_s2 = (s * s).sum()
+    total = cnt.sum()
+    sum_s = ssum.sum()
+    sum_s2 = s2sum.sum()
+    mean = sum_s / total
+    var = sum_s2 / total - mean ** 2
     weights = np.array([0.5, 0.5])
-    means = s.mean() + s.std() * np.array([-1.0, 1.0])
-    var = s.var()
+    means = mean + np.sqrt(var) * np.array([-1.0, 1.0])
     for _ in range(niters):
         d = (means[1] - means[0]) / var
         c = (np.log(weights[1]) - np.log(weights[0])
              - 0.5 * (means[1] ** 2 - means[0] ** 2) / var)
-        z = s * d + c
+        z = sc * d + c
         ez = np.exp(-np.abs(z))          # always in (0, 1]: no overflow
         g1 = np.where(z >= 0, 1.0 / (1.0 + ez), ez / (1.0 + ez))
-        cnt1 = g1.sum()
-        s1 = g1 @ s
-        s2 = g1 @ (s * s)
-        cnt0, s0, q0 = n - cnt1, sum_s - s1, sum_s2 - s2
-        cnts = np.array([cnt0, cnt1])
-        weights = cnts / n
+        cnt1 = g1 @ cnt
+        s1 = g1 @ ssum
+        s2 = g1 @ s2sum
+        cnt0, s0, q0 = total - cnt1, sum_s - s1, sum_s2 - s2
+        weights = np.array([cnt0, cnt1]) / total
         means = np.array([s0 / cnt0, s1 / cnt1])
         second = np.array([q0 / cnt0, s2 / cnt1])
         var = (second - means ** 2) @ weights
@@ -115,20 +113,32 @@ def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
                  / ((means / var) @ sel))
 
 
+def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
+    """Host float64 two-GMM calibration (same fixed point as
+    `two_gmm_calib_lin`). The AHC init chain runs in float64 on the host by
+    default because the calibration threshold feeds the linkage cut and
+    therefore the cluster count: sub-1e-3 threshold shifts can change the
+    number of AHC clusters and move the VB fixed point (reference parity:
+    diarization_lib.twoGMMcalib_lin:13-31)."""
+    import numpy as np
+
+    s = np.asarray(scores, dtype=np.float64).reshape(-1)
+    return _weighted_em_threshold(np.ones(s.size), s, s * s, s, niters)
+
+
 def two_gmm_calib_lin_binned(scores, niters: int = 20,
                              n_bins: int = 1 << 20) -> float:
     """Histogram-accelerated host f64 calibration for long recordings.
 
     The exact EM touches all N^2 scores every iteration — ~60 s of host
     time per AMI-length recording (N ~ 1e4). Binning the scores once into
-    `n_bins` equal-width bins and running EM on (count, mean-score,
-    mean-square) per bin costs O(N^2 + niters * n_bins) instead of
-    O(niters * N^2). Using each bin's exact first/second moments makes the
-    EM statistics error second-order in the bin width (the responsibility
-    sigmoid is linearized across a ~2e-6-wide bin): measured threshold
-    agreement with the exact EM is ~1e-9 — far below the ~1e-4 scale that
-    could move an AHC merge decision. Falls back to the exact EM for small
-    inputs where it is already instant."""
+    `n_bins` equal-width bins and running the SAME EM loop
+    (_weighted_em_threshold) on (count, sum, sum-of-squares) per bin costs
+    O(N^2 + niters * bins). With each bin carrying its exact moments the
+    statistics error is second-order in the bin width: measured threshold
+    agreement with the exact EM ~1e-9, far below the ~1e-4 scale that could
+    move an AHC merge decision. Falls back to the exact EM for small inputs
+    where it is already instant."""
     import numpy as np
 
     s = np.asarray(scores, dtype=np.float64).reshape(-1)
@@ -154,34 +164,7 @@ def two_gmm_calib_lin_binned(scores, niters: int = 20,
         s2sum += np.bincount(idx, weights=chunk * chunk, minlength=n_bins)
     nz = cnt > 0
     cnt, ssum, s2sum = cnt[nz], ssum[nz], s2sum[nz]
-    sc = ssum / cnt                       # per-bin exact mean score
-
-    total = cnt.sum()
-    sum_s = ssum.sum()
-    sum_s2 = s2sum.sum()
-    mean = sum_s / total
-    var0 = sum_s2 / total - mean ** 2
-    weights = np.array([0.5, 0.5])
-    means = mean + np.sqrt(var0) * np.array([-1.0, 1.0])
-    var = var0
-    for _ in range(niters):
-        d = (means[1] - means[0]) / var
-        c = (np.log(weights[1]) - np.log(weights[0])
-             - 0.5 * (means[1] ** 2 - means[0] ** 2) / var)
-        z = sc * d + c
-        ez = np.exp(-np.abs(z))
-        g1 = np.where(z >= 0, 1.0 / (1.0 + ez), ez / (1.0 + ez))
-        cnt1 = g1 @ cnt
-        s1 = g1 @ ssum
-        s2 = g1 @ s2sum
-        cnt0, s0, q0 = total - cnt1, sum_s - s1, sum_s2 - s2
-        weights = np.array([cnt0, cnt1]) / total
-        means = np.array([s0 / cnt0, s1 / cnt1])
-        second = np.array([q0 / cnt0, s2 / cnt1])
-        var = (second - means ** 2) @ weights
-    sel = np.array([1.0, -1.0])
-    return float(-0.5 * ((np.log(weights ** 2 / var) - means ** 2 / var) @ sel)
-                 / ((means / var) @ sel))
+    return _weighted_em_threshold(cnt, ssum, s2sum, ssum / cnt, niters)
 
 
 def two_gmm_calib_with_llrs(scores: jax.Array,
