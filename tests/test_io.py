@@ -147,3 +147,60 @@ def test_vad_lab(tmp_path):
     np.testing.assert_allclose(labs, [[0.0, 1.5], [2.0, 2.75]])
     rng = lab_to_sample_ranges(labs, 16000)
     np.testing.assert_array_equal(rng, [[0, 24000], [32000, 44000]])
+
+
+@pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"), reason="no reference")
+def test_merge_adjacent_labels_matches_reference():
+    import sys
+    sys.path.insert(0, f"{REF}/VBx")
+    import diarization_lib as dl
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = rng.integers(1, 40)
+        starts = np.cumsum(rng.uniform(0, 1.0, n))
+        ends = starts + rng.uniform(0.1, 1.5, n)   # may overlap successors
+        labels = rng.integers(0, 4, n)
+        s1, e1, l1 = merge_adjacent_labels(starts, ends, labels)
+        s2, e2, l2 = dl.merge_adjacent_labels(starts.copy(), ends.copy(),
+                                              labels.copy())
+        np.testing.assert_allclose(s1, s2, atol=1e-12, err_msg=str(trial))
+        np.testing.assert_allclose(e1, e2, atol=1e-12)
+        np.testing.assert_array_equal(l1, l2)
+
+
+@pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"), reason="no reference")
+def test_segment_to_frame_labels_matches_reference():
+    import sys
+    sys.path.insert(0, f"{REF}/VBx")
+    import diarization_lib as dl
+    rng = np.random.default_rng(1)
+    for trial in range(10):
+        n = rng.integers(1, 15)
+        starts = np.sort(rng.uniform(0, 8.0, n))
+        ends = starts + rng.uniform(0.05, 1.0, n)
+        # reference assumes non-overlapping merged segments
+        for i in range(1, n):
+            starts[i] = max(starts[i], ends[i - 1])
+            ends[i] = max(ends[i], starts[i])
+        labels = rng.integers(0, 3, n)
+        for length in (0, 1200, -1200):
+            ours = segment_to_frame_labels(starts, ends, labels,
+                                           length=length)
+            theirs = dl.segment_to_frame_labels(starts, ends, labels,
+                                                length=length)
+            assert len(ours) == len(theirs), (trial, length)
+            assert all((a is None and b is None) or a == b
+                       for a, b in zip(ours, theirs)), (trial, length)
+
+
+@pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"), reason="no reference")
+def test_read_xvector_timing_dict_matches_reference():
+    import sys
+    sys.path.insert(0, f"{REF}/VBx")
+    import diarization_lib as dl
+    ours = read_xvector_timing_dict(REF_SEG)
+    theirs = dl.read_xvector_timing_dict(REF_SEG)
+    assert set(ours) == set(theirs)
+    for rec in ours:
+        np.testing.assert_array_equal(ours[rec][0], theirs[rec][0])
+        np.testing.assert_allclose(ours[rec][1], theirs[rec][1], atol=1e-12)

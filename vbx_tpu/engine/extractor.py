@@ -19,6 +19,7 @@ ark writing stay on the host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -72,6 +73,54 @@ class XVectorExtractor:
 
         self._embed = embed
 
+        winlen_ = self.winlen
+        noverlap_ = self.noverlap
+        shift_ = self.shift
+        window_ = self.window
+        fbank_mx_ = self.fbank_mx
+        cfg_ = self.config
+
+        @functools.partial(jax.jit, static_argnames=("bucket_len",))
+        def seg_features_dev(sig, start, seg_len, n_true, *,
+                             bucket_len: int):
+            """Features for one VAD segment from the device-resident
+            signal: dynamic-slice + mirror-pad by index arithmetic (the
+            reference's np.r_[head-mirror, seg, tail-mirror],
+            predict.py:169-171), then fbank + masked CMVN. One compile per
+            power-of-two bucket length; the audio is uploaded once per
+            file instead of once per segment."""
+            h = noverlap_ // 2
+            w2 = winlen_ // 2
+            chunk = jax.lax.dynamic_slice(sig, (start,), (bucket_len,))
+            p = jnp.arange(bucket_len)
+            idx = jnp.where(
+                p < h, h - 1 - p,
+                jnp.where(p < h + seg_len, p - h,
+                          2 * seg_len + h - 1 - p))
+            valid = p < h + seg_len + w2
+            padded = jnp.where(
+                valid, chunk[jnp.clip(idx, 0, bucket_len - 1)], 0.0)
+            fea = fbank_htk(padded, window_, fbank_mx_,
+                            noverlap=noverlap_, use_power=True,
+                            zmean_source=True)
+            return cmvn_floating_masked(fea, n_true, cfg_.cmvn_lc,
+                                        cfg_.cmvn_rc)
+
+        self._seg_features_dev = seg_features_dev
+
+        @functools.partial(jax.jit, static_argnames=("bucket_len",))
+        def seg_features_dev_batch(sig, starts, seg_lens, n_trues, *,
+                                   bucket_len: int):
+            """All of a file's same-bucket segments in ONE device call
+            (vmapped over the segment axis): per-call latency, not compute,
+            dominates when the chip sits behind a network hop."""
+            return jax.vmap(
+                lambda st, sl, nt: seg_features_dev(
+                    sig, st, sl, nt, bucket_len=bucket_len)
+            )(starts, seg_lens, n_trues)
+
+        self._seg_features_dev_batch = seg_features_dev_batch
+
     # -- feature stage ----------------------------------------------------
 
     def segment_features(self, seg_signal: np.ndarray) -> np.ndarray:
@@ -84,7 +133,13 @@ class XVectorExtractor:
             seg_signal,
             seg_signal[-1:-self.winlen // 2 - 1:-1]])
         n_true = (len(seg) - self.winlen) // self.shift + 1
-        padded_len = _round_up(len(seg), self.signal_bucket)
+        # geometric (power-of-two) length buckets: VAD segments span two
+        # orders of magnitude, and every distinct padded shape is a fresh
+        # XLA compile — linear buckets produced dozens of compiles per
+        # corpus, pow2 caps them at ~log2(max/min)
+        padded_len = self.signal_bucket
+        while padded_len < len(seg):
+            padded_len *= 2
         sig = np.zeros(padded_len, seg.dtype)
         sig[:len(seg)] = seg
         fea = fbank_htk(jnp.asarray(sig), self.window, self.fbank_mx,
@@ -118,14 +173,60 @@ class XVectorExtractor:
         signal = add_dither((signal * 2 ** 15).astype(int),
                             cfg.dither_level)
 
-        batch_feats: List[np.ndarray] = []
-        batch_lens: List[int] = []
-        meta: List[Tuple[str, float, float]] = []
+        # one upload per file: VAD segments are sliced + mirror-padded on
+        # device (the per-segment-upload path cost ~100 host->device
+        # transfers per file)
+        max_bucket = self.signal_bucket
+        longest = max((labs[:, 1] - labs[:, 0]).max(initial=0)
+                      + self.winlen, self.signal_bucket)
+        while max_bucket < longest:
+            max_bucket *= 2
+        sig_dev = jnp.asarray(np.concatenate(
+            [signal, np.zeros(max_bucket, signal.dtype)]).astype(np.float32))
+
+        # plan segments, grouped by power-of-two bucket, so each bucket is
+        # ONE vmapped device call
+        plans: Dict[int, List[Tuple[int, int, int, int]]] = {}
+        host_feas: Dict[int, np.ndarray] = {}
         for segnum in range(len(labs)):
             seg = signal[labs[segnum, 0]:labs[segnum, 1]]
             if seg.shape[0] <= 0.01 * fs:
                 continue
-            fea = self.segment_features(seg)
+            if seg.shape[0] >= self.winlen:
+                seg_len = int(seg.shape[0])
+                padded_total = (self.noverlap // 2 + seg_len
+                                + self.winlen // 2)
+                n_true = (padded_total - self.winlen) // self.shift + 1
+                bucket = self.signal_bucket
+                while bucket < padded_total:
+                    bucket *= 2
+                plans.setdefault(bucket, []).append(
+                    (segnum, int(labs[segnum, 0]), seg_len, n_true))
+            else:
+                # mirror arithmetic needs seg_len >= winlen; tiny segments
+                # (rare: < 25 ms of frames) take the host-upload path with
+                # the reference's exact truncating-mirror semantics
+                host_feas[segnum] = self.segment_features(seg)
+
+        feas: Dict[int, np.ndarray] = dict(host_feas)
+        GROUP = 8       # fixed vmap width: exactly ONE compile per bucket
+        for bucket, items in plans.items():
+            for gi in range(0, len(items), GROUP):
+                group = items[gi:gi + GROUP]
+                padded = group + [group[0]] * (GROUP - len(group))
+                starts = jnp.asarray([it[1] for it in padded])
+                seg_lens = jnp.asarray([it[2] for it in padded])
+                n_trues = jnp.asarray([it[3] for it in padded])
+                out = np.asarray(self._seg_features_dev_batch(
+                    sig_dev, starts, seg_lens, n_trues, bucket_len=bucket))
+                for (segnum, _, _, n_true), fea in zip(group, out):
+                    feas[segnum] = fea[:n_true].astype(np.float32)
+
+        batch_feats: List[np.ndarray] = []
+        batch_lens: List[int] = []
+        meta: List[Tuple[str, float, float]] = []
+        for segnum in sorted(feas):
+            fea = feas[segnum]
             slen = len(fea)
             t0 = labs[segnum, 0] / float(fs)
             for start, length in self.iter_windows(slen):
