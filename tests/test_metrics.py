@@ -119,3 +119,26 @@ def test_uem_file_roundtrip(tmp_path):
     write_uem(str(p), uem)
     back = read_uem(str(p))
     assert back == uem
+
+
+def test_same_speaker_turn_merge_before_collar():
+    """dscore merges same-speaker turns before deriving collar cuts: an
+    internal boundary between contiguous same-speaker segments spawns no
+    no-score zone, and a same-speaker self-overlap is not 'overlap'."""
+    ref = [T(0, 5, "a"), T(5, 10, "a")]
+    sys = [T(0, 10, "x")]
+    r = score_recording(ref, sys, collar=0.25)
+    assert r.scored_time == pytest.approx(9.5)    # only the outer collars cut
+    assert r.der == pytest.approx(0.0)
+
+    ref2 = [T(0, 6, "a"), T(4, 10, "a")]          # self-overlap 4..6
+    r2 = score_recording(ref2, sys, collar=0.0, ignore_overlaps=True)
+    assert r2.scored_time == pytest.approx(10.0)  # nothing excluded
+    assert r2.der == pytest.approx(0.0)
+
+
+def test_corpus_jer_ignores_zero_ref_recordings():
+    ref = {"r1": [T(0, 10, "a")], "r2": []}
+    sys = {"r1": [T(0, 10, "x")], "r2": [T(0, 5, "y")]}
+    _, total = score_corpus(ref, sys, collar=0.0)
+    assert total.jer == pytest.approx(0.0)        # r2 contributes nothing

@@ -169,6 +169,10 @@ def vbx(
     gamma:   [T, S] initial responsibilities; if None, sampled from a flat
              Dirichlet with concentration alpha_q_init (requires rng).
     """
+    if fb_impl not in _FB_IMPLS:
+        raise ValueError(
+            f"vbx() supports fb_impl in {sorted(_FB_IMPLS)}; the fused "
+            f"'pallas' path is batched-only (use vbx_batched)")
     dtype = dtype or X.dtype
     X = jnp.asarray(X, dtype)
     phi = jnp.asarray(phi, dtype)
@@ -257,15 +261,17 @@ def _vbx_batched_pallas_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     gamma_tbs = jnp.transpose(gamma, (1, 0, 2))       # [T, B, S]
     pi = pi.astype(dtype) * smask
 
+    vmapped_m_step = jax.vmap(vb_m_step, in_axes=(0, 0, None, None))
+    vmapped_elbo_term = jax.vmap(vb_elbo_model_term, in_axes=(0, 0, None))
+    vmapped_pi_update = jax.vmap(vb_pi_update, in_axes=(0, 0, 0, None))
+
     def one_iteration(state: _PState) -> _PState:
         first = state.it == 0
         g_bts = jnp.transpose(state.gamma, (1, 0, 2))
-        counts = jnp.sum(g_bts, axis=1)               # [B, S]
-        stats = jnp.einsum("bts,btd->bsd", g_bts, rho,
-                           preferred_element_type=dtype)
-        invL = 1.0 / (1.0 + fa_over_fb * counts[:, :, None] * phi)
-        alpha = fa_over_fb * invL * stats             # [B, S, D]
+        invL, alpha = vmapped_m_step(g_bts, rho, phi, fa_over_fb)
 
+        # E-step log-likelihoods in the kernel's [T, B, S] layout (the
+        # batched re-lettering of vb_log_likelihoods, which is [T, S])
         cross = jnp.einsum("btd,bsd->tbs", rho, alpha,
                            preferred_element_type=dtype)
         quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
@@ -290,11 +296,8 @@ def _vbx_batched_pallas_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         pi_stat = jnp.sum(terms * not_first_frame[:, :, None], axis=0)
         gamma0 = new_gamma[0]                         # [B, S]
 
-        model_term = fb * 0.5 * jnp.sum(
-            jnp.log(invL) - invL - alpha * alpha + 1.0, axis=(1, 2))
-        elbo_val = log_px + model_term                # [B]
-        raw_pi = gamma0 + (1.0 - loop_prob) * state.pi * pi_stat
-        new_pi = raw_pi / jnp.sum(raw_pi, axis=-1, keepdims=True)
+        elbo_val = log_px + vmapped_elbo_term(invL, alpha, fb)   # [B]
+        new_pi = vmapped_pi_update(gamma0, state.pi, pi_stat, loop_prob)
 
         now_conv = jnp.logical_and(jnp.logical_not(first),
                                    elbo_val - state.last_elbo < epsilon)
@@ -337,11 +340,7 @@ def _vbx_batched_pallas_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     # M-step): the scan paths return the model of the crossing iteration
     # (computed from the previous gamma); both are valid converged models
     # and agree to within the convergence tolerance
-    counts = jnp.sum(g_out, axis=1)
-    stats = jnp.einsum("bts,btd->bsd", g_out, rho,
-                       preferred_element_type=dtype)
-    invL_f = 1.0 / (1.0 + fa_over_fb * counts[:, :, None] * phi)
-    alpha_f = fa_over_fb * invL_f * stats
+    invL_f, alpha_f = vmapped_m_step(g_out, rho, phi, fa_over_fb)
     return VBxResult(g_out, final.pi, final.elbo, n_iters, alpha_f, invL_f)
 
 

@@ -131,6 +131,13 @@ def score_recording(
     # JER (computed below without collars) must also see only in-UEM time
     ref_turns = _clip_turns(ref_turns, scored)
     sys_turns = _clip_turns(sys_turns, scored)
+    # merge same-speaker adjacent/overlapping turns BEFORE deriving collar
+    # cuts and overlap regions (dscore/md-eval merge_turns): an internal
+    # boundary between two contiguous same-speaker reference segments is
+    # not a real speaker-change and must not spawn a no-score collar, nor
+    # must a same-speaker self-overlap count as overlapped speech
+    ref_turns = _merge_same_speaker(ref_turns)
+    sys_turns = _merge_same_speaker(sys_turns)
     # speaker inventories AFTER the UEM trim: a speaker with no in-UEM
     # speech does not exist for scoring (dscore semantics)
     ref_spks = sorted({t.speaker for t in ref_turns})
@@ -208,6 +215,15 @@ def score_recording(
     jer = _jer(ref_turns, sys_turns, ref_spks, sys_spks)
     return RecordingScore(scored_time, missed, falarm, confusion, jer,
                           R, S)
+
+
+def _merge_same_speaker(turns: Sequence[Turn]) -> List[Turn]:
+    """Union each speaker's turns into maximal disjoint intervals."""
+    out: List[Turn] = []
+    for spk, ivs in _speaker_intervals(turns).items():
+        out.extend(Turn(s, e, spk) for s, e in ivs)
+    out.sort(key=lambda t: (t.start, t.end, t.speaker))
+    return out
 
 
 def _speaker_intervals(turns: Sequence[Turn]) -> Dict[str, List[Tuple[float, float]]]:
@@ -289,10 +305,12 @@ def score_corpus(
         missed=sum(s.missed for s in per.values()),
         falarm=sum(s.falarm for s in per.values()),
         confusion=sum(s.confusion for s in per.values()),
+        # dscore averages over all REFERENCE speakers: a recording with no
+        # in-UEM reference speech contributes nothing (weight 0)
         jer=(float(np.average(
             [s.jer for s in per.values()],
-            weights=[max(s.n_ref_speakers, 1) for s in per.values()]))
-            if per else 0.0),
+            weights=[s.n_ref_speakers for s in per.values()]))
+            if any(s.n_ref_speakers for s in per.values()) else 0.0),
         n_ref_speakers=sum(s.n_ref_speakers for s in per.values()),
         n_sys_speakers=sum(s.n_sys_speakers for s in per.values()),
     )

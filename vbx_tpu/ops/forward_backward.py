@@ -125,31 +125,21 @@ def _finish(ahat, bhat, w, cf_steps, cb_steps, cfw, valid):
     return FBResult(gamma, log_px, lfw, lbw, pi_stat)
 
 
-def forward_backward_structured(
-    log_p: jax.Array,
-    pi: jax.Array,
-    loop_prob,
-    eps: float = 1e-8,
-    frame_mask: Optional[jax.Array] = None,
-) -> FBResult:
-    """O(S)-per-frame exact smoother for tr = loopP*I + (1-loopP)*1 pi^T."""
+def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
+    """Shared driver for the sequential scaled smoothers: runs both
+    normalized scans given the transition applications
+    fwd_apply(prev_row_vec) and bwd_apply(next_col_vec)."""
     dtype = log_p.dtype
     S = log_p.shape[1]
-    pi = pi.astype(dtype)
-    valid = _default_mask(log_p) if frame_mask is None else frame_mask
-    loop_prob = jnp.asarray(loop_prob, dtype)
-    eps = jnp.asarray(eps, dtype)
-    col = (1.0 - loop_prob) * pi + eps   # constant transition column + eps
-
     w, m = _normalize_logp(log_p, valid)
 
-    a0 = w[0] * (pi + eps)
+    a0 = w[0] * init_vec
     c0 = jnp.sum(a0)
     ahat0 = a0 / c0
 
     def fwd_step(prev, inp):
         w_t, m_t, valid_t = inp
-        a = w_t * (loop_prob * prev + col)        # sum_s prev == 1
+        a = w_t * fwd_apply(prev)                 # sum_s prev == 1
         c = jnp.sum(a)
         ahat = jnp.where(valid_t, a / c, prev)
         step = jnp.where(valid_t, m_t + jnp.log(c), jnp.zeros_like(c))
@@ -164,8 +154,7 @@ def forward_backward_structured(
 
     def bwd_step(nxt, inp):
         w_next, m_next, valid_next = inp
-        u = w_next * nxt
-        b = loop_prob * u + jnp.sum(col * u)      # row-constant term
+        b = bwd_apply(w_next * nxt)
         c = jnp.sum(b)
         bhat = jnp.where(valid_next, b / c, nxt)
         step = jnp.where(valid_next, m_next + jnp.log(c), jnp.zeros_like(c))
@@ -181,6 +170,27 @@ def forward_backward_structured(
     return _finish(ahat, bhat, w, cf_steps, cb_steps, cfw, valid)
 
 
+def forward_backward_structured(
+    log_p: jax.Array,
+    pi: jax.Array,
+    loop_prob,
+    eps: float = 1e-8,
+    frame_mask: Optional[jax.Array] = None,
+) -> FBResult:
+    """O(S)-per-frame exact smoother for tr = loopP*I + (1-loopP)*1 pi^T."""
+    dtype = log_p.dtype
+    pi = pi.astype(dtype)
+    valid = _default_mask(log_p) if frame_mask is None else frame_mask
+    loop_prob = jnp.asarray(loop_prob, dtype)
+    eps = jnp.asarray(eps, dtype)
+    col = (1.0 - loop_prob) * pi + eps   # constant transition column + eps
+    return _scaled_fb(
+        log_p, pi + eps,
+        lambda prev: loop_prob * prev + col,
+        lambda u: loop_prob * u + jnp.sum(col * u),   # row-constant term
+        valid)
+
+
 def forward_backward_dense(
     log_p: jax.Array,
     tr: jax.Array,
@@ -190,49 +200,14 @@ def forward_backward_dense(
 ) -> FBResult:
     """General dense-transition scaled smoother (any S x S tr)."""
     dtype = log_p.dtype
-    S = log_p.shape[1]
     valid = _default_mask(log_p) if frame_mask is None else frame_mask
     tr_eps = tr.astype(dtype) + jnp.asarray(eps, dtype)
     ip_eps = ip.astype(dtype) + jnp.asarray(eps, dtype)
-
-    w, m = _normalize_logp(log_p, valid)
-
-    a0 = w[0] * ip_eps
-    c0 = jnp.sum(a0)
-    ahat0 = a0 / c0
-
-    def fwd_step(prev, inp):
-        w_t, m_t, valid_t = inp
-        a = w_t * (prev @ tr_eps)
-        c = jnp.sum(a)
-        ahat = jnp.where(valid_t, a / c, prev)
-        step = jnp.where(valid_t, m_t + jnp.log(c), jnp.zeros_like(c))
-        cfw = jnp.where(valid_t, c, jnp.ones_like(c))
-        return ahat, (ahat, step, cfw)
-
-    _, (ahat_rest, cf_rest, cfw_rest) = jax.lax.scan(
-        fwd_step, ahat0, (w[1:], m[1:], valid[1:]))
-    ahat = jnp.concatenate([ahat0[None], ahat_rest], axis=0)
-    cf_steps = jnp.concatenate([(m[0] + jnp.log(c0))[None], cf_rest])
-    cfw = jnp.concatenate([c0[None], cfw_rest])
-
-    def bwd_step(nxt, inp):
-        w_next, m_next, valid_next = inp
-        u = w_next * nxt
-        b = tr_eps @ u
-        c = jnp.sum(b)
-        bhat = jnp.where(valid_next, b / c, nxt)
-        step = jnp.where(valid_next, m_next + jnp.log(c), jnp.zeros_like(c))
-        return bhat, (bhat, step)
-
-    bhat_last = jnp.ones((S,), dtype) / S
-    _, (bhat_rest, cb_rest) = jax.lax.scan(
-        bwd_step, bhat_last, (w[1:], m[1:], valid[1:]), reverse=True)
-    bhat = jnp.concatenate([bhat_rest, bhat_last[None]], axis=0)
-    logS = jnp.log(jnp.asarray(S, dtype))
-    cb_steps = jnp.concatenate([cb_rest, logS[None]])
-
-    return _finish(ahat, bhat, w, cf_steps, cb_steps, cfw, valid)
+    return _scaled_fb(
+        log_p, ip_eps,
+        lambda prev: prev @ tr_eps,
+        lambda u: tr_eps @ u,
+        valid)
 
 
 def _log_matmul_scaled(a, b):
