@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run recordings one by one (streaming) instead of "
                         "the padded-batched engine")
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
+    p.add_argument("--fb-impl", type=str, default=None,
+                   choices=["structured", "assoc", "pallas"],
+                   help="forward-backward engine (default: structured; "
+                        "'pallas' = fused batched kernel, 'assoc' = "
+                        "work-parallel scan for very long recordings)")
     p.add_argument("--resume", action="store_true",
                    help="skip recordings whose RTTM already exists "
                         "(per-recording checkpointing)")
@@ -89,7 +94,7 @@ def main(argv=None) -> int:
         args.xvec_ark_file, args.segments_file, args.out_rttm_dir, cfg,
         args.plda_file, args.xvec_transform,
         batch=not args.no_batch, max_batch_frames=args.max_batch_frames,
-        resume=args.resume, runlog_path=args.runlog)
+        resume=args.resume, runlog_path=args.runlog, fb_impl=args.fb_impl)
     for rec, out in outputs.items():
         print(f"{rec}: {out.n_speakers} speakers, {out.n_iters} VB "
               f"iterations", file=sys.stderr)

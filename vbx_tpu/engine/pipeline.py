@@ -162,6 +162,7 @@ def diarize_ark(
     resume: bool = False,
     runlog_path: Optional[str] = None,
     shard_over_hosts: bool = False,
+    fb_impl: Optional[str] = None,
 ) -> Dict[str, DiarizationOutput]:
     """Diarize every recording in an ark file and write per-recording RTTMs
     (CLI parity: vbhmm.py:115-179). `batch=True` pads recordings into
@@ -213,7 +214,8 @@ def diarize_ark(
             out.recording = rec
             outputs[rec] = out
     else:
-        outputs = _diarize_batched(diar, recs, max_batch_frames, verbose)
+        outputs = _diarize_batched(diar, recs, max_batch_frames, verbose,
+                                   fb_impl=fb_impl)
 
     for rec, seg_names, x_raw in recs:
         names, times = segs_dict[rec]
@@ -242,7 +244,8 @@ def diarize_ark(
 
 
 def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
-                     verbose: bool, init_workers: int = 8
+                     verbose: bool, init_workers: int = 8,
+                     fb_impl: Optional[str] = None
                      ) -> Dict[str, DiarizationOutput]:
     """Bucketed-padded batched VB over all recordings. The host init chain
     (f64 transform + cosine + calibration + native linkage) runs across a
@@ -291,7 +294,8 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             jnp.asarray(X), jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
             jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
             loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-            max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+            max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+            fb_impl=fb_impl)
         q_all = np.asarray(res.gamma)
         iters = np.asarray(res.n_iters)
         elbos = np.asarray(res.elbo)
