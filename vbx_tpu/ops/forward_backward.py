@@ -147,9 +147,9 @@ def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
         return ahat, (ahat, step, cfw)
 
     # unroll: the per-step arithmetic is tiny ([B, S] multiply-adds), so
-    # loop-control overhead dominates; unrolling ~25% end-to-end EM win
+    # loop-control overhead dominates; unroll=16 measured best on v5e
     _, (ahat_rest, cf_rest, cfw_rest) = jax.lax.scan(
-        fwd_step, ahat0, (w[1:], m[1:], valid[1:]), unroll=8)
+        fwd_step, ahat0, (w[1:], m[1:], valid[1:]), unroll=16)
     ahat = jnp.concatenate([ahat0[None], ahat_rest], axis=0)
     cf_steps = jnp.concatenate([(m[0] + jnp.log(c0))[None], cf_rest])
     cfw = jnp.concatenate([c0[None], cfw_rest])
@@ -165,7 +165,7 @@ def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
     bhat_last = jnp.ones((S,), dtype) / S         # lbw[T-1] = 0, scale log S
     _, (bhat_rest, cb_rest) = jax.lax.scan(
         bwd_step, bhat_last, (w[1:], m[1:], valid[1:]), reverse=True,
-        unroll=8)
+        unroll=16)
     bhat = jnp.concatenate([bhat_rest, bhat_last[None]], axis=0)
     logS = jnp.log(jnp.asarray(S, dtype))
     cb_steps = jnp.concatenate([cb_rest, logS[None]])
