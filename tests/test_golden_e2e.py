@@ -32,7 +32,7 @@ def test_es2005a_golden_der(tmp_path):
     per, tot = der_from_rttm_files(
         GOLD_RTTM, str(tmp_path / "ES2005a.rttm"),
         collar=0.25, ignore_overlaps=True)
-    assert tot.der == pytest.approx(7.06, abs=0.02)   # README.md:55
+    assert tot.der == pytest.approx(7.06, abs=0.006)  # README.md:55 (exact 7.0634)
     assert tot.jer == pytest.approx(29.99, abs=0.5)
     # fair protocol sanity: overlaps scored -> strictly worse
     _, fair = der_from_rttm_files(GOLD_RTTM, str(tmp_path / "ES2005a.rttm"),

@@ -121,20 +121,24 @@ def test_uem_file_roundtrip(tmp_path):
     assert back == uem
 
 
-def test_same_speaker_turn_merge_before_collar():
-    """dscore merges same-speaker turns before deriving collar cuts: an
-    internal boundary between contiguous same-speaker segments spawns no
-    no-score zone, and a same-speaker self-overlap is not 'overlap'."""
-    ref = [T(0, 5, "a"), T(5, 10, "a")]
+def test_same_speaker_turn_merge_semantics():
+    """dscore merges strictly OVERLAPPING same-speaker turns (so a
+    self-overlap is not 'overlapped speech' and contributes no double
+    scored time), but exactly-adjacent turns keep their boundary and its
+    collar — the combination that reproduces the published golden score
+    exactly (README.md:55)."""
     sys = [T(0, 10, "x")]
-    r = score_recording(ref, sys, collar=0.25)
-    assert r.scored_time == pytest.approx(9.5)    # only the outer collars cut
-    assert r.der == pytest.approx(0.0)
-
     ref2 = [T(0, 6, "a"), T(4, 10, "a")]          # self-overlap 4..6
     r2 = score_recording(ref2, sys, collar=0.0, ignore_overlaps=True)
     assert r2.scored_time == pytest.approx(10.0)  # nothing excluded
     assert r2.der == pytest.approx(0.0)
+    r3 = score_recording(ref2, sys, collar=0.0)
+    assert r3.scored_time == pytest.approx(10.0)  # no double-counted time
+    # adjacent same-speaker boundary still carries a collar cut
+    ref = [T(0, 5, "a"), T(5, 10, "a")]
+    r = score_recording(ref, sys, collar=0.25)
+    assert r.scored_time == pytest.approx(9.0)
+    assert r.der == pytest.approx(0.0)
 
 
 def test_corpus_jer_ignores_zero_ref_recordings():

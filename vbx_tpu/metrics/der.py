@@ -218,10 +218,25 @@ def score_recording(
 
 
 def _merge_same_speaker(turns: Sequence[Turn]) -> List[Turn]:
-    """Union each speaker's turns into maximal disjoint intervals."""
+    """Merge STRICTLY OVERLAPPING same-speaker turns (dscore's merge_turns).
+
+    Exactly-adjacent same-speaker turns stay separate: md-eval still places
+    no-score collars at those boundaries, and the published golden score
+    (ES2005a forgiving DER 7.06, reference README.md:55) reproduces only
+    with that behavior — a full union merge scores 7.05."""
+    by: Dict[str, List[Tuple[float, float]]] = {}
+    for t in turns:
+        by.setdefault(t.speaker, []).append((t.start, t.end))
     out: List[Turn] = []
-    for spk, ivs in _speaker_intervals(turns).items():
-        out.extend(Turn(s, e, spk) for s, e in ivs)
+    for spk, ivs in by.items():
+        ivs.sort()
+        merged: List[Tuple[float, float]] = []
+        for s, e in ivs:
+            if merged and s < merged[-1][1]:          # strict overlap only
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        out.extend(Turn(s, e, spk) for s, e in merged)
     out.sort(key=lambda t: (t.start, t.end, t.speaker))
     return out
 

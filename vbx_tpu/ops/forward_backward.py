@@ -147,9 +147,13 @@ def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
         return ahat, (ahat, step, cfw)
 
     # unroll: the per-step arithmetic is tiny ([B, S] multiply-adds), so
-    # loop-control overhead dominates; unroll=16 measured best on v5e
+    # loop-control overhead dominates. unroll=8, not 16: at 16 XLA's codegen
+    # rounds differently for padded-batched vs unpadded shapes, which can
+    # flip a convergence decision at epsilon and break the batched==streaming
+    # bit-parity invariant (tests/test_pipeline_batched.py); the 8->16 delta
+    # was within tunnel measurement noise anyway.
     _, (ahat_rest, cf_rest, cfw_rest) = jax.lax.scan(
-        fwd_step, ahat0, (w[1:], m[1:], valid[1:]), unroll=16)
+        fwd_step, ahat0, (w[1:], m[1:], valid[1:]), unroll=8)
     ahat = jnp.concatenate([ahat0[None], ahat_rest], axis=0)
     cf_steps = jnp.concatenate([(m[0] + jnp.log(c0))[None], cf_rest])
     cfw = jnp.concatenate([c0[None], cfw_rest])
@@ -165,7 +169,7 @@ def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
     bhat_last = jnp.ones((S,), dtype) / S         # lbw[T-1] = 0, scale log S
     _, (bhat_rest, cb_rest) = jax.lax.scan(
         bwd_step, bhat_last, (w[1:], m[1:], valid[1:]), reverse=True,
-        unroll=16)
+        unroll=8)
     bhat = jnp.concatenate([bhat_rest, bhat_last[None]], axis=0)
     logS = jnp.log(jnp.asarray(S, dtype))
     cb_steps = jnp.concatenate([cb_rest, logS[None]])
