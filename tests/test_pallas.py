@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from vbx_tpu.engine.vbhmm import vbx_batched
-from vbx_tpu.ops.fb_pallas import fb_scan_pallas
+from vbx_tpu.ops.fb_pallas import fb_scan_pallas, fb_scan_pallas_sb
 from vbx_tpu.ops.forward_backward import forward_backward_structured
 from vbx_tpu.ops.lse import masked_fill
 
@@ -28,8 +28,9 @@ def _assemble(ahat, bhat, cfw, w, m, valid):
     return gamma, log_px, pi_stat
 
 
+@pytest.mark.parametrize("fused", [True, False])
 @pytest.mark.parametrize("T,S,B", [(40, 5, 3), (600, 31, 4)])
-def test_fb_pallas_matches_sequential(T, S, B):
+def test_fb_pallas_matches_sequential(T, S, B, fused):
     rng = np.random.default_rng(T + S)
     problems = [random_hmm_problem(rng, T, S) for _ in range(B)]
     loop_prob = 0.9
@@ -50,7 +51,7 @@ def test_fb_pallas_matches_sequential(T, S, B):
 
     ahat, bhat, cfw = fb_scan_pallas(
         jnp.asarray(w), jnp.asarray(valid), jnp.asarray(col),
-        jnp.asarray(pinit), loop_prob, interpret=True)
+        jnp.asarray(pinit), loop_prob, interpret=True, fused=fused)
     gamma, log_px, pi_stat = _assemble(np.asarray(ahat), np.asarray(bhat),
                                        np.asarray(cfw), w, m, valid)
     for b, seq in enumerate(seqs):
@@ -62,7 +63,8 @@ def test_fb_pallas_matches_sequential(T, S, B):
             atol=2e-4 * float(np.max(np.asarray(seq.pi_stat))))
 
 
-def test_fb_pallas_padding():
+@pytest.mark.parametrize("fused", [True, False])
+def test_fb_pallas_padding(fused):
     rng = np.random.default_rng(0)
     T, pad, S = 100, 30, 6
     log_p, pi, loop_prob = random_hmm_problem(rng, T + pad, S)
@@ -76,7 +78,7 @@ def test_fb_pallas_padding():
         jnp.asarray(lp32[:T]), jnp.asarray(pi, jnp.float32), loop_prob)
     ahat, bhat, cfw = fb_scan_pallas(
         jnp.asarray(w, jnp.float32), jnp.asarray(valid), jnp.asarray(col),
-        jnp.asarray(pinit), loop_prob, interpret=True)
+        jnp.asarray(pinit), loop_prob, interpret=True, fused=fused)
     gamma, log_px, pi_stat = _assemble(
         np.asarray(ahat), np.asarray(bhat), np.asarray(cfw),
         w, m[:, None], valid)
@@ -86,6 +88,88 @@ def test_fb_pallas_padding():
     np.testing.assert_allclose(log_px[0], float(seq.log_px), rtol=1e-5)
     np.testing.assert_allclose(pi_stat[0], np.asarray(seq.pi_stat),
                                rtol=2e-3)
+
+
+@pytest.mark.parametrize("T,S,B", [(40, 5, 3), (130, 31, 4)])
+def test_fb_pallas_sb_matches_sequential(T, S, B):
+    """Speakers-on-sublanes layout kernel vs the sequential smoother,
+    including a case spanning multiple time chunks and frame padding."""
+    rng = np.random.default_rng(T + S + 1)
+    problems = [random_hmm_problem(rng, T, S) for _ in range(B)]
+    loop_prob = 0.9
+    w = np.zeros((T, B, S), np.float32)
+    m = np.zeros((T, B), np.float32)
+    col = np.zeros((B, S), np.float32)
+    pinit = np.zeros((B, S), np.float32)
+    valid = np.ones((T, B), np.float32)
+    valid[T - 25:, 1] = 0.0                    # one short recording
+    seqs = []
+    for b, (log_p, pi, _) in enumerate(problems):
+        lp32 = log_p.astype(np.float32)
+        m[:, b] = lp32.max(1)
+        w[:, b] = np.exp(lp32 - m[:, b, None])
+        col[b] = (1 - loop_prob) * pi + 1e-8
+        pinit[b] = pi + 1e-8
+        Tb = T - 25 if b == 1 else T
+        seqs.append((Tb, forward_backward_structured(
+            jnp.asarray(lp32[:Tb]), jnp.asarray(pi, jnp.float32),
+            loop_prob)))
+
+    ahat, bhat, cfw = fb_scan_pallas_sb(
+        jnp.asarray(np.transpose(w, (0, 2, 1))), jnp.asarray(valid),
+        jnp.asarray(col.T), jnp.asarray(pinit.T), loop_prob, interpret=True)
+    ahat = np.transpose(np.asarray(ahat), (0, 2, 1))
+    bhat = np.transpose(np.asarray(bhat), (0, 2, 1))
+    gamma, log_px, pi_stat = _assemble(ahat, bhat, np.asarray(cfw),
+                                       w, m, valid)
+    for b, (Tb, seq) in enumerate(seqs):
+        np.testing.assert_allclose(gamma[:Tb, b], np.asarray(seq.gamma),
+                                   atol=2e-5)
+        assert np.all(gamma[Tb:, b] == 0)
+        np.testing.assert_allclose(log_px[b], float(seq.log_px), rtol=1e-5)
+        np.testing.assert_allclose(
+            pi_stat[b], np.asarray(seq.pi_stat),
+            atol=2e-4 * float(np.max(np.asarray(seq.pi_stat))))
+
+
+def test_batched_engine_pallas_sb_matches_structured():
+    """B > 16 routes the pallas engine through the sublane-layout kernel;
+    it must agree with the structured scan engine like the small-B path."""
+    B, T, S, D = 18, 50, 5, 8
+    rng = np.random.default_rng(7)
+    problems = [random_vb_problem(rng, T, S, D) for _ in range(B)]
+    phi = problems[0][1]
+    X = np.stack([p[0] for p in problems]).astype(np.float32)
+    G = np.stack([p[2] for p in problems]).astype(np.float32)
+    PI = np.stack([p[3] for p in problems]).astype(np.float32)
+    FM = np.ones((B, T), bool)
+    SM = np.ones((B, S), bool)
+    FM[1, 35:] = False
+    X[1, 35:] = 0
+    G[1, 35:] = 0
+    SM[2, -1] = False
+    G[2, :, -1] = 0
+    G[2] /= G[2].sum(-1, keepdims=True)
+    PI[2, -1] = 0
+    PI[2] /= PI[2].sum()
+
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=5, epsilon=1e-6)
+    ref = vbx_batched(jnp.asarray(X), jnp.asarray(phi, jnp.float32),
+                      jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
+                      jnp.asarray(SM), fb_impl="structured", **kw)
+    out = vbx_batched(jnp.asarray(X), jnp.asarray(phi, jnp.float32),
+                      jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
+                      jnp.asarray(SM), fb_impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    for b in range(B):
+        n = int(ref.n_iters[b])
+        np.testing.assert_allclose(np.asarray(out.elbo[b][:n]),
+                                   np.asarray(ref.elbo[b][:n]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.gamma[b]),
+                                   np.asarray(ref.gamma[b]), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out.pi[b]),
+                                   np.asarray(ref.pi[b]), atol=1e-4)
 
 
 def test_batched_engine_pallas_matches_structured():

@@ -43,15 +43,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B_BLK = 8        # f32 sublane tile
+B_BLK = 8        # f32 sublane tile (two-pass kernels)
 S_PAD = 128      # lane tile
-T_CHUNK = 512
+T_CHUNK = 512    # (two-pass kernels)
 
 _TINY = 1e-37
 
 
 def _round_up(x: int, q: int) -> int:
     return -(-x // q) * q
+
+
+def _pick_blocks(B: int) -> Tuple[int, int]:
+    """(B_blk, T_chunk) for the fused kernel: batch blocks as large as the
+    batch allows (amortizes the per-step loop overhead over more VPU tiles),
+    T chunks sized to keep each [T_chunk, B_blk, 128] f32 block at 1 MiB so
+    four double-buffered streams fit comfortably in ~16 MiB VMEM."""
+    if B <= 8:
+        b_blk = 8
+    elif B <= 16:
+        b_blk = 16
+    else:
+        b_blk = 32
+    return b_blk, (1 << 20) // (b_blk * S_PAD * 4)
 
 
 def _fwd_kernel(w_ref, col_ref, pinit_ref, lp_ref,
@@ -112,10 +126,195 @@ def _bwd_kernel(w_next_ref, col_ref, lp_ref, bhat_ref, carry_ref):
     carry_ref[:] = jax.lax.fori_loop(0, Tc, step, carry_ref[:])
 
 
+def _fused_kernel(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
+                  ahat_ref, bhat_ref, fcarry_ref, bcarry_ref):
+    """Both recursions in ONE sequential walk: grid step k advances the
+    forward pass through time chunk k while the backward pass (whose chunks
+    are mapped in reverse by its index_map) retreats through chunk nt-1-k.
+    Each fori step does one forward and one backward frame — half the
+    sequential step count of the two-pass kernels, and the per-frame
+    normalizers are reconstructed outside from ahat (one fused XLA
+    elementwise pass), dropping a whole [T, B, 128] VMEM/HBM stream.
+
+    wb_ref holds the ONE-FRAME-SHIFTED emissions (index t == original t+1)
+    so the backward step never reads across its block boundary."""
+    k = pl.program_id(1)
+    Tc = wf_ref.shape[0]
+    lp = lp_ref[0, 0]
+    col = col_ref[0]
+    pinit = pinit_ref[0]
+    Sp = ahat_ref.shape[-1]
+
+    @pl.when(k == 0)
+    def _():
+        fcarry_ref[:] = jnp.zeros_like(fcarry_ref)
+        bcarry_ref[:] = jnp.full_like(bcarry_ref, 1.0 / Sp)
+
+    def step(i, carry):
+        fprev, bnext = carry
+        at_end = jnp.logical_and(k == 0, i == 0)   # fwd: global frame 0;
+        # bwd: global final frame (its chunks walk in reverse)
+        w_t = wf_ref[i]
+        a = jnp.where(at_end, w_t * pinit, w_t * (lp * fprev + col))
+        c = jnp.maximum(jnp.sum(a, axis=-1, keepdims=True),
+                        jnp.float32(_TINY))
+        af = a / c
+        ahat_ref[i] = af
+
+        j = Tc - 1 - i
+        u = wb_ref[j] * bnext                      # w[orig t+1] * bhat_{t+1}
+        b = lp * u + jnp.sum(col * u, axis=-1, keepdims=True)
+        cb = jnp.maximum(jnp.sum(b, axis=-1, keepdims=True),
+                         jnp.float32(_TINY))
+        bf = jnp.where(at_end, jnp.full_like(u, 1.0 / Sp), b / cb)
+        bhat_ref[j] = bf
+        return af, bf
+
+    fcarry_ref[:], bcarry_ref[:] = jax.lax.fori_loop(
+        0, Tc, step, (fcarry_ref[:], bcarry_ref[:]))
+
+
+def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
+                     ahat_ref, bhat_ref, fcarry_ref, bcarry_ref, wsave_ref):
+    """Speakers-on-SUBLANES variant of _fused_kernel: tiles are
+    [S_pad8, B_pad128] so the speaker axis pads to a multiple of 8 instead
+    of 128 lanes — ~4x less VMEM/HBM traffic at diarization-typical S~32 —
+    and there is no separate one-frame-shifted w copy: the backward pass
+    reads w[t+1] inside its own block and carries the block-boundary frame
+    between grid steps in wsave_ref (chunks walk in reverse, so the frame
+    needed at the top of chunk c is chunk c+1's first frame, saved on the
+    previous grid step). Reductions are sublane sums (axis 0 of the tile)."""
+    k = pl.program_id(0)
+    Tc = wf_ref.shape[0]
+    lp = lp_ref[0, 0]
+    col = col_ref[:]
+    pinit = pinit_ref[:]
+    Sp = ahat_ref.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        fcarry_ref[:] = jnp.zeros_like(fcarry_ref)
+        bcarry_ref[:] = jnp.full_like(bcarry_ref, 1.0 / Sp)
+        wsave_ref[:] = jnp.zeros_like(wsave_ref)   # consumed only at the
+        # overridden global-final frame; zeros keep the dead lanes finite
+
+    w_boundary = wsave_ref[:]            # chunk (nt-k)'s first frame (k>0)
+
+    def step(i, carry):
+        fprev, bnext = carry
+        at_end = jnp.logical_and(k == 0, i == 0)
+        w_t = wf_ref[i]                               # [Sp, Bp]
+        a = jnp.where(at_end, w_t * pinit, w_t * (lp * fprev + col))
+        c = jnp.maximum(jnp.sum(a, axis=0, keepdims=True),
+                        jnp.float32(_TINY))
+        af = a / c
+        ahat_ref[i] = af
+
+        j = Tc - 1 - i
+        w_next = jnp.where(i == 0, w_boundary,
+                           wb_ref[jnp.minimum(j + 1, Tc - 1)])
+        u = w_next * bnext
+        b = lp * u + jnp.sum(col * u, axis=0, keepdims=True)
+        cb = jnp.maximum(jnp.sum(b, axis=0, keepdims=True),
+                         jnp.float32(_TINY))
+        bf = jnp.where(at_end, jnp.full_like(u, 1.0 / Sp), b / cb)
+        bhat_ref[j] = bf
+        return af, bf
+
+    fcarry_ref[:], bcarry_ref[:] = jax.lax.fori_loop(
+        0, Tc, step, (fcarry_ref[:], bcarry_ref[:]))
+    wsave_ref[:] = wb_ref[0]             # this chunk's first frame, for k+1
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
+                      pinit: jax.Array, loop_prob,
+                      interpret: bool = False,
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused bidirectional smoother in [T, S, B] layout (speakers on
+    sublanes, batch on lanes) — the batched-throughput path for B > ~16.
+
+    w:      [T, S, B] emission weights (padded speakers exactly 0 on valid
+            frames; padded-frame values ignored).
+    valid:  [T, B] frame validity (False = padding suffix).
+    col:    [S, B] transition column (1-loopP)*pi + eps.
+    pinit:  [S, B] pi + eps.
+    Returns (ahat [T, S, B], bhat [T, S, B], cfw [T, B]).
+    """
+    T, S, B = w.shape
+    if S > S_PAD:
+        raise ValueError(f"S={S} > {S_PAD}; shard speakers first")
+    Sp = _round_up(S, 8)
+    Bp = _round_up(B, 128)
+    # four double-buffered [t_chunk, Sp, Bp] streams (two w views, ahat,
+    # bhat) + scratch must fit the 16 MiB scoped VMEM: budget 15 MiB / 8
+    t_chunk = max(8, (15 << 20) // (8 * Sp * Bp * 4))
+    Tp = _round_up(T, t_chunk)
+    nt = Tp // t_chunk
+
+    vmask = valid.astype(jnp.float32)                     # [T, B]
+    wu = (w.astype(jnp.float32) * vmask[:, None, :]
+          + (1.0 - vmask[:, None, :]) / Sp)               # [T, S, B]
+    wp = jnp.full((Tp, Sp, Bp), 1.0 / Sp, jnp.float32)
+    wp = wp.at[:T, :, :].set(
+        jnp.zeros((T, Sp, Bp), jnp.float32).at[:, :S, :B].set(wu))
+    colp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
+        col.astype(jnp.float32))
+    pinitp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
+        pinit.astype(jnp.float32))
+    lp = jnp.asarray(loop_prob, jnp.float32).reshape(1, 1)
+
+    def chunk3(kk):
+        return (kk, 0, 0)
+
+    def rchunk3(kk):
+        return (nt - 1 - kk, 0, 0)
+
+    def bcast2(kk):
+        return (0, 0)
+
+    ahat, bhat = pl.pallas_call(
+        _fused_kernel_sb,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((t_chunk, Sp, Bp), chunk3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, Sp, Bp), rchunk3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, Bp), bcast2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, Bp), bcast2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t_chunk, Sp, Bp), chunk3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, Sp, Bp), rchunk3,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, Sp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Sp, Bp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Sp, Bp), jnp.float32),
+                        pltpu.VMEM((Sp, Bp), jnp.float32),
+                        pltpu.VMEM((Sp, Bp), jnp.float32)],
+        interpret=interpret,
+    )(wp, wp, colp, pinitp, lp)
+
+    ahat_s = ahat[:T, :S, :B]
+    bhat_s = bhat[:T, :S, :B]
+    # forward normalizers reconstructed outside (see fb_scan_pallas)
+    prev = jnp.concatenate(
+        [jnp.broadcast_to(pinit[None].astype(jnp.float32), (1, S, B)),
+         loop_prob * ahat_s[:-1] + col[None].astype(jnp.float32)], axis=0)
+    cfw = jnp.maximum(jnp.sum(wu * prev, axis=1), jnp.float32(_TINY))
+    return ahat_s, bhat_s, cfw
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "fused"))
 def fb_scan_pallas(w: jax.Array, valid: jax.Array, col: jax.Array,
                    pinit: jax.Array, loop_prob,
-                   interpret: bool = False
+                   interpret: bool = False, fused: bool = True,
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run both scaled recursions.
 
@@ -126,12 +325,18 @@ def fb_scan_pallas(w: jax.Array, valid: jax.Array, col: jax.Array,
             arbitrary — mask them downstream.
     col:    [B, S] transition column (1-loopP)*pi + eps.
     pinit:  [B, S] pi + eps initial weights.
+    fused:  single bidirectional kernel (default) vs the two-pass kernels.
     Returns (ahat [T, B, S], bhat [T, B, S], cfw [T, B]).
     """
     T, B, S = w.shape
-    Tp, Bp, Sp = _round_up(T, T_CHUNK), _round_up(B, B_BLK), S_PAD
+    Sp = S_PAD
     if S > S_PAD:
         raise ValueError(f"S={S} > {S_PAD} lanes; shard speakers first")
+    if fused:
+        b_blk, t_chunk = _pick_blocks(B)
+    else:
+        b_blk, t_chunk = B_BLK, T_CHUNK
+    Tp, Bp = _round_up(T, t_chunk), _round_up(B, b_blk)
 
     # padded/invalid frames -> uniform emissions (see module docstring);
     # padded speaker lanes stay 0 only on valid frames, which is what the
@@ -148,57 +353,100 @@ def fb_scan_pallas(w: jax.Array, valid: jax.Array, col: jax.Array,
         pinit.astype(jnp.float32))
     lp = jnp.asarray(loop_prob, jnp.float32).reshape(1, 1)
 
-    nb, nt = Bp // B_BLK, Tp // T_CHUNK
+    nb, nt = Bp // b_blk, Tp // t_chunk
 
     def chunk3(i, kk):
         return (kk, i, 0)
 
+    def rchunk3(i, kk):
+        return (nt - 1 - kk, i, 0)
+
     def bcast3(i, kk):
         return (0, i, 0)
+
+    # one-frame-shifted view for the backward pass (see _bwd_kernel)
+    w_sh = jnp.concatenate([wp[1:], wp[:1]], axis=0)
+
+    if fused:
+        ahat, bhat = pl.pallas_call(
+            _fused_kernel,
+            grid=(nb, nt),
+            in_specs=[
+                pl.BlockSpec((t_chunk, b_blk, Sp), chunk3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_chunk, b_blk, Sp), rchunk3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_blk, Sp), bcast3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_blk, Sp), bcast3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t_chunk, b_blk, Sp), chunk3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t_chunk, b_blk, Sp), rchunk3,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
+                jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((b_blk, Sp), jnp.float32),
+                            pltpu.VMEM((b_blk, Sp), jnp.float32)],
+            interpret=interpret,
+        )(wp, w_sh, colp, pinitp, lp)
+        ahat_s = ahat[:T, :B, :S]
+        bhat_s = bhat[:T, :B, :S]
+        # per-frame forward normalizers, reconstructed in one fused XLA
+        # elementwise+reduce pass: c_t = sum_s w_t (lp * ahat_{t-1} + col),
+        # c_0 = sum_s w_0 * pinit (w's padded speaker lanes are 0 on valid
+        # frames, so the S-lane sum equals the kernel's 128-lane sum)
+        prev = jnp.concatenate(
+            [jnp.broadcast_to(pinit[None].astype(jnp.float32), (1, B, S)),
+             loop_prob * ahat_s[:-1]
+             + col[None].astype(jnp.float32)], axis=0)
+        cfw = jnp.maximum(jnp.sum(w[:, :, :S] * prev, axis=-1),
+                          jnp.float32(_TINY))
+        return ahat_s, bhat_s, cfw
 
     ahat, cfw = pl.pallas_call(
         _fwd_kernel,
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((T_CHUNK, B_BLK, Sp), chunk3,
+            pl.BlockSpec((t_chunk, b_blk, Sp), chunk3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_BLK, Sp), bcast3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_BLK, Sp), bcast3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_blk, Sp), bcast3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_blk, Sp), bcast3, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((T_CHUNK, B_BLK, Sp), chunk3,
+            pl.BlockSpec((t_chunk, b_blk, Sp), chunk3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T_CHUNK, B_BLK, Sp), chunk3,
+            pl.BlockSpec((t_chunk, b_blk, Sp), chunk3,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
             jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B_BLK, Sp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_blk, Sp), jnp.float32)],
         interpret=interpret,
     )(wp, colp, pinitp, lp)
-
-    # one-frame-shifted view for the backward pass (see _bwd_kernel)
-    w_sh = jnp.concatenate([wp[1:], wp[:1]], axis=0)
-
-    def rchunk3(i, kk):
-        return (nt - 1 - kk, i, 0)
 
     bhat = pl.pallas_call(
         _bwd_kernel,
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((T_CHUNK, B_BLK, Sp), rchunk3,
+            pl.BlockSpec((t_chunk, b_blk, Sp), rchunk3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_BLK, Sp), bcast3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_blk, Sp), bcast3, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((T_CHUNK, B_BLK, Sp), rchunk3,
+        out_specs=pl.BlockSpec((t_chunk, b_blk, Sp), rchunk3,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B_BLK, Sp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_blk, Sp), jnp.float32)],
         interpret=interpret,
     )(w_sh, colp, lp)
 
