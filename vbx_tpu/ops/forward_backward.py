@@ -146,18 +146,6 @@ def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
         cfw = jnp.where(valid_t, c, jnp.ones_like(c))
         return ahat, (ahat, step, cfw)
 
-    # unroll: the per-step arithmetic is tiny ([B, S] multiply-adds), so
-    # loop-control overhead dominates. unroll=8, not 16: at 16 XLA's codegen
-    # rounds differently for padded-batched vs unpadded shapes, which can
-    # flip a convergence decision at epsilon and break the batched==streaming
-    # bit-parity invariant (tests/test_pipeline_batched.py); the 8->16 delta
-    # was within tunnel measurement noise anyway.
-    _, (ahat_rest, cf_rest, cfw_rest) = jax.lax.scan(
-        fwd_step, ahat0, (w[1:], m[1:], valid[1:]), unroll=8)
-    ahat = jnp.concatenate([ahat0[None], ahat_rest], axis=0)
-    cf_steps = jnp.concatenate([(m[0] + jnp.log(c0))[None], cf_rest])
-    cfw = jnp.concatenate([c0[None], cfw_rest])
-
     def bwd_step(nxt, inp):
         w_next, m_next, valid_next = inp
         b = bwd_apply(w_next * nxt)
@@ -166,10 +154,36 @@ def _scaled_fb(log_p, init_vec, fwd_apply, bwd_apply, valid) -> FBResult:
         step = jnp.where(valid_next, m_next + jnp.log(c), jnp.zeros_like(c))
         return bhat, (bhat, step)
 
+    # ONE merged scan runs the forward recursion ascending and the backward
+    # recursion descending in the same step (they are independent): half
+    # the sequential step count, which dominates — the per-step arithmetic
+    # is tiny [B, S] multiply-adds, so loop control is the cost. The
+    # backward inputs/outputs are pre-/post-flipped; per-step math is
+    # unchanged from the separate-scan form. unroll=8, not 16: at 16 XLA's
+    # codegen rounds differently for padded-batched vs unpadded shapes,
+    # which can flip a convergence decision at epsilon and break the
+    # batched==streaming bit-parity invariant
+    # (tests/test_pipeline_batched.py).
     bhat_last = jnp.ones((S,), dtype) / S         # lbw[T-1] = 0, scale log S
-    _, (bhat_rest, cb_rest) = jax.lax.scan(
-        bwd_step, bhat_last, (w[1:], m[1:], valid[1:]), reverse=True,
-        unroll=8)
+    xs_f = (w[1:], m[1:], valid[1:])
+    xs_b = jax.tree.map(lambda x: jnp.flip(x, 0), xs_f)
+
+    def fb_step(carry, inp):
+        fprev, bnext = carry
+        fin, bin_ = inp
+        fnew, fout = fwd_step(fprev, fin)
+        bnew, bout = bwd_step(bnext, bin_)
+        return (fnew, bnew), (fout, bout)
+
+    _, (fouts, bouts) = jax.lax.scan(
+        fb_step, (ahat0, bhat_last), (xs_f, xs_b), unroll=8)
+    ahat_rest, cf_rest, cfw_rest = fouts
+    bhat_rest = jnp.flip(bouts[0], 0)
+    cb_rest = jnp.flip(bouts[1], 0)
+
+    ahat = jnp.concatenate([ahat0[None], ahat_rest], axis=0)
+    cf_steps = jnp.concatenate([(m[0] + jnp.log(c0))[None], cf_rest])
+    cfw = jnp.concatenate([c0[None], cfw_rest])
     bhat = jnp.concatenate([bhat_rest, bhat_last[None]], axis=0)
     logS = jnp.log(jnp.asarray(S, dtype))
     cb_steps = jnp.concatenate([cb_rest, logS[None]])
