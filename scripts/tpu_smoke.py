@@ -59,23 +59,26 @@ def main() -> int:
     x = diar.transform_xvectors(x_raw)
     fea, phi, qinit = diar.vb_inputs(x, diar.initial_labels(x))
     T, S = qinit.shape
-    B = 8
-    args = (jnp.asarray(np.broadcast_to(fea, (B, T, fea.shape[1])),
-                        jnp.float32),
-            jnp.asarray(phi, jnp.float32),
-            jnp.asarray(np.broadcast_to(qinit, (B, T, S)), jnp.float32),
-            jnp.full((B, S), 1.0 / S, jnp.float32),
-            jnp.ones((B, T), bool), jnp.ones((B, S), bool))
     kw = dict(loop_prob=0.99, Fa=0.3, Fb=17.0, max_iters=40, epsilon=1e-6)
-    ga = np.asarray(vbx_batched(*args, fb_impl="structured", **kw).gamma[0])
-    gb = np.asarray(vbx_batched(*args, fb_impl="pallas", **kw).gamma[0])
-    agree = float(np.mean(ga.argmax(1) == gb.argmax(1)))
-    maxdiff = float(np.abs(ga - gb).max())
-    ok = agree == 1.0 and maxdiff < 1e-4
-    print(f"[{'ok' if ok else 'FAIL'}] pallas/structured parity: "
-          f"agreement {agree:.4f}, gamma maxdiff {maxdiff:.2e}", flush=True)
-    if not ok:
-        failures.append("pallas-parity")
+    # B=8 exercises the [T,B,S] kernel; B=32 the speakers-on-sublanes one
+    for B in (8, 32):
+        args = (jnp.asarray(np.broadcast_to(fea, (B, T, fea.shape[1])),
+                            jnp.float32),
+                jnp.asarray(phi, jnp.float32),
+                jnp.asarray(np.broadcast_to(qinit, (B, T, S)), jnp.float32),
+                jnp.full((B, S), 1.0 / S, jnp.float32),
+                jnp.ones((B, T), bool), jnp.ones((B, S), bool))
+        ga = np.asarray(
+            vbx_batched(*args, fb_impl="structured", **kw).gamma[0])
+        gb = np.asarray(vbx_batched(*args, fb_impl="pallas", **kw).gamma[0])
+        agree = float(np.mean(ga.argmax(1) == gb.argmax(1)))
+        maxdiff = float(np.abs(ga - gb).max())
+        ok = agree == 1.0 and maxdiff < 1e-4
+        print(f"[{'ok' if ok else 'FAIL'}] pallas/structured parity B={B}: "
+              f"agreement {agree:.4f}, gamma maxdiff {maxdiff:.2e}",
+              flush=True)
+        if not ok:
+            failures.append(f"pallas-parity-B{B}")
 
     # 3. throughput sanity (very loose: the tunnel can be 100x off)
     t0 = time.perf_counter()

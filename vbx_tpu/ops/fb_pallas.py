@@ -247,8 +247,12 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     Sp = _round_up(S, 8)
     Bp = _round_up(B, 128)
     # four double-buffered [t_chunk, Sp, Bp] streams (two w views, ahat,
-    # bhat) + scratch must fit the 16 MiB scoped VMEM: budget 15 MiB / 8
-    t_chunk = max(8, (15 << 20) // (8 * Sp * Bp * 4))
+    # bhat) + scratch + the buffered [Sp, Bp] broadcast operands must fit
+    # the 16 MiB scoped VMEM; 13 MiB budget minus 7 frame-slots of fixed
+    # overhead leaves the compiler comfortable slack (observed: the
+    # compiler accounts more than the naive 8*block sum at large Bp)
+    frame_bytes = Sp * Bp * 4
+    t_chunk = max(1, ((13 << 20) - 7 * frame_bytes) // (8 * frame_bytes))
     Tp = _round_up(T, t_chunk)
     nt = Tp // t_chunk
 
