@@ -127,9 +127,15 @@ def bench_tpu(fea, phi, qinit, hp):
     log(f"speakers at convergence: {n_spk} (golden: 5)")
     if n_spk != 5:
         log("WARNING: benchmark output diverged from the golden result")
+    for _ in range(2):      # shed the executor's first-runs-slow phase
+        chain(2)
     K1, K2 = 2, 12
     t1 = min(chain(K1)[0] for _ in range(REPEATS))
     t2 = min(chain(K2)[0] for _ in range(REPEATS))
+    if t2 <= t1:            # tunnel-state flip mid-measurement
+        log(f"WARNING: chain{K2} ({t2 * 1e3:.1f}ms) <= chain{K1} "
+            f"({t1 * 1e3:.1f}ms); falling back to chain{K2}/{K2}")
+        return t2 / K2
     t = (t2 - t1) / (K2 - K1)
     log(f"chained batch of {B}: {t * 1e3:.1f}ms/run "
         f"-> {B / t:.1f} recordings/s, {B * T / t / 1e6:.2f}M frames/s "

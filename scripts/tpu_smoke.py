@@ -60,14 +60,18 @@ def main() -> int:
     fea, phi, qinit = diar.vb_inputs(x, diar.initial_labels(x))
     T, S = qinit.shape
     kw = dict(loop_prob=0.99, Fa=0.3, Fb=17.0, max_iters=40, epsilon=1e-6)
-    # B=8 exercises the [T,B,S] kernel; B=32 the speakers-on-sublanes one
-    for B in (8, 32):
-        args = (jnp.asarray(np.broadcast_to(fea, (B, T, fea.shape[1])),
+
+    def vb_args(B):
+        return (jnp.asarray(np.broadcast_to(fea, (B, T, fea.shape[1])),
                             jnp.float32),
                 jnp.asarray(phi, jnp.float32),
                 jnp.asarray(np.broadcast_to(qinit, (B, T, S)), jnp.float32),
                 jnp.full((B, S), 1.0 / S, jnp.float32),
                 jnp.ones((B, T), bool), jnp.ones((B, S), bool))
+
+    # small and lane-filling batches (B-independence of the sb kernel)
+    for B in (8, 32):
+        args = vb_args(B)
         ga = np.asarray(
             vbx_batched(*args, fb_impl="structured", **kw).gamma[0])
         gb = np.asarray(vbx_batched(*args, fb_impl="pallas", **kw).gamma[0])
@@ -80,13 +84,17 @@ def main() -> int:
         if not ok:
             failures.append(f"pallas-parity-B{B}")
 
-    # 3. throughput sanity (very loose: the tunnel can be 100x off)
+    # 3. throughput info (NOT a pass/fail check: tunnel-attached timings
+    # swing ~100x between process states — see BENCHMARKS.md; bench.py's
+    # chained fetch-forced slope is the real measurement)
+    B = 32
+    args = vb_args(B)
     t0 = time.perf_counter()
-    r = vbx_batched(*args, fb_impl="structured", **kw)
+    r = vbx_batched(*args, fb_impl="pallas", **kw)
     jax.block_until_ready(r.gamma)
     t = time.perf_counter() - t0
-    print(f"[ok] steady batch of {B}: {t * 1e3:.1f}ms "
-          f"({B / t:.0f} rec/s)", flush=True)
+    print(f"[info] one batch of {B}: {t * 1e3:.1f}ms as observed through "
+          f"the tunnel", flush=True)
 
     print("FAILURES:" if failures else "ALL OK", failures, flush=True)
     return 1 if failures else 0

@@ -218,130 +218,10 @@ def vbx(
 class _PState(NamedTuple):
     it: jax.Array
     converged: jax.Array      # [B]
-    gamma: jax.Array          # [T, B, S] (time-major for the kernel)
+    gamma: jax.Array          # [T, S, B] (time-major, speakers-on-sublanes)
     pi: jax.Array             # [B, S]
     elbo: jax.Array           # [B, max_iters]
     last_elbo: jax.Array      # [B]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("max_iters", "interpret"))
-def _vbx_batched_pallas_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
-                            loop_prob, fa, fb, epsilon,
-                            *, max_iters: int, interpret: bool):
-    """Batched EM with the fused Pallas forward-backward (ops.fb_pallas).
-
-    Unlike the vmapped scan path, every op here is natively batched
-    ([B, ...] einsums on the MXU, one kernel launch for all recordings'
-    recursions per iteration) — the TPU throughput path. Semantics are
-    identical to `_vbx_jit` under vmap (validated in tests/test_pallas.py):
-    per-recording convergence freezing, reference pi/ELBO updates, exact
-    padding behavior.
-    """
-    from vbx_tpu.ops.fb_pallas import fb_scan_pallas
-
-    dtype = jnp.float32
-    B, T, D = X.shape
-    S = gamma.shape[-1]
-    X = X.astype(dtype)
-    phi = phi.astype(dtype)
-    eps = jnp.asarray(1e-8, dtype)
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-
-    fmask = frame_mask.astype(dtype)                  # [B, T]
-    smask = speaker_mask.astype(dtype)                # [B, S]
-    valid_tb = fmask.T                                # [T, B]
-
-    G = -0.5 * (jnp.sum(X * X, axis=-1)
-                + D * jnp.log(2 * jnp.pi).astype(dtype))   # [B, T]
-    rho = X * jnp.sqrt(phi)[None, None, :]            # [B, T, D]
-    fa_over_fb = fa / fb
-
-    gamma = (gamma.astype(dtype) * fmask[:, :, None] * smask[:, None, :])
-    gamma_tbs = jnp.transpose(gamma, (1, 0, 2))       # [T, B, S]
-    pi = pi.astype(dtype) * smask
-
-    vmapped_m_step = jax.vmap(vb_m_step, in_axes=(0, 0, None, None))
-    vmapped_elbo_term = jax.vmap(vb_elbo_model_term, in_axes=(0, 0, None))
-    vmapped_pi_update = jax.vmap(vb_pi_update, in_axes=(0, 0, 0, None))
-
-    def one_iteration(state: _PState) -> _PState:
-        first = state.it == 0
-        g_bts = jnp.transpose(state.gamma, (1, 0, 2))
-        invL, alpha = vmapped_m_step(g_bts, rho, phi, fa_over_fb)
-
-        # E-step log-likelihoods in the kernel's [T, B, S] layout (the
-        # batched re-lettering of vb_log_likelihoods, which is [T, S])
-        cross = jnp.einsum("btd,bsd->tbs", rho, alpha,
-                           preferred_element_type=dtype)
-        quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
-                          preferred_element_type=dtype)
-        log_p = fa * (cross - 0.5 * quad[None] + G.T[:, :, None])
-        log_p = masked_fill(log_p, speaker_mask[None, :, :])
-
-        m = jnp.max(log_p, axis=-1)                   # [T, B]
-        w = jnp.exp(log_p - m[:, :, None]) * smask[None]
-        col = (1.0 - loop_prob) * state.pi + eps
-        pinit = state.pi + eps
-        ahat, bhat, cfw = fb_scan_pallas(w, valid_tb, col, pinit,
-                                         loop_prob, interpret=interpret)
-
-        ab = ahat * bhat
-        denom = jnp.maximum(jnp.sum(ab, axis=-1, keepdims=True), tiny)
-        new_gamma = (ab / denom) * valid_tb[:, :, None]
-        log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)   # [B]
-
-        not_first_frame = valid_tb.at[0].set(0.0)     # exclude global t=0
-        terms = w * bhat / (denom * cfw[:, :, None])
-        pi_stat = jnp.sum(terms * not_first_frame[:, :, None], axis=0)
-        gamma0 = new_gamma[0]                         # [B, S]
-
-        elbo_val = log_px + vmapped_elbo_term(invL, alpha, fb)   # [B]
-        new_pi = vmapped_pi_update(gamma0, state.pi, pi_stat, loop_prob)
-
-        now_conv = jnp.logical_and(jnp.logical_not(first),
-                                   elbo_val - state.last_elbo < epsilon)
-        keep = state.converged                        # [B]
-
-        def sel(old, new, bdim):
-            shape = [1] * old.ndim
-            shape[bdim] = keep.shape[0]
-            return jnp.where(keep.reshape(shape), old, new)
-
-        return _PState(
-            it=state.it + 1,
-            converged=jnp.logical_or(keep, now_conv),
-            gamma=sel(state.gamma, new_gamma, 1),
-            pi=sel(state.pi, new_pi, 0),
-            elbo=sel(state.elbo,
-                     state.elbo.at[:, state.it].set(elbo_val), 0),
-            last_elbo=sel(state.last_elbo, elbo_val, 0),
-        )
-
-    def cond(state: _PState):
-        return jnp.logical_and(state.it < max_iters,
-                               jnp.logical_not(jnp.all(state.converged)))
-
-    init = _PState(
-        it=jnp.zeros((), jnp.int32),
-        converged=jnp.zeros((B,), bool),
-        gamma=gamma_tbs,
-        pi=pi,
-        elbo=jnp.full((B, max_iters), jnp.nan, dtype),
-        last_elbo=jnp.full((B,), NEG_INF, dtype),
-    )
-    final = jax.lax.while_loop(cond, one_iteration, init)
-
-    # per-recording iteration counts: first NaN slot in the elbo trace
-    n_iters = jnp.sum(jnp.logical_not(jnp.isnan(final.elbo)),
-                      axis=1).astype(jnp.int32)
-    g_out = jnp.transpose(final.gamma, (1, 0, 2))
-    # speaker model recomputed from the FINAL responsibilities (one extra
-    # M-step): the scan paths return the model of the crossing iteration
-    # (computed from the previous gamma); both are valid converged models
-    # and agree to within the convergence tolerance
-    invL_f, alpha_f = vmapped_m_step(g_out, rho, phi, fa_over_fb)
-    return VBxResult(g_out, final.pi, final.elbo, n_iters, alpha_f, invL_f)
 
 
 @functools.partial(
@@ -459,8 +339,10 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     n_iters = jnp.sum(jnp.logical_not(jnp.isnan(final.elbo)),
                       axis=1).astype(jnp.int32)
     g_out = jnp.transpose(final.gamma, (2, 0, 1))     # [B, T, S]
-    # final speaker model recomputed from the final responsibilities (see
-    # _vbx_batched_pallas_jit for why this matches the scan paths)
+    # speaker model recomputed from the FINAL responsibilities (one extra
+    # M-step): the scan paths return the model of the crossing iteration
+    # (computed from the previous gamma); both are valid converged models
+    # and agree to within the convergence tolerance
     invL_f, alpha_f = m_step(final.gamma)
     return VBxResult(g_out, final.pi, final.elbo, n_iters, alpha_f, invL_f)
 
@@ -518,11 +400,12 @@ def vbx_batched(
         fb_impl = "structured"
     if fb_impl == "pallas":
         interpret = jax.default_backend() == "cpu"
-        # batch on lanes once it fills a lane tile's worth of sublane
-        # blocks; below that the [T, B, S->128] layout pads less
-        fn = (_vbx_batched_pallas_sb_jit if gamma.shape[0] > 16
-              else _vbx_batched_pallas_jit)
-        return fn(
+        # one engine for every B: the speakers-on-sublanes layout keeps all
+        # per-recording reductions on independent lanes, so a recording's
+        # result is bit-identical regardless of batch size or position
+        # (small B pays lane padding, but small B is not the throughput
+        # regime)
+        return _vbx_batched_pallas_sb_jit(
             X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
             jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
             jnp.float32(epsilon), max_iters=max_iters, interpret=interpret)

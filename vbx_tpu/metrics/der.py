@@ -131,11 +131,12 @@ def score_recording(
     # JER (computed below without collars) must also see only in-UEM time
     ref_turns = _clip_turns(ref_turns, scored)
     sys_turns = _clip_turns(sys_turns, scored)
-    # merge same-speaker adjacent/overlapping turns BEFORE deriving collar
-    # cuts and overlap regions (dscore/md-eval merge_turns): an internal
-    # boundary between two contiguous same-speaker reference segments is
-    # not a real speaker-change and must not spawn a no-score collar, nor
-    # must a same-speaker self-overlap count as overlapped speech
+    # merge STRICTLY-OVERLAPPING same-speaker turns BEFORE deriving collar
+    # cuts and overlap regions (dscore/md-eval merge_turns): a same-speaker
+    # self-overlap must not count as overlapped speech or double-scored
+    # time, but exactly-adjacent same-speaker turns KEEP their boundary —
+    # md-eval still places a no-score collar there (see _merge_same_speaker
+    # docstring; reproduces the published golden 7.06 exactly)
     ref_turns = _merge_same_speaker(ref_turns)
     sys_turns = _merge_same_speaker(sys_turns)
     # speaker inventories AFTER the UEM trim: a speaker with no in-UEM

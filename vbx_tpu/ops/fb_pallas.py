@@ -13,10 +13,24 @@ outside. bhat rows carry an arbitrary per-frame scale (gamma/pi_stat are
 scale-invariant in bhat — do not compare bhat against the sequential
 smoother directly).
 
-Layout: [T, B, S_pad] time-major so each frame step reads one
-[B_blk, S_pad] tile; batch on sublanes (blocks of 8), speakers padded to
-128 lanes. Padded speaker lanes carry w == 0, so they contribute exactly
-nothing to any sum (parity with the masked sequential path).
+Two layouts, both time-major, both with a FUSED bidirectional kernel as
+the default (forward and backward recursions advance in the same
+sequential walk — half the step count of the two-pass form; per-frame
+normalizers are reconstructed outside in one fused XLA pass):
+
+- `fb_scan_pallas_sb` — [T, S_pad8, B_pad128]: speakers on SUBLANES
+  (padded to a multiple of 8), batch on lanes. ~4x less VMEM/HBM traffic
+  at diarization-typical S~32, no shifted-w copy (the backward pass
+  carries its block-boundary frame in scratch between grid steps), and
+  every per-recording reduction is per-lane, so a recording's result is
+  bit-identical regardless of batch size/position. The engine's pallas
+  path (engine.vbhmm._vbx_batched_pallas_sb_jit).
+- `fb_scan_pallas` — [T, B_blk, S_pad128]: batch on sublanes (blocks of
+  8/16/32 via _pick_blocks), speakers padded to 128 lanes. The general
+  [T, B, S] API; also keeps the original two-pass kernels (fused=False).
+
+Padded speaker entries carry w == 0, so they contribute exactly nothing
+to any sum (parity with the masked sequential path).
 
 Padding of the FRAME axis needs no in-kernel masking at all: padded frames
 (always a suffix) get UNIFORM emission weights. Going forward nothing valid
