@@ -172,6 +172,43 @@ def test_batched_engine_pallas_sb_matches_structured():
                                    np.asarray(ref.pi[b]), atol=1e-4)
 
 
+def test_pallas_engine_result_is_batchsize_independent():
+    """A recording's pallas-engine result must not depend on the batch it
+    rides in beyond float-rounding noise: same iteration count, and gamma/
+    pi equal to well below the pallas-vs-structured parity tolerance.
+    (Exact bit-equality does NOT hold: XLA blocks the einsums
+    shape-dependently, so summation order varies with B; measured ~1e-5
+    drift after 6 EM iterations.)"""
+    T, S, D = 60, 6, 10
+    rng = np.random.default_rng(3)
+    X1, phi, G1, PI1 = random_vb_problem(rng, T, S, D)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=6, epsilon=1e-6,
+              fb_impl="pallas")
+
+    def run(B, pos):
+        X = np.stack([random_vb_problem(rng, T, S, D)[0]
+                      for _ in range(B)]).astype(np.float32)
+        G = np.stack([random_vb_problem(rng, T, S, D)[2]
+                      for _ in range(B)]).astype(np.float32)
+        X[pos], G[pos] = X1, G1
+        PI = np.broadcast_to(PI1, (B, S)).astype(np.float32)
+        r = vbx_batched(jnp.asarray(X), jnp.asarray(phi, jnp.float32),
+                        jnp.asarray(G), jnp.asarray(PI),
+                        jnp.ones((B, T), bool), jnp.ones((B, S), bool),
+                        **kw)
+        return (np.asarray(r.gamma[pos]), np.asarray(r.pi[pos]),
+                int(r.n_iters[pos]))
+
+    g_solo, pi_solo, n_solo = run(1, 0)
+    for B, pos in ((4, 2), (20, 0), (20, 19)):
+        g, pi, n = run(B, pos)
+        assert n == n_solo, (B, pos)
+        np.testing.assert_allclose(g, g_solo, atol=5e-5,
+                                   err_msg=f"B={B} pos={pos}")
+        np.testing.assert_allclose(pi, pi_solo, atol=5e-5,
+                                   err_msg=f"B={B} pos={pos}")
+
+
 def test_batched_engine_pallas_matches_structured():
     B, T, S, D = 3, 70, 5, 12
     rng = np.random.default_rng(1)

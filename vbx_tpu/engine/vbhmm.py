@@ -400,11 +400,11 @@ def vbx_batched(
         fb_impl = "structured"
     if fb_impl == "pallas":
         interpret = jax.default_backend() == "cpu"
-        # one engine for every B: the speakers-on-sublanes layout keeps all
-        # per-recording reductions on independent lanes, so a recording's
-        # result is bit-identical regardless of batch size or position
-        # (small B pays lane padding, but small B is not the throughput
-        # regime)
+        # one engine for every B (small B pays lane padding, but small B is
+        # not the throughput regime). A recording's result is batch-size-
+        # independent up to float rounding (XLA blocks the einsums shape-
+        # dependently; tests bound the drift at ~1e-5) — for bit-exact
+        # batched==streaming behavior use the default 'structured' path.
         return _vbx_batched_pallas_sb_jit(
             X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
             jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
