@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -214,8 +214,10 @@ def diarize_ark(
             out.recording = rec
             outputs[rec] = out
     else:
+        stage_log: Dict[str, Any] = {}
         outputs = _diarize_batched(diar, recs, max_batch_frames, verbose,
-                                   fb_impl=fb_impl)
+                                   fb_impl=fb_impl, stage_log=stage_log)
+        runlog.write({"event": "stages", **stage_log})
 
     for rec, seg_names, x_raw in recs:
         names, times = segs_dict[rec]
@@ -245,13 +247,19 @@ def diarize_ark(
 
 def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                      verbose: bool, init_workers: int = 8,
-                     fb_impl: Optional[str] = None
+                     fb_impl: Optional[str] = None,
+                     stage_log: Optional[Dict[str, Any]] = None,
                      ) -> Dict[str, DiarizationOutput]:
     """Bucketed-padded batched VB over all recordings. The host init chain
     (f64 transform + cosine + calibration + native linkage) runs across a
     thread pool — BLAS and the ctypes linkage release the GIL, so corpus
     initialization parallelizes across cores while the VB EM runs as one
-    batched device program per bucket."""
+    batched device program per bucket.
+
+    `stage_log`, if given, is filled with wall-clock stage timings
+    (init_s, vb_s, per-bucket shapes) — surfaced via the runlog 'stages'
+    event for corpus-run observability."""
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
     cfg = diar.config
@@ -265,11 +273,16 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             print(rec)
         return rec, fea, qinit, phi
 
+    t0 = _time.perf_counter()
     with ThreadPoolExecutor(max_workers=init_workers) as pool:
         results = list(pool.map(prep, recs))
     prepped = [(rec, fea, qinit) for rec, fea, qinit, _ in results]
     phi = results[0][3]
+    if stage_log is not None:
+        stage_log["init_s"] = round(_time.perf_counter() - t0, 3)
+        stage_log["buckets"] = []
 
+    t_vb = _time.perf_counter()
     outputs: Dict[str, DiarizationOutput] = {}
     for bucket in pad_to_buckets(
             [(fea.shape[0], qinit.shape[1]) for _, fea, qinit in prepped],
@@ -299,6 +312,10 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         q_all = np.asarray(res.gamma)
         iters = np.asarray(res.n_iters)
         elbos = np.asarray(res.elbo)
+        if stage_log is not None:
+            stage_log["buckets"].append(
+                {"B": B, "T_pad": T_pad, "S_pad": S_pad,
+                 "max_iters_run": int(iters.max())})
         for bi, i in enumerate(idxs):
             rec, fea, qinit = prepped[i]
             T, S = qinit.shape
@@ -310,4 +327,6 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 labels2nd=(order[:, 1].astype(np.int32) if S > 1 else None),
                 n_speakers=len(np.unique(order[:, 0])),
                 n_iters=int(iters[bi]), elbo=elbos[bi], gamma=None)
+    if stage_log is not None:
+        stage_log["vb_s"] = round(_time.perf_counter() - t_vb, 3)
     return outputs
