@@ -133,3 +133,58 @@ def test_binned_calibration_matches_exact():
     binned = two_gmm_calib_lin_binned(big)
     exact_big = two_gmm_calib_lin_np(big)
     assert abs(binned - exact_big) < 1e-7, (binned, exact_big)
+
+
+def test_blocked_cosine_path_matches_full():
+    """The long-recording blocked cosine sweep (streamed histogram moments
+    + condensed build, engine.ahc._blocked_cosine_condensed_and_thr) must
+    reproduce the full-materialization path: threshold to ~1e-10 and final
+    AHC labels identical. (The condensed entries may differ by a few ulp —
+    BLAS blocks the row-block matmul differently than the full matmul.)"""
+    import vbx_tpu.engine.ahc as ahc
+    from vbx_tpu.clustering import (
+        fcluster_by_distance, linkage, squareform_condensed)
+    from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
+
+    rng = np.random.default_rng(11)
+    N, D, K = 700, 64, 5
+    centers = rng.standard_normal((K, D))
+    x = centers[rng.integers(0, K, N)] + 0.9 * rng.standard_normal((N, D))
+    x64 = x / np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x64 / np.linalg.norm(x64, axis=1, keepdims=True)
+
+    cond_b, thr_b = ahc._blocked_cosine_condensed_and_thr(xn, blk=128)
+    scr = xn @ xn.T
+    thr_f = two_gmm_calib_lin_binned(scr)
+    cond_f = squareform_condensed(scr, negate=True)
+    assert abs(thr_b - thr_f) < 1e-10, (thr_b, thr_f)
+    np.testing.assert_allclose(cond_b, cond_f, atol=1e-14)
+
+    def cut(cond, thr):
+        Z = linkage(cond, "average")
+        adjust = abs(Z[:, 2].min())
+        Z = Z.copy()
+        Z[:, 2] += adjust
+        return fcluster_by_distance(Z, -(thr - 0.015) + adjust)
+
+    assert np.array_equal(cut(cond_b, thr_b), cut(cond_f, thr_f))
+
+
+def test_native_linkage_matches_scipy_exactly():
+    """The parallel/compact-active-list NN-chain must keep merge-order
+    exactness: identical merge ids/sizes to scipy average linkage (the
+    distances agree to ~1 ulp — scipy factors the Lance-Williams average
+    update differently)."""
+    import scipy.cluster.hierarchy as sch
+    from vbx_tpu.clustering import linkage, squareform_condensed
+
+    rng = np.random.default_rng(12)
+    for n in (40, 333, 900):
+        x = rng.standard_normal((n, 16))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        cond = squareform_condensed(-(x @ x.T))
+        Zn = linkage(cond, "average", backend="native")
+        Zs = sch.linkage(cond, method="average")
+        np.testing.assert_array_equal(Zn[:, :2], Zs[:, :2])
+        np.testing.assert_allclose(Zn[:, 2], Zs[:, 2], rtol=1e-12)
+        np.testing.assert_array_equal(Zn[:, 3], Zs[:, 3])

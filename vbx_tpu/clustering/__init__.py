@@ -39,6 +39,12 @@ def _load_native():
         lib.fcluster_distance.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.hist_moments_f64.restype = ctypes.c_int
+        lib.hist_moments_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -116,6 +122,28 @@ def fcluster_by_distance(Z: np.ndarray, threshold: float,
     if rc != 0:
         raise RuntimeError(f"native fcluster failed with code {rc}")
     return labels
+
+
+def hist_moments(s: np.ndarray, lo: float, scale: float, n_bins: int,
+                 cnt: np.ndarray, ssum: np.ndarray, s2sum: np.ndarray
+                 ) -> bool:
+    """Accumulate per-bin (count, sum, sum-of-squares) of `s` into the given
+    f64 arrays in one native pass (bin = clip(int((v-lo)*scale), 0, n_bins-1)).
+    Returns False if the native library is unavailable (caller falls back
+    to numpy bincounts)."""
+    lib = _load_native()
+    if lib is None:
+        return False
+    s = np.ascontiguousarray(s, dtype=np.float64).reshape(-1)
+    for a in (cnt, ssum, s2sum):
+        assert a.dtype == np.float64 and a.flags.c_contiguous
+    lib.hist_moments_f64(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), s.size,
+        ctypes.c_double(lo), ctypes.c_double(scale), n_bins,
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ssum.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        s2sum.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return True
 
 
 def squareform_condensed(square: np.ndarray, negate: bool = False

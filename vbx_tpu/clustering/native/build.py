@@ -22,8 +22,8 @@ def build(force: bool = False) -> str:
                 and os.path.getmtime(SO) >= os.path.getmtime(SRC)):
             return SO
         cmd = [
-            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            SRC, "-o", SO,
+            "g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
+            "-shared", "-fPIC", SRC, "-o", SO,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)

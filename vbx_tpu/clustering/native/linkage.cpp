@@ -14,13 +14,17 @@
 // Exact for single/complete/average/weighted linkage (all reducible
 // Lance-Williams updates).
 //
-// Build: see build.py (g++ -O3 -shared -fPIC). Called via ctypes.
+// Build: see build.py (g++ -O3 -fopenmp -shared -fPIC). Called via ctypes.
 
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -81,14 +85,21 @@ class UnionFind {
   int64_t next_label_;
 };
 
+// Parallelism thresholds: at ~2 ns/element scans, an OpenMP region only
+// pays for itself above a few thousand active clusters (4-core host).
+constexpr int64_t kParThresh = 8192;
+constexpr int kMaxThreads = 8;
+
 template <typename T>
 int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
   if (n < 1) return 1;
   if (n == 1) return 0;
 
   std::vector<int64_t> cluster_size(n, 1);
-  std::vector<uint8_t> active(n, 1);
-  // Linked list of active clusters for O(active) scans.
+  // Sorted compact list of active clusters: scans touch only live entries
+  // (vs. branch-testing all n flags every merge).
+  std::vector<int32_t> act(n);
+  std::iota(act.begin(), act.end(), 0);
   std::vector<int32_t> chain;
   chain.reserve(n);
 
@@ -96,14 +107,7 @@ int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
   merges.reserve(n - 1);
 
   for (int64_t k = 0; k < n - 1; ++k) {
-    if (chain.empty()) {
-      for (int32_t i = 0; i < n; ++i) {
-        if (active[i]) {
-          chain.push_back(i);
-          break;
-        }
-      }
-    }
+    if (chain.empty()) chain.push_back(act.front());
 
     int32_t a, b;
     for (;;) {
@@ -115,12 +119,55 @@ int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
         best = chain[chain.size() - 2];
         best_d = static_cast<double>(dist[pair_index(n, a, best)]);
       }
-      for (int32_t x = 0; x < n; ++x) {
-        if (!active[x] || x == a) continue;
-        double d = static_cast<double>(dist[pair_index(n, a, x)]);
-        if (best < 0 || d < best_d) {
-          best = x;
-          best_d = d;
+      const int64_t m = static_cast<int64_t>(act.size());
+#ifdef _OPENMP
+      if (m >= kParThresh) {
+        // Per-thread scans over ascending contiguous ranges combined in
+        // thread order with strict '<' reproduce the sequential
+        // lowest-index-on-tie result exactly (determinism matters: the
+        // merge order feeds the AHC cut).
+        int nt = std::min(omp_get_max_threads(), kMaxThreads);
+        int32_t tb[kMaxThreads];
+        double td[kMaxThreads];
+        for (int t = 0; t < kMaxThreads; ++t) tb[t] = -1;
+#pragma omp parallel num_threads(nt)
+        {
+          const int tid = omp_get_thread_num();
+          const int nth = omp_get_num_threads();
+          const int64_t chunk = (m + nth - 1) / nth;
+          const int64_t s = tid * chunk;
+          const int64_t e = std::min<int64_t>(m, s + chunk);
+          int32_t lb = -1;
+          double ld = 0;
+          for (int64_t i = s; i < e; ++i) {
+            const int32_t x = act[i];
+            if (x == a) continue;
+            const double d = static_cast<double>(dist[pair_index(n, a, x)]);
+            if (lb < 0 || d < ld) {
+              lb = x;
+              ld = d;
+            }
+          }
+          tb[tid] = lb;
+          td[tid] = ld;
+        }
+        for (int t = 0; t < kMaxThreads; ++t) {
+          if (tb[t] >= 0 && (best < 0 || td[t] < best_d)) {
+            best = tb[t];
+            best_d = td[t];
+          }
+        }
+      } else
+#endif
+      {
+        for (int64_t i = 0; i < m; ++i) {
+          const int32_t x = act[i];
+          if (x == a) continue;
+          const double d = static_cast<double>(dist[pair_index(n, a, x)]);
+          if (best < 0 || d < best_d) {
+            best = x;
+            best_d = d;
+          }
         }
       }
       b = best;
@@ -136,13 +183,25 @@ int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
 
     int64_t sa = cluster_size[a], sb = cluster_size[b];
     // Keep the merged cluster in slot b (arbitrary; relabeling fixes ids).
-    active[a] = 0;
+    act.erase(std::lower_bound(act.begin(), act.end(), a));
     cluster_size[b] = sa + sb;
 
-    for (int32_t x = 0; x < n; ++x) {
-      if (!active[x] || x == b) continue;
-      double d_xa = static_cast<double>(dist[pair_index(n, x, a)]);
-      double d_xb = static_cast<double>(dist[pair_index(n, x, b)]);
+    const int64_t m = static_cast<int64_t>(act.size());
+    const double dsa = static_cast<double>(sa), dsb = static_cast<double>(sb);
+    const double dsab = static_cast<double>(sa + sb);
+    // Each iteration writes the distinct entry pair(x, b); reads pair(x, a)
+    // are never another iteration's write (a is no longer active) -> safe
+    // to parallelize with identical results. The average update keeps the
+    // exact division (a reciprocal-multiply differs at 1 ulp, which can
+    // flip a near-tie merge and change the AHC cut).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (m >= kParThresh)
+#endif
+    for (int64_t i = 0; i < m; ++i) {
+      const int32_t x = act[i];
+      if (x == b) continue;
+      const double d_xa = static_cast<double>(dist[pair_index(n, x, a)]);
+      const double d_xb = static_cast<double>(dist[pair_index(n, x, b)]);
       double nd;
       switch (method) {
         case kSingle:
@@ -152,14 +211,11 @@ int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
           nd = std::max(d_xa, d_xb);
           break;
         case kAverage:
-          nd = (static_cast<double>(sa) * d_xa + static_cast<double>(sb) * d_xb)
-               / static_cast<double>(sa + sb);
+          nd = (dsa * d_xa + dsb * d_xb) / dsab;
           break;
-        case kWeighted:
+        default:  // kWeighted (method validated by the caller)
           nd = 0.5 * (d_xa + d_xb);
           break;
-        default:
-          return 2;
       }
       dist[pair_index(n, x, b)] = static_cast<T>(nd);
     }
@@ -193,6 +249,25 @@ extern "C" {
 int nn_chain_linkage_f64(double* dist, int64_t n, int32_t method,
                          double* out_z) {
   return nn_chain_linkage_impl<double>(dist, n, method, out_z);
+}
+
+// Single-pass histogram moments: per-bin count, sum, sum-of-squares of s.
+// Feeds the binned 2-GMM calibration EM (ops/calibration.py) without the
+// three separate numpy bincount passes. Accumulates into the caller's
+// arrays (callers stream blocks through).
+int hist_moments_f64(const double* s, int64_t n, double lo, double scale,
+                     int64_t n_bins, double* cnt, double* sum,
+                     double* sumsq) {
+  for (int64_t i = 0; i < n; ++i) {
+    const double v = s[i];
+    int64_t idx = static_cast<int64_t>((v - lo) * scale);
+    if (idx < 0) idx = 0;
+    if (idx >= n_bins) idx = n_bins - 1;
+    cnt[idx] += 1.0;
+    sum[idx] += v;
+    sumsq[idx] += v * v;
+  }
+  return 0;
 }
 
 int nn_chain_linkage_f32(float* dist, int64_t n, int32_t method,

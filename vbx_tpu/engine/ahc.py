@@ -51,11 +51,15 @@ def ahc_labels(
     if n == 1:
         return np.zeros(1, dtype=np.int32)
 
+    condensed = thr = None
     if similarity == "cosine":
         if compute_backend == "host":
             x64 = np.asarray(x, dtype=np.float64)
             xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True)) + 1e-32)
-            scr_mx = xn @ xn.T
+            if n >= _BLOCKED_MIN_N:
+                condensed, thr = _blocked_cosine_condensed_and_thr(xn)
+            else:
+                scr_mx = xn @ xn.T
         else:
             scr_mx = np.asarray(cos_similarity(jnp.asarray(x)))
     elif similarity == "plda":
@@ -66,11 +70,11 @@ def ahc_labels(
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
 
-    # utterance-specific calibration threshold over all N^2 scores
-    # (vbhmm.py:137), in f64 on host for cut-threshold parity.
-    thr = two_gmm_calib_lin_binned(scr_mx)
-
-    condensed = squareform_condensed(scr_mx, negate=True)
+    if condensed is None:
+        # utterance-specific calibration threshold over all N^2 scores
+        # (vbhmm.py:137), in f64 on host for cut-threshold parity.
+        thr = two_gmm_calib_lin_binned(scr_mx)
+        condensed = squareform_condensed(scr_mx, negate=True)
     Z = linkage(condensed, method="average", backend=linkage_backend)
     # shift distances nonnegative exactly as the reference does
     # (vbhmm.py:143-146) so the cut threshold transforms identically
@@ -80,6 +84,57 @@ def ahc_labels(
     labels = fcluster_by_distance(Z, -(thr + threshold_bias) + adjust,
                                   backend=linkage_backend)
     return labels.astype(np.int32)
+
+
+# Blocked path cutoff: below this the full N x N materialization is cheap
+# and the exact (unbinned) calibration applies anyway (calibration.py
+# falls back to exact EM for N^2 <= 2^22, i.e. N <= 2048).
+_BLOCKED_MIN_N = 4096
+_COSINE_BINS = 1 << 20
+
+
+def _blocked_cosine_condensed_and_thr(
+        xn: np.ndarray, blk: int = 512) -> Tuple[np.ndarray, float]:
+    """Long-recording cosine AHC front half without materializing N x N:
+    stream row blocks of xn @ xn.T, accumulating (a) the full-matrix score
+    histogram moments for the binned 2-GMM calibration (reference parity:
+    vbhmm.py:137 calibrates over ALL N^2 entries incl. the diagonal and
+    both triangles) and (b) the negated upper triangle into the condensed
+    distance vector. One pass over the N^2 scores, peak memory O(blk * N).
+
+    Bins are fixed to the cosine range [-1, 1] (scores are exactly bounded
+    after l2 normalization) rather than data-tight — with exact per-bin
+    moments the threshold differs from the data-tight binning at ~1e-8,
+    far below any merge-decision scale."""
+    from vbx_tpu.clustering import hist_moments
+    from vbx_tpu.ops.calibration import two_gmm_calib_from_moments
+
+    N = xn.shape[0]
+    cond = np.empty(N * (N - 1) // 2, np.float64)
+    nb = _COSINE_BINS
+    lo, hi = -1.0, 1.0
+    scale = nb / (hi - lo)
+    cnt = np.zeros(nb)
+    ssum = np.zeros(nb)
+    s2sum = np.zeros(nb)
+    o = 0
+    for i0 in range(0, N, blk):
+        i1 = min(i0 + blk, N)
+        S = xn[i0:i1] @ xn.T                       # [b, N] f64
+        if not hist_moments(S, lo, scale, nb, cnt, ssum, s2sum):
+            flat = S.reshape(-1)
+            idx = np.minimum(((flat - lo) * scale).astype(np.int64), nb - 1)
+            np.maximum(idx, 0, out=idx)
+            cnt += np.bincount(idx, minlength=nb)
+            ssum += np.bincount(idx, weights=flat, minlength=nb)
+            s2sum += np.bincount(idx, weights=flat * flat, minlength=nb)
+        for i in range(i0, i1):
+            m = N - i - 1
+            if m > 0:
+                np.negative(S[i - i0, i + 1:], out=cond[o:o + m])
+                o += m
+    thr = two_gmm_calib_from_moments(cnt, ssum, s2sum)
+    return cond, thr
 
 
 def smooth_labels_to_gamma(labels: np.ndarray, smoothing: float,

@@ -126,6 +126,21 @@ def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
     return _weighted_em_threshold(np.ones(s.size), s, s * s, s, niters)
 
 
+def two_gmm_calib_from_moments(cnt, ssum, s2sum, niters: int = 20) -> float:
+    """Binned 2-GMM calibration threshold from pre-accumulated per-bin
+    moments (count, sum, sum-of-squares) — the streaming form of
+    `two_gmm_calib_lin_binned` for callers that histogram scores
+    block-by-block without materializing them (engine.ahc blocked cosine
+    path). Empty bins are ignored; each bin's EM statistics use its exact
+    moments, so the result is second-order-exact in the bin width."""
+    import numpy as np
+
+    cnt = np.asarray(cnt, np.float64)
+    nz = cnt > 0
+    cnt, ssum, s2sum = cnt[nz], np.asarray(ssum)[nz], np.asarray(s2sum)[nz]
+    return _weighted_em_threshold(cnt, ssum, s2sum, ssum / cnt, niters)
+
+
 def two_gmm_calib_lin_binned(scores, niters: int = 20,
                              n_bins: int = 1 << 20) -> float:
     """Histogram-accelerated host f64 calibration for long recordings.
