@@ -145,6 +145,9 @@ def bench_tpu(fea, phi, qinit, hp):
 
 
 def main():
+    from vbx_tpu.utils.compile_cache import enable as enable_compile_cache
+    cache = enable_compile_cache()
+    log(f"compilation cache: {cache}")
     hp = {"Fa": 0.3, "Fb": 17.0, "loopP": 0.99}   # run_example.sh:30-34
     fea, phi, qinit = prepare_inputs()
     log(f"workload: T={fea.shape[0]} S={qinit.shape[1]} D={fea.shape[1]}")

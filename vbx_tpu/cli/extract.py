@@ -54,6 +54,8 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     args = build_parser().parse_args(argv)
 
+    from vbx_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     from vbx_tpu.models.resnet import load_torch_checkpoint
     model, variables = load_torch_checkpoint(
         args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim)

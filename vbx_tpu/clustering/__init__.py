@@ -45,6 +45,8 @@ def _load_native():
             ctypes.c_double, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double)]
+        lib.linkage_set_threads.restype = None
+        lib.linkage_set_threads.argtypes = [ctypes.c_int]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -122,6 +124,15 @@ def fcluster_by_distance(Z: np.ndarray, threshold: float,
     if rc != 0:
         raise RuntimeError(f"native fcluster failed with code {rc}")
     return labels
+
+
+def set_native_threads(n: int) -> None:
+    """Cap the native linkage OpenMP team size (process-global; no-op if
+    the native library is unavailable). The corpus pipeline sets 1 while
+    its init thread pool is active and restores the core count after."""
+    lib = _load_native()
+    if lib is not None:
+        lib.linkage_set_threads(int(n))
 
 
 def hist_moments(s: np.ndarray, lo: float, scale: float, n_bins: int,

@@ -251,6 +251,18 @@ int nn_chain_linkage_f64(double* dist, int64_t n, int32_t method,
   return nn_chain_linkage_impl<double>(dist, n, method, out_z);
 }
 
+// Cap the OpenMP team size for the linkage loops (process-global). The
+// corpus pipeline sets 1 while its per-recording init thread pool is
+// active (pool workers x OMP teams would oversubscribe the host), and
+// restores the core count for single-recording latency afterwards.
+void linkage_set_threads(int n) {
+#ifdef _OPENMP
+  omp_set_num_threads(n < 1 ? 1 : n);
+#else
+  (void)n;
+#endif
+}
+
 // Single-pass histogram moments: per-bin count, sum, sum-of-squares of s.
 // Feeds the binned 2-GMM calibration EM (ops/calibration.py) without the
 // three separate numpy bincount passes. Accumulates into the caller's

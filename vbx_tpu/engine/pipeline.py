@@ -177,8 +177,10 @@ def diarize_ark(
     """
     import time as _time
 
+    from vbx_tpu.utils.compile_cache import enable as _enable_compile_cache
     from vbx_tpu.utils.runlog import RunLog
 
+    _enable_compile_cache()
     diar = Diarizer.from_files(config, plda_file, transform_file)
     segs_dict = read_xvector_timing_dict(segments_file)
     os.makedirs(out_rttm_dir, exist_ok=True)
@@ -273,9 +275,28 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             print(rec)
         return rec, fea, qinit, phi
 
+    from vbx_tpu.clustering import set_native_threads
+
+    # parallelism across recordings, not within: pool workers x per-call
+    # OpenMP teams oversubscribe the host, so the native linkage runs
+    # single-threaded inside the pool (restored after for single-recording
+    # latency elsewhere in the process)
+    n_workers = min(init_workers, len(recs), os.cpu_count() or init_workers)
     t0 = _time.perf_counter()
-    with ThreadPoolExecutor(max_workers=init_workers) as pool:
-        results = list(pool.map(prep, recs))
+    if n_workers > 1:
+        set_native_threads(1)
+    try:
+        import contextlib
+        try:
+            from threadpoolctl import threadpool_limits
+            blas_ctx = threadpool_limits(limits=1, user_api="blas")
+        except ImportError:
+            blas_ctx = contextlib.nullcontext()
+        with blas_ctx, ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(prep, recs))
+    finally:
+        if n_workers > 1:
+            set_native_threads(os.cpu_count() or 1)
     prepped = [(rec, fea, qinit) for rec, fea, qinit, _ in results]
     phi = results[0][3]
     if stage_log is not None:

@@ -19,17 +19,18 @@ def round_up(x: int, multiple: int) -> int:
 
 def bucket_shape(t: int, s: int, t_quantum: int = 256,
                  s_quantum: int = 8) -> Tuple[int, int]:
-    """Round (T, S) to a bucket: T to the next power-of-two-ish step
-    (1, 1.5, or 2 x a power of two, quantized), S to a multiple of
-    s_quantum. Keeps the compiled-shape count logarithmic in the T range."""
+    """Round T up to a power of two (floored at t_quantum), S to a multiple
+    of s_quantum. Buckets are deliberately coarse — one per OCTAVE of T:
+    each distinct shape costs an XLA compile (tens of seconds through the
+    tunnel) while a padded frame costs microseconds of batched VB compute,
+    so a 2x worst-case pad is far cheaper than a second compile. (A
+    previous finer 256-step quantization put an 18-meeting AMI-scale corpus
+    into 11 shapes: ~11 compiles dominated the corpus wall time.)"""
     t = max(t, 1)
     tq = t_quantum
     while tq < t:
-        if int(tq * 1.5) >= t:
-            tq = int(tq * 1.5)
-            break
         tq *= 2
-    return round_up(min(tq, round_up(t, t_quantum)), t_quantum), round_up(max(s, 1), s_quantum)
+    return tq, round_up(max(s, 1), s_quantum)
 
 
 def pad_to_buckets(
