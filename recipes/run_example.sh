@@ -5,9 +5,10 @@
 # Stage 1 of the reference (ONNX x-vector extraction) needs the released
 # final.onnx weights, which the reference snapshot does not ship
 # (SURVEY.md C14); like the reference's own fallback, this recipe consumes
-# the precomputed x-vectors in exp/ES2005a.{ark,seg}. When a torch
-# checkpoint IS available, extract with:
-#   python -m vbx_tpu.cli.extract --weights <ckpt.pth> \
+# the precomputed x-vectors in exp/ES2005a.{ark,seg}. When weights ARE
+# available (torch .pth or exported .onnx — both import first-party,
+# no onnxruntime), extract with:
+#   python -m vbx_tpu.cli.extract --weights <ckpt.pth|final.onnx> \
 #     --in-file-list list.txt --in-wav-dir example/audios/16k \
 #     --in-lab-dir example/vad --out-ark-fn exp/ES2005a.ark \
 #     --out-seg-fn exp/ES2005a.seg

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from vbx_tpu.io.ark import (group_by_recording, iter_vec_ark, read_vec_ark,
-                            recording_of_key, write_vec_ark)
+                            read_txt_vectors, recording_of_key,
+                            write_txt_vectors, write_vec_ark)
 from vbx_tpu.io.plda import read_plda, rediagonalize_plda
 from vbx_tpu.io.rttm import (merge_adjacent_labels, read_rttm,
                              segment_to_frame_labels, write_rttm)
@@ -32,6 +33,21 @@ def test_ark_roundtrip(tmp_path):
     assert [k for k, _ in back] == [k for k, _ in data]
     for (_, a), (_, b) in zip(data, back):
         np.testing.assert_array_equal(a, b)
+
+
+def test_txt_vectors_roundtrip(tmp_path):
+    """Text-format vector surface (reference predict.py:56-65): sorted
+    keys, `name  [ v ... ]` lines."""
+    rng = np.random.default_rng(3)
+    data = {"b_0002": rng.standard_normal(4), "a_0001": rng.standard_normal(4)}
+    p = tmp_path / "v.txt"
+    write_txt_vectors(str(p), data)
+    lines = p.read_text().splitlines()
+    assert [ln.split()[0] for ln in lines] == ["a_0001", "b_0002"]
+    assert lines[0].startswith("a_0001  [ ") and lines[0].endswith(" ]")
+    back = read_txt_vectors(str(p))
+    for k in data:
+        np.testing.assert_allclose(back[k], data[k], rtol=1e-15)
 
 
 def test_ark_reads_reference_file():

@@ -1,0 +1,180 @@
+"""First-party ONNX weight import vs torch.onnx exports of the reference
+model (predict.py:126-129 runs final.onnx through onnxruntime; here the
+.onnx file is a weight source for the Flax/XLA model).
+
+Exports of the reference ResNet (models/resnet.py) are produced in-process
+with torch.onnx.export and round-tripped through vbx_tpu.io.onnx +
+vbx_tpu.models.onnx_import; embeddings must match the torch eval forward.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
+                               reason="reference not mounted")
+torch = pytest.importorskip("torch")
+
+
+def _ref_resnet():
+    sys.path.insert(0, f"{REF}/VBx")
+    import models.resnet as ref_resnet
+    return ref_resnet
+
+
+@pytest.fixture(autouse=True)
+def _no_onnxscript_postpass(monkeypatch):
+    """torch.onnx.export's final pass re-parses the proto with the `onnx`
+    package (absent in this image) only to splice in custom onnxscript
+    functions — a no-op for these plain CNN graphs. Skip it."""
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    monkeypatch.setattr(onnx_proto_utils, "_add_onnxscript_fn",
+                        lambda model_bytes, custom_opsets: model_bytes)
+
+
+def _export(tmp_path, torch_model, feat_dim, name, **export_kw):
+    """torch.onnx.export the model (fresh input tensor: the reference
+    forward unsqueeze_()s its argument in place)."""
+    path = str(tmp_path / name)
+    dummy = torch.randn(1, feat_dim, 24)
+    torch.onnx.export(torch_model, (dummy,), path, dynamo=False,
+                      input_names=["feats"], output_names=["embedding"],
+                      dynamic_axes={"feats": {0: "B", 2: "T"}},
+                      **export_kw)
+    return path
+
+
+def _roundtrip(tmp_path, block, num_blocks, m_channels, feat_dim, embed_dim,
+               seed, name, **export_kw):
+    from vbx_tpu.models.onnx_import import load_onnx_checkpoint
+
+    ref = _ref_resnet()
+    torch.manual_seed(seed)
+    tm = ref.ResNet(getattr(ref, block), num_blocks, m_channels=m_channels,
+                    feat_dim=feat_dim, embed_dim=embed_dim)
+    tm.eval()
+    path = _export(tmp_path, tm, feat_dim, name, **export_kw)
+
+    model, variables = load_onnx_checkpoint(path, feat_dim=feat_dim)
+    assert model.embed_dim == embed_dim
+    assert model.num_blocks == tuple(num_blocks)
+    assert model.m_channels == m_channels
+
+    rng = np.random.default_rng(seed)
+    feat = rng.standard_normal((2, feat_dim, 40)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tm(torch.tensor(feat.copy())).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(feat)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs,
+                               atol=2e-4 * np.abs(theirs).max())
+
+
+@needs_ref
+def test_bottleneck_onnx_roundtrip(tmp_path):
+    """ResNet101-family (Bottleneck) export, BN constant-folded into convs
+    with anonymized initializer names — the released final.onnx shape."""
+    _roundtrip(tmp_path, "Bottleneck", [1, 1, 1, 1], 8, 32, 64,
+               seed=0, name="bottleneck.onnx")
+
+
+@needs_ref
+def test_basicblock_onnx_roundtrip(tmp_path):
+    """ResNet34-family (BasicBlock) export with a multi-block layer (only
+    block 0 of each layer carries stride/projection)."""
+    _roundtrip(tmp_path, "BasicBlock", [2, 1, 1, 1], 8, 32, 64,
+               seed=1, name="basic.onnx")
+
+
+@needs_ref
+def test_unfolded_batchnorm_graph(tmp_path):
+    """Exports that keep BatchNormalization nodes (training-mode export)
+    must import identically to the eval forward: the importer reads the
+    node's scale/bias/running-stat initializers directly."""
+    from vbx_tpu.io.onnx import read_onnx
+
+    ref = _ref_resnet()
+    torch.manual_seed(2)
+    tm = ref.ResNet(ref.Bottleneck, [1, 1, 1, 1], m_channels=8,
+                    feat_dim=32, embed_dim=64)
+    tm.eval()
+    # Give BN stats a non-trivial value so folding errors would show
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    path = _export(tmp_path, tm, 32, "unfolded.onnx",
+                   training=torch.onnx.TrainingMode.TRAINING,
+                   do_constant_folding=False)
+    g = read_onnx(path).graph
+    assert any(n.op_type == "BatchNormalization" for n in g.nodes), \
+        "export unexpectedly folded BN; test needs regeneration"
+
+    from vbx_tpu.models.onnx_import import load_onnx_checkpoint
+    model, variables = load_onnx_checkpoint(path, feat_dim=32)
+    rng = np.random.default_rng(2)
+    feat = rng.standard_normal((2, 32, 40)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tm(torch.tensor(feat.copy())).numpy()
+    ours = np.asarray(model.apply(variables, jnp.asarray(feat)))
+    np.testing.assert_allclose(ours, theirs,
+                               atol=2e-4 * np.abs(theirs).max())
+
+
+@needs_ref
+def test_extract_cli_onnx_backend(tmp_path):
+    """`vbx-tpu-extract --backend onnx` end-to-end: wav + lab -> ark + seg
+    through the imported ONNX weights (reference surface
+    predict.py:96-97,126-129)."""
+    from vbx_tpu.cli.extract import main as extract_main
+    from vbx_tpu.io.ark import read_vec_ark
+    from vbx_tpu.io.wav import write_wav
+
+    ref = _ref_resnet()
+    torch.manual_seed(4)
+    # feat_dim 64: the fbank front-end is fixed at 64 mel channels
+    # (features.py fbank_config, reference predict.py:172-174)
+    tm = ref.ResNet(ref.Bottleneck, [1, 1, 1, 1], m_channels=8,
+                    feat_dim=64, embed_dim=64)
+    tm.eval()
+    onnx_path = _export(tmp_path, tm, 64, "small.onnx")
+
+    fs = 16000
+    rng = np.random.default_rng(4)
+    write_wav(str(tmp_path / "recA.wav"),
+              rng.uniform(-0.5, 0.5, 3 * fs), fs)
+    (tmp_path / "recA.lab").write_text("0.10 2.80 sp\n")
+    (tmp_path / "list.txt").write_text("recA\n")
+
+    rc = extract_main([
+        "--backend", "onnx",
+        "--weights", onnx_path, "--ndim", "64", "--embed-dim", "64",
+        "--in-file-list", str(tmp_path / "list.txt"),
+        "--in-lab-dir", str(tmp_path), "--in-wav-dir", str(tmp_path),
+        "--out-ark-fn", str(tmp_path / "x.ark"),
+        "--out-seg-fn", str(tmp_path / "x.seg"),
+        "--batch-size", "4"])
+    assert rc == 0
+    vecs = read_vec_ark(str(tmp_path / "x.ark"))
+    assert len(vecs) > 0
+    assert next(iter(vecs.values())).shape == (64,)
+
+
+@needs_ref
+def test_wrong_feat_dim_rejected(tmp_path):
+    from vbx_tpu.models.onnx_import import load_onnx_checkpoint
+
+    ref = _ref_resnet()
+    torch.manual_seed(3)
+    tm = ref.ResNet(ref.Bottleneck, [1, 1, 1, 1], m_channels=8,
+                    feat_dim=32, embed_dim=64)
+    tm.eval()
+    path = _export(tmp_path, tm, 32, "dim.onnx")
+    with pytest.raises(ValueError, match="feat_dim"):
+        load_onnx_checkpoint(path, feat_dim=64)

@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="ResNet101",
                    choices=["ResNet101", "ResNet34"])
     p.add_argument("--weights", required=True, type=str,
-                   help="torch .pth/.pt checkpoint (reference format)")
+                   help="torch .pth/.pt checkpoint or exported .onnx "
+                        "(reference formats)")
     p.add_argument("--model-file", type=str, default=None,
                    help="ignored (architecture selected via --model)")
     p.add_argument("--ndim", type=int, default=64)
@@ -39,10 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--in-wav-dir", required=True, type=str)
     p.add_argument("--out-ark-fn", required=True, type=str)
     p.add_argument("--out-seg-fn", required=True, type=str)
-    p.add_argument("--backend", default="jax", choices=["jax", "pytorch"],
-                   help="'pytorch' is accepted for reference-recipe "
-                        "compatibility and maps to the JAX model with "
-                        "converted weights")
+    p.add_argument("--backend", default="jax",
+                   choices=["jax", "pytorch", "onnx"],
+                   help="'pytorch' and 'onnx' are accepted for "
+                        "reference-recipe compatibility (predict.py:96-97); "
+                        "both map to the JAX model with imported weights "
+                        "('onnx' reads the .onnx graph first-party, no "
+                        "onnxruntime)")
     p.add_argument("--sample-rate", type=int, default=16000,
                    choices=[8000, 16000])
     p.add_argument("--batch-size", type=int, default=64,
@@ -56,12 +60,21 @@ def main(argv=None) -> int:
 
     from vbx_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
-    from vbx_tpu.models.resnet import load_torch_checkpoint
-    model, variables = load_torch_checkpoint(
-        args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim)
-    if args.model == "ResNet34":
-        from vbx_tpu.models.resnet import resnet34
-        model = resnet34(args.ndim, args.embed_dim)
+    if args.backend == "onnx" or args.weights.endswith(".onnx"):
+        from vbx_tpu.models.onnx_import import load_onnx_checkpoint
+        model, variables = load_onnx_checkpoint(
+            args.weights, feat_dim=args.ndim)
+        if model.embed_dim != args.embed_dim:
+            raise SystemExit(
+                f"--embed-dim {args.embed_dim} != ONNX model embedding "
+                f"width {model.embed_dim}")
+    else:
+        from vbx_tpu.models.resnet import load_torch_checkpoint
+        model, variables = load_torch_checkpoint(
+            args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim)
+        if args.model == "ResNet34":
+            from vbx_tpu.models.resnet import resnet34
+            model = resnet34(args.ndim, args.embed_dim)
 
     cfg = ExtractorConfig(feat_dim=args.ndim, embed_dim=args.embed_dim,
                           seg_len=args.seg_len, seg_jump=args.seg_jump)

@@ -86,6 +86,30 @@ def write_vec_ark(path_or_fd, data: Iterable[Tuple[str, np.ndarray]]) -> None:
             _write(fd)
 
 
+def write_txt_vectors(path: str, data: Dict[str, np.ndarray]) -> None:
+    """Write vectors in Kaldi text format, sorted by key (reference surface
+    predict.py:56-65): `<key>  [ v0 v1 ... ]` per line."""
+    with open(path, "w") as f:
+        for name in sorted(data):
+            vals = " ".join(str(x) for x in np.asarray(data[name]).ravel())
+            f.write(f"{name}  [ {vals} ]\n")
+
+
+def read_txt_vectors(path: str) -> Dict[str, np.ndarray]:
+    """Read the text-format vectors written by write_txt_vectors."""
+    out: Dict[str, np.ndarray] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            key, rest = line.split(None, 1)
+            body = rest[rest.index("[") + 1:rest.rindex("]")]
+            out[key] = np.asarray([float(x) for x in body.split()],
+                                  dtype=np.float64)
+    return out
+
+
 def recording_of_key(key: str) -> str:
     """Recording name for an x-vector key (reference: vbhmm.py:119 groups by
     key.rsplit('_', 1)[0])."""
