@@ -25,7 +25,6 @@ from vbx_tpu.io.plda import read_plda, rediagonalize_plda
 from vbx_tpu.io.rttm import merge_adjacent_labels, write_rttm
 from vbx_tpu.io.segments import read_xvector_timing_dict
 from vbx_tpu.io.transform import read_xvec_transform
-from vbx_tpu.utils.bucketing import pad_to_buckets
 
 
 @dataclasses.dataclass
@@ -252,65 +251,60 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                      fb_impl: Optional[str] = None,
                      stage_log: Optional[Dict[str, Any]] = None,
                      ) -> Dict[str, DiarizationOutput]:
-    """Bucketed-padded batched VB over all recordings. The host init chain
-    (f64 transform + cosine + calibration + native linkage) runs across a
-    thread pool — BLAS and the ctypes linkage release the GIL, so corpus
-    initialization parallelizes across cores while the VB EM runs as one
-    batched device program per bucket.
+    """Bucketed-padded batched VB over all recordings, pipelined against the
+    host init chain. The init chain (f64 transform + cosine + calibration +
+    native linkage) runs across a thread pool — BLAS and the ctypes linkage
+    release the GIL, so corpus initialization parallelizes across cores. As
+    recordings finish initializing, (T, S)-bucket chunks are dispatched to
+    the device eagerly in doubling sizes (B = 1, 1, 2, 4, 8, ... up to the
+    frame-budget cap) — XLA dispatch is asynchronous, so the batched VB EM
+    executes *under* the remaining host init instead of after it, while the
+    doubling schedule keeps the set of compiled (B, T_pad, S_pad) shapes
+    logarithmic (and the persistent compile cache amortizes them across
+    runs). Result fetches are deferred to the end, with a bounded number of
+    unawaited chunks so queued input buffers can't accumulate in HBM.
 
-    `stage_log`, if given, is filled with wall-clock stage timings
-    (init_s, vb_s, per-bucket shapes) — surfaced via the runlog 'stages'
-    event for corpus-run observability."""
+    Chunk composition depends on init completion order, which is fine: the
+    batched engine is batch-composition-independent (bit-comparable for the
+    default engine, tolerance-bounded for the pallas path — see
+    tests/test_engine.py and tests/test_pallas.py).
+
+    `stage_log`, if given, is filled with wall-clock stage timings: init_s
+    (pool wall), vb_s (device work still exposed after init finished),
+    vb_chunks_overlapped (chunks dispatched while init was running), and
+    per-bucket shapes — surfaced via the runlog 'stages' event."""
     import time as _time
-    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor, as_completed
+
+    from vbx_tpu.utils.bucketing import bucket_shape
 
     cfg = diar.config
+    n = len(recs)
 
-    def prep(item):
-        rec, _, x_raw = item
+    def prep(i):
+        rec, _, x_raw = recs[i]
         x = diar.transform_xvectors(x_raw)
         labels = diar.initial_labels(x)
         fea, phi, qinit = diar.vb_inputs(x, labels)
         if verbose:
             print(rec)
-        return rec, fea, qinit, phi
+        return i, rec, fea, qinit, phi
 
     from vbx_tpu.clustering import set_native_threads
 
-    # parallelism across recordings, not within: pool workers x per-call
-    # OpenMP teams oversubscribe the host, so the native linkage runs
-    # single-threaded inside the pool (restored after for single-recording
-    # latency elsewhere in the process)
-    n_workers = min(init_workers, len(recs), os.cpu_count() or init_workers)
-    t0 = _time.perf_counter()
-    if n_workers > 1:
-        set_native_threads(1)
-    try:
-        import contextlib
-        try:
-            from threadpoolctl import threadpool_limits
-            blas_ctx = threadpool_limits(limits=1, user_api="blas")
-        except ImportError:
-            blas_ctx = contextlib.nullcontext()
-        with blas_ctx, ThreadPoolExecutor(max_workers=n_workers) as pool:
-            results = list(pool.map(prep, recs))
-    finally:
-        if n_workers > 1:
-            set_native_threads(os.cpu_count() or 1)
-    prepped = [(rec, fea, qinit) for rec, fea, qinit, _ in results]
-    phi = results[0][3]
-    if stage_log is not None:
-        stage_log["init_s"] = round(_time.perf_counter() - t0, 3)
-        stage_log["buckets"] = []
+    prepped: List[Optional[Tuple[str, np.ndarray, np.ndarray]]] = [None] * n
+    phi: Optional[np.ndarray] = None
+    pending: Dict[Tuple[int, int], List[int]] = {}
+    next_chunk: Dict[Tuple[int, int], int] = {}  # doubling launch size/key
+    launched = []          # (idxs, T_pad, S_pad, res) in dispatch order
+    unawaited = deque()    # dispatched chunks not yet known-complete
+    max_unawaited = 2      # bounds device memory: inputs of a queued chunk
+    #                        stay alive until its execution finishes
 
-    t_vb = _time.perf_counter()
-    outputs: Dict[str, DiarizationOutput] = {}
-    for bucket in pad_to_buckets(
-            [(fea.shape[0], qinit.shape[1]) for _, fea, qinit in prepped],
-            max_batch_frames=max_batch_frames):
-        idxs, T_pad, S_pad = bucket
+    def launch(idxs: List[int], T_pad: int, S_pad: int) -> None:
         B = len(idxs)
-        D = prepped[0][1].shape[1]
+        D = prepped[idxs[0]][1].shape[1]
         X = np.zeros((B, T_pad, D), dtype=diar.dtype)
         G = np.zeros((B, T_pad, S_pad), dtype=diar.dtype)
         PI = np.zeros((B, S_pad), dtype=diar.dtype)
@@ -330,12 +324,64 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
             max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
             fb_impl=fb_impl)
+        launched.append((idxs, T_pad, S_pad, res))
+        unawaited.append(res)
+        while len(unawaited) > max_unawaited:
+            unawaited.popleft().gamma.block_until_ready()
+
+    # parallelism across recordings, not within: pool workers x per-call
+    # OpenMP teams oversubscribe the host, so the native linkage runs
+    # single-threaded inside the pool (restored after for single-recording
+    # latency elsewhere in the process)
+    n_workers = min(init_workers, n, os.cpu_count() or init_workers)
+    t0 = _time.perf_counter()
+    n_overlapped = 0
+    if n_workers > 1:
+        set_native_threads(1)
+    try:
+        import contextlib
+        try:
+            from threadpoolctl import threadpool_limits
+            blas_ctx = threadpool_limits(limits=1, user_api="blas")
+        except ImportError:
+            blas_ctx = contextlib.nullcontext()
+        with blas_ctx, ThreadPoolExecutor(max_workers=n_workers) as pool:
+            futures = [pool.submit(prep, i) for i in range(n)]
+            for fut in as_completed(futures):
+                i, rec, fea, qinit, p = fut.result()
+                prepped[i] = (rec, fea, qinit)
+                if phi is None:
+                    phi = p
+                key = bucket_shape(fea.shape[0], qinit.shape[1])
+                pending.setdefault(key, []).append(i)
+                per_batch = max(1, max_batch_frames // key[0])
+                want = min(next_chunk.get(key, 1), per_batch)
+                if len(pending[key]) >= want:
+                    # dispatch now, under the remaining init; double the
+                    # next chunk so compiled B values stay logarithmic
+                    launch(pending.pop(key), *key)
+                    next_chunk[key] = min(max(2 * want, 2), per_batch)
+                    n_overlapped += 1
+    finally:
+        if n_workers > 1:
+            set_native_threads(os.cpu_count() or 1)
+    if stage_log is not None:
+        stage_log["init_s"] = round(_time.perf_counter() - t0, 3)
+        stage_log["vb_chunks_overlapped"] = n_overlapped
+        stage_log["buckets"] = []
+
+    t_vb = _time.perf_counter()
+    for (T_pad, S_pad), idxs in sorted(pending.items()):
+        launch(idxs, T_pad, S_pad)
+
+    outputs: Dict[str, DiarizationOutput] = {}
+    for idxs, T_pad, S_pad, res in launched:
         q_all = np.asarray(res.gamma)
         iters = np.asarray(res.n_iters)
         elbos = np.asarray(res.elbo)
         if stage_log is not None:
             stage_log["buckets"].append(
-                {"B": B, "T_pad": T_pad, "S_pad": S_pad,
+                {"B": len(idxs), "T_pad": T_pad, "S_pad": S_pad,
                  "max_iters_run": int(iters.max())})
         for bi, i in enumerate(idxs):
             rec, fea, qinit = prepped[i]
