@@ -14,6 +14,7 @@ import dataclasses
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -287,13 +288,25 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         x = diar.transform_xvectors(x_raw)
         labels = diar.initial_labels(x)
         fea, phi, qinit = diar.vb_inputs(x, labels)
+        T, S = qinit.shape
+        key = bucket_shape(T, S)
+        # pad to the bucket shape here; the main thread uploads it as soon
+        # as this prep completes, so the host->device transfer (the
+        # dominant corpus byte volume) overlaps the remaining init work
+        # instead of serializing behind it at dispatch time
+        Xi = np.zeros((key[0], fea.shape[1]), dtype=diar.dtype)
+        Gi = np.zeros(key, dtype=diar.dtype)
+        Xi[:T] = fea
+        Gi[:T, :S] = qinit
         if verbose:
             print(rec)
-        return i, rec, fea, qinit, phi
+        return i, rec, T, S, key, Xi, Gi, phi
 
     from vbx_tpu.clustering import set_native_threads
 
-    prepped: List[Optional[Tuple[str, np.ndarray, np.ndarray]]] = [None] * n
+    # per index: [rec, T, S, fea_dev, g_dev]; device refs nulled at launch
+    # so HBM holds only pending + in-flight chunks, not the whole corpus
+    prepped: List[Optional[list]] = [None] * n
     phi: Optional[np.ndarray] = None
     pending: Dict[Tuple[int, int], List[int]] = {}
     next_chunk: Dict[Tuple[int, int], int] = {}  # doubling launch size/key
@@ -304,23 +317,20 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
 
     def launch(idxs: List[int], T_pad: int, S_pad: int) -> None:
         B = len(idxs)
-        D = prepped[idxs[0]][1].shape[1]
-        X = np.zeros((B, T_pad, D), dtype=diar.dtype)
-        G = np.zeros((B, T_pad, S_pad), dtype=diar.dtype)
+        X = jnp.stack([prepped[i][3] for i in idxs])
+        G = jnp.stack([prepped[i][4] for i in idxs])
         PI = np.zeros((B, S_pad), dtype=diar.dtype)
         FM = np.zeros((B, T_pad), dtype=bool)
         SM = np.zeros((B, S_pad), dtype=bool)
         for bi, i in enumerate(idxs):
-            _, fea, qinit = prepped[i]
-            T, S = qinit.shape
-            X[bi, :T] = fea
-            G[bi, :T, :S] = qinit
+            _, T, S, _, _ = prepped[i]
             PI[bi, :S] = 1.0 / S
             FM[bi, :T] = True
             SM[bi, :S] = True
+            prepped[i][3] = prepped[i][4] = None
         res = vbx_batched(
-            jnp.asarray(X), jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
-            jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
+            X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
+            G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
             loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
             max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
             fb_impl=fb_impl)
@@ -348,11 +358,14 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         with blas_ctx, ThreadPoolExecutor(max_workers=n_workers) as pool:
             futures = [pool.submit(prep, i) for i in range(n)]
             for fut in as_completed(futures):
-                i, rec, fea, qinit, p = fut.result()
-                prepped[i] = (rec, fea, qinit)
+                i, rec, T, S, key, Xi, Gi, p = fut.result()
+                # upload from the (otherwise idle) main thread so the
+                # transfer overlaps pool init compute without blocking a
+                # pool worker on device I/O
+                prepped[i] = [rec, T, S,
+                              jax.device_put(Xi), jax.device_put(Gi)]
                 if phi is None:
                     phi = p
-                key = bucket_shape(fea.shape[0], qinit.shape[1])
                 pending.setdefault(key, []).append(i)
                 per_batch = max(1, max_batch_frames // key[0])
                 want = min(next_chunk.get(key, 1), per_batch)
@@ -384,8 +397,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 {"B": len(idxs), "T_pad": T_pad, "S_pad": S_pad,
                  "max_iters_run": int(iters.max())})
         for bi, i in enumerate(idxs):
-            rec, fea, qinit = prepped[i]
-            T, S = qinit.shape
+            rec, T, S, _, _ = prepped[i]
             q = q_all[bi, :T, :S]
             order = np.argsort(-q, axis=1)
             outputs[rec] = DiarizationOutput(
