@@ -33,6 +33,48 @@ def _split_ark(tmp_path):
 
 
 @needs_ref
+def test_streamed_chunking_multi_bucket(tmp_path):
+    """The eager doubling-chunk dispatcher (launches at B=1,1,2,4,... as
+    init completes, leftovers after the pool) must reproduce the streaming
+    path across many recordings spanning several (T, S) buckets."""
+    vecs = list(iter_vec_ark(f"{REF}/exp/ES2005a.ark"))
+    segs = read_segments(f"{REF}/exp/ES2005a.seg")
+    # 7 recordings with lengths in two T-octaves (<=256 and <=512), forcing
+    # multiple doubling launches in the big bucket plus a leftover chunk
+    sizes = [120, 130, 140, 150, 300, 310, 160]
+    out_vecs, out_rows, pos = [], [], 0
+    for r, sz in enumerate(sizes):
+        rec = f"rec{r}"
+        for j in range(sz):
+            key, v = vecs[pos % len(vecs)]
+            sname, _, s, e = segs[pos % len(segs)]
+            out_vecs.append((f"{rec}_{j:04d}", v))
+            out_rows.append((f"{rec}_{j:04d}", rec, s, e))
+            pos += 1
+    write_vec_ark(str(tmp_path / "many.ark"), out_vecs)
+    write_segments(str(tmp_path / "many.seg"), out_rows)
+    cfg = get_preset("example")
+    kw = dict(config=cfg,
+              plda_file=f"{REF}/VBx/models/ResNet101_16kHz/plda",
+              transform_file=f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+              verbose=False)
+    out_b = diarize_ark(str(tmp_path / "many.ark"), str(tmp_path / "many.seg"),
+                        str(tmp_path / "b"), batch=True, **kw)
+    out_s = diarize_ark(str(tmp_path / "many.ark"), str(tmp_path / "many.seg"),
+                        str(tmp_path / "s"), batch=False, **kw)
+    assert set(out_b) == {f"rec{r}" for r in range(len(sizes))}
+    for rec in out_b:
+        # padding T/S to the bucket shape changes XLA reduction order, so
+        # the f32 ELBO can quantize across the epsilon stop one iteration
+        # apart (same effect as PARITY deviation 3); the fixed point and
+        # labels must agree, which is what guards the chunk routing
+        assert abs(out_b[rec].n_iters - out_s[rec].n_iters) <= 1, rec
+        rb = open(tmp_path / "b" / f"{rec}.rttm").read()
+        rs = open(tmp_path / "s" / f"{rec}.rttm").read()
+        assert rb == rs, rec
+
+
+@needs_ref
 def test_batched_equals_streaming(tmp_path):
     ark, seg = _split_ark(tmp_path)
     cfg = get_preset("example")
