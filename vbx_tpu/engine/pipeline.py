@@ -257,13 +257,14 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
     native linkage) runs across a thread pool — BLAS and the ctypes linkage
     release the GIL, so corpus initialization parallelizes across cores. As
     recordings finish initializing, (T, S)-bucket chunks are dispatched to
-    the device eagerly in doubling sizes (B = 1, 1, 2, 4, 8, ... up to the
+    the device eagerly in doubling sizes (B = 1, 2, 4, 8, ... up to the
     frame-budget cap) — XLA dispatch is asynchronous, so the batched VB EM
     executes *under* the remaining host init instead of after it, while the
     doubling schedule keeps the set of compiled (B, T_pad, S_pad) shapes
     logarithmic (and the persistent compile cache amortizes them across
-    runs). Result fetches are deferred to the end, with a bounded number of
-    unawaited chunks so queued input buffers can't accumulate in HBM.
+    runs). Results are fetched to host lazily — oldest chunk first once
+    more than a bounded number are in flight, the rest at the end — so
+    neither queued inputs nor finished gammas accumulate in HBM.
 
     Chunk composition depends on init completion order, which is fine: the
     batched engine is batch-composition-independent (bit-comparable for the
@@ -300,7 +301,9 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         Gi[:T, :S] = qinit
         if verbose:
             print(rec)
-        return i, rec, T, S, key, Xi, Gi, phi
+        # mutable payload: the main thread clears it after unpacking so
+        # the Future doesn't pin a padded copy of the corpus in host RAM
+        return [i, rec, T, S, key, Xi, Gi, phi]
 
     from vbx_tpu.clustering import set_native_threads
 
@@ -310,10 +313,19 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
     phi: Optional[np.ndarray] = None
     pending: Dict[Tuple[int, int], List[int]] = {}
     next_chunk: Dict[Tuple[int, int], int] = {}  # doubling launch size/key
-    launched = []          # (idxs, T_pad, S_pad, res) in dispatch order
-    unawaited = deque()    # dispatched chunks not yet known-complete
-    max_unawaited = 2      # bounds device memory: inputs of a queued chunk
-    #                        stay alive until its execution finishes
+    launched: List[Dict[str, Any]] = []   # chunk entries in dispatch order
+    unawaited = deque()    # chunk entries whose results are still on device
+    max_unawaited = 2      # bounds device memory: a queued chunk's inputs
+    #                        and gamma stay alive until it is fetched
+
+    def fetch(entry: Dict[str, Any]) -> None:
+        """Pull a chunk's results to host and drop the device buffers, so
+        HBM never holds more than max_unawaited chunks of gamma/inputs."""
+        res = entry.pop("res", None)
+        if res is not None:
+            entry["q"] = np.asarray(res.gamma)
+            entry["iters"] = np.asarray(res.n_iters)
+            entry["elbos"] = np.asarray(res.elbo)
 
     def launch(idxs: List[int], T_pad: int, S_pad: int) -> None:
         B = len(idxs)
@@ -334,10 +346,11 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
             max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
             fb_impl=fb_impl)
-        launched.append((idxs, T_pad, S_pad, res))
-        unawaited.append(res)
+        entry = {"idxs": idxs, "T_pad": T_pad, "S_pad": S_pad, "res": res}
+        launched.append(entry)
+        unawaited.append(entry)
         while len(unawaited) > max_unawaited:
-            unawaited.popleft().gamma.block_until_ready()
+            fetch(unawaited.popleft())
 
     # parallelism across recordings, not within: pool workers x per-call
     # OpenMP teams oversubscribe the host, so the native linkage runs
@@ -358,12 +371,15 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         with blas_ctx, ThreadPoolExecutor(max_workers=n_workers) as pool:
             futures = [pool.submit(prep, i) for i in range(n)]
             for fut in as_completed(futures):
-                i, rec, T, S, key, Xi, Gi, p = fut.result()
+                payload = fut.result()
+                i, rec, T, S, key, Xi, Gi, p = payload
+                payload.clear()   # release the Future's pin on Xi/Gi
                 # upload from the (otherwise idle) main thread so the
                 # transfer overlaps pool init compute without blocking a
                 # pool worker on device I/O
                 prepped[i] = [rec, T, S,
                               jax.device_put(Xi), jax.device_put(Gi)]
+                del Xi, Gi
                 if phi is None:
                     phi = p
                 pending.setdefault(key, []).append(i)
@@ -388,10 +404,10 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         launch(idxs, T_pad, S_pad)
 
     outputs: Dict[str, DiarizationOutput] = {}
-    for idxs, T_pad, S_pad, res in launched:
-        q_all = np.asarray(res.gamma)
-        iters = np.asarray(res.n_iters)
-        elbos = np.asarray(res.elbo)
+    for entry in launched:
+        fetch(entry)
+        idxs, T_pad, S_pad = entry["idxs"], entry["T_pad"], entry["S_pad"]
+        q_all, iters, elbos = entry["q"], entry["iters"], entry["elbos"]
         if stage_log is not None:
             stage_log["buckets"].append(
                 {"B": len(idxs), "T_pad": T_pad, "S_pad": S_pad,
@@ -406,6 +422,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 labels2nd=(order[:, 1].astype(np.int32) if S > 1 else None),
                 n_speakers=len(np.unique(order[:, 0])),
                 n_iters=int(iters[bi]), elbo=elbos[bi], gamma=None)
+        entry.clear()   # drop this chunk's fetched arrays as we go
     if stage_log is not None:
         stage_log["vb_s"] = round(_time.perf_counter() - t_vb, 3)
     return outputs

@@ -151,8 +151,8 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
     t = OnnxTensor()
     dims: List[int] = []
     floats: List[bytes] = []
-    int32s: List[bytes] = []
-    int64s: List[bytes] = []
+    int32s: List[int] = []
+    int64s: List[int] = []
     doubles: List[bytes] = []
     raw = b""
     for fnum, wtype, val in _fields(buf):
@@ -165,10 +165,16 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
             t.data_type = val
         elif fnum == 4:         # float_data (packed fixed32 floats)
             floats.append(val if wtype == 2 else struct.pack("<I", val))
-        elif fnum == 5:         # int32_data (varints)
-            int32s.append(val if wtype == 2 else bytes([val]))
+        elif fnum == 5:         # int32_data (varints, packed or not)
+            if wtype == 2:
+                int32s.extend(_packed_varints(val))
+            else:
+                int32s.append(_zigzag_ok_int64(val))
         elif fnum == 7:         # int64_data
-            int64s.append(val if wtype == 2 else bytes([val]))
+            if wtype == 2:
+                int64s.extend(_packed_varints(val))
+            else:
+                int64s.append(_zigzag_ok_int64(val))
         elif fnum == 8:
             t.name = val.decode()
         elif fnum == 9:
@@ -190,9 +196,14 @@ def _parse_tensor(buf: bytes) -> OnnxTensor:
     elif doubles:
         arr = np.frombuffer(b"".join(doubles), dtype="<f8").astype(dt)
     elif int64s:
-        arr = np.asarray(_packed_varints(b"".join(int64s)), dtype=dt)
+        arr = np.asarray(int64s, dtype=dt)
     elif int32s:
-        arr = np.asarray(_packed_varints(b"".join(int32s)), dtype=dt)
+        if dt == np.dtype("<f2"):
+            # FLOAT16 rides int32_data as raw uint16 bit patterns
+            # (onnx.proto TensorProto.int32_data docs), not as values
+            arr = np.asarray(int32s, dtype="<u2").view("<f2")
+        else:
+            arr = np.asarray(int32s, dtype=dt)
     else:
         arr = np.empty(0, dtype=dt)
     t.array = arr.reshape(t.dims) if t.dims else arr

@@ -72,6 +72,21 @@ def _collect(graph: OnnxGraph
             strides = tuple(n.attrs.get("strides", [1, 1]))
             if n.attrs.get("group", 1) != 1:
                 raise ValueError("grouped convolutions not in this family")
+            # the Flax model hardcodes torch-ResNet padding (k//2 per side)
+            # and unit dilation; a graph deviating from that would load
+            # with matching shapes but compute different activations, so
+            # reject it here rather than import silently wrong
+            kh, kw = np.asarray(w).shape[2:]
+            auto_pad = n.attrs.get("auto_pad", b"NOTSET")
+            if auto_pad not in (b"NOTSET", "NOTSET"):
+                raise ValueError(f"unsupported Conv auto_pad {auto_pad!r}")
+            pads = tuple(n.attrs.get("pads", [kh // 2, kw // 2] * 2))
+            if pads != (kh // 2, kw // 2, kh // 2, kw // 2):
+                raise ValueError(
+                    f"Conv pads {pads} != torch-ResNet convention "
+                    f"{(kh // 2, kw // 2, kh // 2, kw // 2)}")
+            if tuple(n.attrs.get("dilations", [1, 1])) != (1, 1):
+                raise ValueError("dilated convolutions not in this family")
             spec = _ConvSpec(weight=np.asarray(w), bias=b,
                              strides=strides, bn=None)
             convs.append(spec)
@@ -94,6 +109,10 @@ def _collect(graph: OnnxGraph
                     n.attrs.get("alpha", 1.0) != 1.0 or \
                     n.attrs.get("beta", 1.0) != 1.0:
                 raise ValueError("unsupported Gemm attributes")
+            if gemm_w is not None:
+                raise ValueError(
+                    "multiple Gemm nodes; the x-vector family has exactly "
+                    "one embedding layer")
             gemm_w = np.asarray(init[alias.get(n.inputs[1], n.inputs[1])])
             gemm_b = np.asarray(init[alias.get(n.inputs[2], n.inputs[2])])
     if gemm_w is None:
@@ -112,8 +131,14 @@ def _conv_params(spec: _ConvSpec) -> Tuple[Dict, Dict, Dict]:
     kernel = np.transpose(spec.weight, (2, 3, 1, 0))   # OIHW -> HWIO
     out_ch = spec.weight.shape[0]
     if spec.bn is not None:
+        # an unfolded BN normalizes (conv + conv_bias); the Flax conv is
+        # bias-free, so fold the conv bias into the running mean:
+        # BN(z + b) == BN'(z) with mean' = mean - b
+        mean = np.asarray(spec.bn["mean"])
+        if spec.bias is not None:
+            mean = mean - np.asarray(spec.bias)
         bn_p = {"scale": spec.bn["scale"], "bias": spec.bn["bias"]}
-        bn_s = {"mean": spec.bn["mean"], "var": spec.bn["var"]}
+        bn_s = {"mean": mean, "var": spec.bn["var"]}
     else:
         bias = spec.bias if spec.bias is not None else \
             np.zeros(out_ch, np.float32)
