@@ -114,25 +114,56 @@ def _blocked_cosine_condensed_and_thr(
     nb = _COSINE_BINS
     lo, hi = -1.0, 1.0
     scale = nb / (hi - lo)
+    # upper-triangle-only sweep: the matrix is symmetric, so each block
+    # computes rows x columns[i0:] only (half the dgemm flops and half the
+    # histogram traffic of the full-row form); strict-upper moments are
+    # doubled and the diagonal counted once, reproducing the reference's
+    # all-N^2-entries calibration (vbhmm.py:137). Mirror entries can
+    # differ from an explicitly computed lower triangle by BLAS summation
+    # order (~1 ulp) — far below the ~1e-8 binning tolerance above.
     cnt = np.zeros(nb)
     ssum = np.zeros(nb)
     s2sum = np.zeros(nb)
-    o = 0
-    for i0 in range(0, N, blk):
-        i1 = min(i0 + blk, N)
-        S = xn[i0:i1] @ xn.T                       # [b, N] f64
-        if not hist_moments(S, lo, scale, nb, cnt, ssum, s2sum):
-            flat = S.reshape(-1)
+
+    def hist(arr):
+        nonlocal cnt, ssum, s2sum
+        if not hist_moments(arr, lo, scale, nb, cnt, ssum, s2sum):
+            flat = arr.reshape(-1)
             idx = np.minimum(((flat - lo) * scale).astype(np.int64), nb - 1)
             np.maximum(idx, 0, out=idx)
             cnt += np.bincount(idx, minlength=nb)
             ssum += np.bincount(idx, weights=flat, minlength=nb)
             s2sum += np.bincount(idx, weights=flat * flat, minlength=nb)
-        for i in range(i0, i1):
-            m = N - i - 1
-            if m > 0:
-                np.negative(S[i - i0, i + 1:], out=cond[o:o + m])
-                o += m
+
+    diag = np.empty(N, np.float64)
+    tri = np.empty(blk * (blk - 1) // 2, np.float64)
+    o = 0
+    for i0 in range(0, N, blk):
+        i1 = min(i0 + blk, N)
+        b = i1 - i0
+        xb = xn[i0:i1]
+        St = xb @ xb.T                             # [b, b] diagonal block
+        Sr = xb @ xn[i1:].T if i1 < N else None    # [b, N - i1] strict upper
+        if Sr is not None:
+            hist(Sr)                               # contiguous, one pass
+        to = 0
+        for li in range(b):
+            i = i0 + li
+            diag[i] = St[li, li]
+            row_tri = St[li, li + 1:]              # in-block strict upper
+            tri[to:to + row_tri.size] = row_tri
+            to += row_tri.size
+            np.negative(row_tri, out=cond[o:o + row_tri.size])
+            o += row_tri.size
+            if Sr is not None:
+                np.negative(Sr[li], out=cond[o:o + Sr.shape[1]])
+                o += Sr.shape[1]
+        if to:
+            hist(tri[:to])
+    cnt *= 2.0
+    ssum *= 2.0
+    s2sum *= 2.0
+    hist(diag)
     thr = two_gmm_calib_from_moments(cnt, ssum, s2sum)
     return cond, thr
 
