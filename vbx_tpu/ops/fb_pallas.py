@@ -189,7 +189,8 @@ def _fused_kernel(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
 
 
 def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
-                     ahat_ref, bhat_ref, fcarry_ref, bcarry_ref, wsave_ref):
+                     ahat_ref, bhat_ref, cfw_ref,
+                     fcarry_ref, bcarry_ref, wsave_ref):
     """Speakers-on-SUBLANES variant of _fused_kernel: tiles are
     [S_pad8, B_pad128] so the speaker axis pads to a multiple of 8 instead
     of 128 lanes — ~4x less VMEM/HBM traffic at diarization-typical S~32 —
@@ -197,7 +198,10 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
     reads w[t+1] inside its own block and carries the block-boundary frame
     between grid steps in wsave_ref (chunks walk in reverse, so the frame
     needed at the top of chunk c is chunk c+1's first frame, saved on the
-    previous grid step). Reductions are sublane sums (axis 0 of the tile)."""
+    previous grid step). Reductions are sublane sums (axis 0 of the tile).
+    The forward normalizer c is emitted per frame on a narrow [8, Bp] tile
+    (sublane-broadcast; lane-dim stores must be 128-aligned) so callers
+    never re-derive it with an extra full-[T,S,B] pass."""
     k = pl.program_id(0)
     Tc = wf_ref.shape[0]
     lp = lp_ref[0, 0]
@@ -223,6 +227,7 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
                         jnp.float32(_TINY))
         af = a / c
         ahat_ref[i] = af
+        cfw_ref[i] = jnp.broadcast_to(c, cfw_ref.shape[1:])
 
         j = Tc - 1 - i
         w_next = jnp.where(i == 0, w_boundary,
@@ -266,7 +271,10 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     # overhead leaves the compiler comfortable slack (observed: the
     # compiler accounts more than the naive 8*block sum at large Bp)
     frame_bytes = Sp * Bp * 4
-    t_chunk = max(1, ((13 << 20) - 7 * frame_bytes) // (8 * frame_bytes))
+    # per-frame VMEM: four double-buffered [Sp, Bp] streams (two w views,
+    # ahat, bhat) + the double-buffered [8, Bp] cfw row
+    t_chunk = max(1, ((13 << 20) - 7 * frame_bytes)
+                  // (8 * frame_bytes + 2 * 8 * Bp * 4))
     Tp = _round_up(T, t_chunk)
     nt = Tp // t_chunk
 
@@ -291,7 +299,7 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     def bcast2(kk):
         return (0, 0)
 
-    ahat, bhat = pl.pallas_call(
+    ahat, bhat, cfw_b = pl.pallas_call(
         _fused_kernel_sb,
         grid=(nt,),
         in_specs=[
@@ -308,10 +316,13 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_chunk, Sp, Bp), rchunk3,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, 8, Bp), chunk3,
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Tp, Sp, Bp), jnp.float32),
             jax.ShapeDtypeStruct((Tp, Sp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 8, Bp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Sp, Bp), jnp.float32),
                         pltpu.VMEM((Sp, Bp), jnp.float32),
@@ -321,11 +332,7 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
 
     ahat_s = ahat[:T, :S, :B]
     bhat_s = bhat[:T, :S, :B]
-    # forward normalizers reconstructed outside (see fb_scan_pallas)
-    prev = jnp.concatenate(
-        [jnp.broadcast_to(pinit[None].astype(jnp.float32), (1, S, B)),
-         loop_prob * ahat_s[:-1] + col[None].astype(jnp.float32)], axis=0)
-    cfw = jnp.maximum(jnp.sum(wu * prev, axis=1), jnp.float32(_TINY))
+    cfw = cfw_b[:T, 0, :B]
     return ahat_s, bhat_s, cfw
 
 
