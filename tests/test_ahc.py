@@ -188,3 +188,29 @@ def test_native_linkage_matches_scipy_exactly():
         np.testing.assert_array_equal(Zn[:, :2], Zs[:, :2])
         np.testing.assert_allclose(Zn[:, 2], Zs[:, 2], rtol=1e-12)
         np.testing.assert_array_equal(Zn[:, 3], Zs[:, 3])
+
+
+def test_degenerate_identical_scores_calibration_and_ahc():
+    """A one-cluster recording yields identical pairwise scores: the 2-GMM
+    variance is zero and the reference's EM would emit NaN
+    (diarization_lib.py:13-31 divides by the shared variance unguarded);
+    the calibration must instead return the common value and AHC a single
+    cluster — no warnings, finite threshold."""
+    import warnings
+
+    from vbx_tpu.ops.calibration import two_gmm_calib_lin_np
+
+    scores = np.full((50, 50), 0.7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        thr = two_gmm_calib_lin_np(scores)
+    assert np.isfinite(thr) and abs(thr - 0.7) < 1e-12
+
+    rng = np.random.default_rng(5)
+    c = rng.standard_normal(64)
+    x = np.tile(c, (40, 1)) + 1e-9 * rng.standard_normal((40, 64))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        labels = ahc_labels(x, -0.015)
+    assert labels.max() == 0

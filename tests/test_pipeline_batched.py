@@ -75,6 +75,48 @@ def test_streamed_chunking_multi_bucket(tmp_path):
 
 
 @needs_ref
+def test_degenerate_recordings_batched(tmp_path):
+    """Production corpora contain degenerate recordings: a single-speaker
+    file (identical pairwise scores -> zero-variance calibration), a
+    one-x-vector file, a two-frame file. All must flow through the batched
+    path alongside a normal recording, matching the streaming path."""
+    rng = np.random.default_rng(0)
+    vecs, rows = [], []
+    c = rng.standard_normal(256)
+    for j in range(60):
+        v = (c + 0.01 * rng.standard_normal(256)).astype(np.float32)
+        vecs.append((f"rec0_{j:04d}", v))
+        rows.append((f"rec0_{j:04d}", "rec0", j * 0.24, j * 0.24 + 1.44))
+    vecs.append(("rec1_0000", rng.standard_normal(256).astype(np.float32)))
+    rows.append(("rec1_0000", "rec1", 0.0, 1.44))
+    for j in range(2):
+        vecs.append((f"rec2_{j:04d}",
+                     rng.standard_normal(256).astype(np.float32)))
+        rows.append((f"rec2_{j:04d}", "rec2", j * 0.24, j * 0.24 + 1.44))
+    c2 = rng.standard_normal((2, 256))
+    for j in range(80):
+        v = (c2[j // 40] + 0.3 * rng.standard_normal(256)).astype(np.float32)
+        vecs.append((f"rec3_{j:04d}", v))
+        rows.append((f"rec3_{j:04d}", "rec3", j * 0.24, j * 0.24 + 1.44))
+    write_vec_ark(str(tmp_path / "d.ark"), vecs)
+    write_segments(str(tmp_path / "d.seg"), rows)
+    kw = dict(config=get_preset("example"),
+              plda_file=f"{REF}/VBx/models/ResNet101_16kHz/plda",
+              transform_file=f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+              verbose=False)
+    out_b = diarize_ark(str(tmp_path / "d.ark"), str(tmp_path / "d.seg"),
+                        str(tmp_path / "b"), batch=True, **kw)
+    out_s = diarize_ark(str(tmp_path / "d.ark"), str(tmp_path / "d.seg"),
+                        str(tmp_path / "s"), batch=False, **kw)
+    assert {r: o.n_speakers for r, o in out_b.items()} == \
+        {"rec0": 1, "rec1": 1, "rec2": 1, "rec3": 2}
+    for rec in out_b:
+        rb = open(tmp_path / "b" / f"{rec}.rttm").read()
+        rs = open(tmp_path / "s" / f"{rec}.rttm").read()
+        assert rb == rs, rec
+
+
+@needs_ref
 def test_batched_equals_streaming(tmp_path):
     ark, seg = _split_ark(tmp_path)
     cfg = get_preset("example")

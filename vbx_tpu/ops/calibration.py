@@ -91,9 +91,24 @@ def _weighted_em_threshold(cnt, ssum, s2sum, sc, niters: int) -> float:
     sum_s2 = s2sum.sum()
     mean = sum_s / total
     var = sum_s2 / total - mean ** 2
+    if not var > 1e-12 * max(1.0, mean * mean):
+        # degenerate scores (all identical up to rounding — e.g. a
+        # one-cluster recording): the 2-GMM variance is zero modulo float
+        # cancellation and the EM below divides by it (components collapse,
+        # responsibilities saturate, counts hit 0/0); any threshold is
+        # equivalent for such scores, so return the common value. The
+        # reference would emit NaN here (diarization_lib.py:13-31 divides
+        # by the shared variance unguarded). Real score sets sit many
+        # orders above this cutoff (cosine-score var ~1e-2..1e-1).
+        return float(mean)
     weights = np.array([0.5, 0.5])
     means = mean + np.sqrt(var) * np.array([-1.0, 1.0])
     for _ in range(niters):
+        if not var > 1e-12 * max(1.0, mean * mean):
+            # components merged mid-EM (near-degenerate scores): the
+            # shared variance collapsed to ~0 and every division below
+            # degenerates — same fallback as the up-front guard
+            return float(mean)
         d = (means[1] - means[0]) / var
         c = (np.log(weights[1]) - np.log(weights[0])
              - 0.5 * (means[1] ** 2 - means[0] ** 2) / var)
