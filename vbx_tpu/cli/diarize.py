@@ -90,11 +90,14 @@ def config_from_args(args) -> DiarizationConfig:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
-    outputs = diarize_ark(
-        args.xvec_ark_file, args.segments_file, args.out_rttm_dir, cfg,
-        args.plda_file, args.xvec_transform,
-        batch=not args.no_batch, max_batch_frames=args.max_batch_frames,
-        resume=args.resume, runlog_path=args.runlog, fb_impl=args.fb_impl)
+    from vbx_tpu.utils.profiling import trace
+    with trace():   # jax.profiler capture iff VBX_TPU_TRACE_DIR is set
+        outputs = diarize_ark(
+            args.xvec_ark_file, args.segments_file, args.out_rttm_dir, cfg,
+            args.plda_file, args.xvec_transform,
+            batch=not args.no_batch, max_batch_frames=args.max_batch_frames,
+            resume=args.resume, runlog_path=args.runlog,
+            fb_impl=args.fb_impl)
     for rec, out in outputs.items():
         print(f"{rec}: {out.n_speakers} speakers, {out.n_iters} VB "
               f"iterations", file=sys.stderr)

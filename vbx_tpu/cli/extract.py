@@ -85,8 +85,10 @@ def main(argv=None) -> int:
         names = [line.strip() for line in f if line.strip()]
     wavs = [os.path.join(args.in_wav_dir, f"{n}.wav") for n in names]
     labs = [os.path.join(args.in_lab_dir, f"{n}.lab") for n in names]
-    counts = extract_to_ark(wavs, labs, names, args.out_ark_fn,
-                            args.out_seg_fn, extractor)
+    from vbx_tpu.utils.profiling import trace
+    with trace():   # jax.profiler capture iff VBX_TPU_TRACE_DIR is set
+        counts = extract_to_ark(wavs, labs, names, args.out_ark_fn,
+                                args.out_seg_fn, extractor)
     for name, n in counts.items():
         print(f"{name}: {n} x-vectors", file=sys.stderr)
     return 0
