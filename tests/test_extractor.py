@@ -146,3 +146,33 @@ def test_extract_to_ark_roundtrip(tmp_path):
     assert np.all(times[:, 1] > times[:, 0])
     # window hop is 0.24 s
     np.testing.assert_allclose(np.diff(times[:-1, 0]), 0.24, atol=1e-6)
+
+
+def test_bf16_extraction_close_to_f32(tmp_path):
+    """--dtype bfloat16 path: the MXU-native precision must produce
+    embeddings whose cosine agreement with float32 stays > 0.999 (the
+    pipeline length-normalizes embeddings, so direction is what matters)."""
+    import jax.numpy as jnp
+
+    from vbx_tpu.io.ark import read_vec_ark
+
+    _, fm, variables = _small_model()
+    fm16 = ResNetXVector(block=BasicBlock, num_blocks=(1, 1, 1, 1),
+                         feat_dim=64, embed_dim=32, dtype=jnp.bfloat16)
+    fs = 16000
+    rng = np.random.default_rng(11)
+    write_wav(str(tmp_path / "r.wav"), rng.uniform(-0.5, 0.5, 3 * fs), fs)
+    (tmp_path / "r.lab").write_text("0.10 2.80 sp\n")
+    outs = {}
+    for tag, m in (("f32", fm), ("bf16", fm16)):
+        extract_to_ark([str(tmp_path / "r.wav")], [str(tmp_path / "r.lab")],
+                       ["r"], str(tmp_path / f"{tag}.ark"),
+                       str(tmp_path / f"{tag}.seg"),
+                       XVectorExtractor(m, variables, fs, batch_size=4))
+        outs[tag] = read_vec_ark(str(tmp_path / f"{tag}.ark"))
+    assert outs["f32"].keys() == outs["bf16"].keys()
+    for k in outs["f32"]:
+        a, b = outs["f32"][k], outs["bf16"][k]
+        assert np.isfinite(b).all()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999, (k, cos)

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "onnxruntime)")
     p.add_argument("--sample-rate", type=int, default=16000,
                    choices=[8000, 16000])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype; bfloat16 runs the ResNet on "
+                        "the MXU's native precision (embeddings are "
+                        "length-normalized downstream, cosine agreement "
+                        "with float32 > 0.999)")
     p.add_argument("--batch-size", type=int, default=64,
                    help="extraction windows per device batch")
     return p
@@ -60,10 +66,12 @@ def main(argv=None) -> int:
 
     from vbx_tpu.utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.backend == "onnx" or args.weights.endswith(".onnx"):
         from vbx_tpu.models.onnx_import import load_onnx_checkpoint
         model, variables = load_onnx_checkpoint(
-            args.weights, feat_dim=args.ndim)
+            args.weights, feat_dim=args.ndim, dtype=dtype)
         if model.embed_dim != args.embed_dim:
             raise SystemExit(
                 f"--embed-dim {args.embed_dim} != ONNX model embedding "
@@ -71,10 +79,11 @@ def main(argv=None) -> int:
     else:
         from vbx_tpu.models.resnet import load_torch_checkpoint
         model, variables = load_torch_checkpoint(
-            args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim)
+            args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim,
+            dtype=dtype)
         if args.model == "ResNet34":
             from vbx_tpu.models.resnet import resnet34
-            model = resnet34(args.ndim, args.embed_dim)
+            model = resnet34(args.ndim, args.embed_dim, dtype=dtype)
 
     cfg = ExtractorConfig(feat_dim=args.ndim, embed_dim=args.embed_dim,
                           seg_len=args.seg_len, seg_jump=args.seg_jump)
