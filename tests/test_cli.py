@@ -62,3 +62,32 @@ def test_score_cli_missing_sys_recording(tmp_path, capsys):
                if line.startswith("*** OVERALL ***")][0]
     assert float(overall.split("\t")[1]) == pytest.approx(100.0)
     assert "missing" in out.err
+
+
+@needs_assets
+def test_reference_entry_point_aliases(tmp_path):
+    """`python -m vbx_tpu.cli.vbhmm` / `.predict` are drop-in aliases for
+    the reference entry points: the exact flag shapes the reference
+    recipes generate (AMI_run.sh:56, extract.sh:32-34 incl. `--gpus=`)
+    must parse and run."""
+    from vbx_tpu.cli.predict import build_parser as predict_parser
+    from vbx_tpu.cli.vbhmm import main as vbhmm_main
+
+    rc = vbhmm_main([
+        "--init", "AHC+VB",
+        "--out-rttm-dir", str(tmp_path),
+        "--xvec-ark-file", f"{REF}/exp/ES2005a.ark",
+        "--segments-file", f"{REF}/exp/ES2005a.seg",
+        "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
+        "--xvec-transform", f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+        "--threshold", "-0.015", "--init-smoothing", "5.0",
+        "--lda-dim", "128", "--Fa", "0.3", "--Fb", "17", "--loopP", "0.99"])
+    assert rc == 0 and (tmp_path / "ES2005a.rttm").exists()
+
+    args = predict_parser().parse_args([
+        "--seg-len", "144", "--seg-jump", "24", "--model", "ResNet101",
+        "--weights", "w.pth", "--gpus=", "--ndim", "64",
+        "--embed-dim", "256", "--in-file-list", "l.txt",
+        "--in-lab-dir", "lab", "--in-wav-dir", "wav",
+        "--out-ark-fn", "x.ark", "--out-seg-fn", "x.seg"])
+    assert args.seg_len == 144 and args.gpus == ""
