@@ -245,3 +245,20 @@ def test_batched_engine_pallas_matches_structured():
                                    np.asarray(ref.gamma[b]), atol=5e-4)
         np.testing.assert_allclose(np.asarray(out.pi[b]),
                                    np.asarray(ref.pi[b]), atol=1e-4)
+
+
+def test_sb_kernel_rejects_vmem_overflow():
+    """A batch too wide to double-buffer even one-frame chunks must be
+    rejected with a clear error, not an opaque Mosaic lowering failure."""
+    import jax.numpy as jnp
+    import pytest
+
+    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb
+
+    T, S, B = 8, 60, 7700        # S_pad=64, B_pad=7808 -> ~2MiB/frame slot
+    w = jnp.ones((T, S, B), jnp.float32)
+    valid = jnp.ones((T, B), bool)
+    col = jnp.full((S, B), 0.1, jnp.float32)
+    pinit = jnp.full((S, B), 1.0 / S, jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        fb_scan_pallas_sb(w, valid, col, pinit, 0.9, interpret=True)

@@ -66,6 +66,8 @@ def vbx_debug(
     Returns (gamma, pi, List[DebugTrace]). Matches the jitted engine's
     fixed point (same ops modules) while exposing every iteration.
     """
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     X = jnp.asarray(X)
     phi = jnp.asarray(phi, X.dtype)
     gamma = jnp.asarray(gamma, X.dtype)

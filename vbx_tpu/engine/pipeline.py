@@ -279,7 +279,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor, as_completed
 
-    from vbx_tpu.utils.bucketing import bucket_shape
+    from vbx_tpu.utils.bucketing import bucket_shape, chunk_cap
 
     cfg = diar.config
     n = len(recs)
@@ -383,7 +383,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 if phi is None:
                     phi = p
                 pending.setdefault(key, []).append(i)
-                per_batch = max(1, max_batch_frames // key[0])
+                per_batch = chunk_cap(key[0], max_batch_frames)
                 want = min(next_chunk.get(key, 1), per_batch)
                 if len(pending[key]) >= want:
                     # dispatch now, under the remaining init; double the

@@ -23,15 +23,10 @@ import jax
 import jax.numpy as jnp
 
 
-def two_gmm_calib_lin(scores: jax.Array, niters: int = 20) -> jax.Array:
-    """Return the calibration threshold for flattened scores.
-
-    Matches the reference fixed point: responsibilities via softmax over the
-    two shared-variance Gaussians, weight/mean/variance M-steps, and the
-    closed-form equal-LLR threshold
-      -0.5 * (log(w^2/var) - m^2/var) . [1,-1] / ((m/var) . [1,-1]).
-    """
-    s = scores.reshape(-1)
+def _em_params(s: jax.Array, niters: int):
+    """Run the shared-variance 2-GMM EM on flattened scores; returns the
+    final (weights, means, var). The single source of the device EM loop —
+    both the threshold and the LLR entry points consume it."""
     dtype = s.dtype
     n = s.shape[0]
 
@@ -68,13 +63,27 @@ def two_gmm_calib_lin(scores: jax.Array, niters: int = 20) -> jax.Array:
                           preferred_element_type=dtype)
         return new_weights, new_means, new_var
 
-    weights, means, var = jax.lax.fori_loop(
-        0, niters, em_iter, (weights0, means0, var0))
+    return jax.lax.fori_loop(0, niters, em_iter, (weights0, means0, var0))
 
-    sel = jnp.array([1.0, -1.0], dtype=dtype)
-    threshold = (-0.5 * jnp.dot(jnp.log(weights ** 2 / var) - means ** 2 / var, sel)
-                 / jnp.dot(means / var, sel))
-    return threshold
+
+def _threshold_from(weights: jax.Array, means: jax.Array,
+                    var: jax.Array) -> jax.Array:
+    """Closed-form equal-LLR crossing of the fitted components:
+    -0.5 * (log(w^2/var) - m^2/var) . [1,-1] / ((m/var) . [1,-1])."""
+    sel = jnp.array([1.0, -1.0], dtype=means.dtype)
+    return (-0.5 * jnp.dot(jnp.log(weights ** 2 / var) - means ** 2 / var,
+                           sel)
+            / jnp.dot(means / var, sel))
+
+
+def two_gmm_calib_lin(scores: jax.Array, niters: int = 20) -> jax.Array:
+    """Return the calibration threshold for flattened scores.
+
+    Matches the reference fixed point: responsibilities via softmax over the
+    two shared-variance Gaussians, weight/mean/variance M-steps, and the
+    closed-form equal-LLR threshold (reference:
+    diarization_lib.twoGMMcalib_lin:13-31)."""
+    return _threshold_from(*_em_params(scores.reshape(-1), niters))
 
 
 def _weighted_em_threshold(cnt, ssum, s2sum, sc, niters: int) -> float:
@@ -124,8 +133,13 @@ def _weighted_em_threshold(cnt, ssum, s2sum, sc, niters: int) -> float:
         second = np.array([q0 / cnt0, s2 / cnt1])
         var = (second - means ** 2) @ weights
     sel = np.array([1.0, -1.0])
-    return float(-0.5 * ((np.log(weights ** 2 / var) - means ** 2 / var) @ sel)
-                 / ((means / var) @ sel))
+    with np.errstate(all="ignore"):
+        thr = float(-0.5
+                    * ((np.log(weights ** 2 / var) - means ** 2 / var) @ sel)
+                    / ((means / var) @ sel))
+    # a collapse during the FINAL iteration bypasses the top-of-loop guard
+    # (NaN/inf params reach the closed form); same fallback as above
+    return thr if np.isfinite(thr) else float(mean)
 
 
 def two_gmm_calib_lin_np(scores, niters: int = 20) -> float:
@@ -203,37 +217,8 @@ def two_gmm_calib_with_llrs(scores: jax.Array,
     the higher-mean component is 'target' (reference returns
     lls[:, argmax] - lls[:, argmin])."""
     s = scores.reshape(-1)
-    threshold = two_gmm_calib_lin(s, niters)
-    # Re-run EM to recover final component params for the LLR projection.
-    # (Scalar-only loop; negligible next to the reductions above.)
-    dtype = s.dtype
-    n = s.shape[0]
-    sum_s = jnp.sum(s)
-    sum_s2 = jnp.sum(s * s)
-    weights = jnp.array([0.5, 0.5], dtype=dtype)
-    means = jnp.mean(s) + jnp.std(s) * jnp.array([-1.0, 1.0], dtype=dtype)
-    var = jnp.var(s)
-
-    def em_iter(_, state):
-        weights, means, var = state
-        logw = jnp.log(weights)
-        d = (means[1] - means[0]) / var
-        c = (logw[1] - logw[0]) - 0.5 * (means[1] ** 2 - means[0] ** 2) / var
-        g1 = jax.nn.sigmoid(s * d + c)
-        cnt1 = jnp.sum(g1)
-        s1 = jnp.dot(g1, s, preferred_element_type=dtype)
-        s2 = jnp.dot(g1, s * s, preferred_element_type=dtype)
-        cnt0, s0, q0 = n - cnt1, sum_s - s1, sum_s2 - s2
-        cnts = jnp.stack([cnt0, cnt1])
-        new_weights = cnts / (cnt0 + cnt1)
-        new_means = jnp.stack([s0 / cnt0, s1 / cnt1])
-        second = jnp.stack([q0 / cnt0, s2 / cnt1])
-        new_var = jnp.dot(second - new_means ** 2, new_weights,
-                          preferred_element_type=dtype)
-        return new_weights, new_means, new_var
-
-    weights, means, var = jax.lax.fori_loop(0, niters, em_iter,
-                                            (weights, means, var))
+    weights, means, var = _em_params(s, niters)
+    threshold = _threshold_from(weights, means, var)
     lls = (jnp.log(weights) - 0.5 * jnp.log(var)
            - 0.5 * (s[:, None] - means) ** 2 / var)
     hi = jnp.argmax(means)

@@ -273,8 +273,17 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     frame_bytes = Sp * Bp * 4
     # per-frame VMEM: four double-buffered [Sp, Bp] streams (two w views,
     # ahat, bhat) + the double-buffered [8, Bp] cfw row
-    t_chunk = max(1, ((13 << 20) - 7 * frame_bytes)
-                  // (8 * frame_bytes + 2 * 8 * Bp * 4))
+    t_chunk = ((13 << 20) - 7 * frame_bytes) \
+        // (8 * frame_bytes + 2 * 8 * Bp * 4)
+    if t_chunk < 1:
+        # even a one-frame chunk double-buffers 8 [Sp, Bp] slots; past this
+        # point the kernel cannot fit VMEM and Mosaic would fail at
+        # lowering with an opaque allocation error — reject clearly instead
+        raise ValueError(
+            f"batch too wide for the fused sb kernel's VMEM budget "
+            f"(S_pad={Sp}, B_pad={Bp}, ~{8 * frame_bytes >> 20} MiB of "
+            f"frame slots): split the batch (smaller max_batch_frames) or "
+            f"use fb_impl='structured'")
     Tp = _round_up(T, t_chunk)
     nt = Tp // t_chunk
 

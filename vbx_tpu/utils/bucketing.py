@@ -33,6 +33,13 @@ def bucket_shape(t: int, s: int, t_quantum: int = 256,
     return tq, round_up(max(s, 1), s_quantum)
 
 
+def chunk_cap(t_pad: int, max_batch_frames: int) -> int:
+    """Recordings per device batch for a bucket of padded length t_pad
+    under a total-frames budget — THE batching-policy cap; pad_to_buckets
+    and the pipeline's streaming dispatcher both consume it."""
+    return max(1, max_batch_frames // t_pad)
+
+
 def pad_to_buckets(
     shapes: Sequence[Tuple[int, int]],
     max_batch_frames: int = 2_000_000,
@@ -50,6 +57,6 @@ def pad_to_buckets(
         key = bucket_shape(t, s, t_quantum, s_quantum)
         groups.setdefault(key, []).append(i)
     for (t_pad, s_pad), idxs in sorted(groups.items()):
-        per_batch = max(1, max_batch_frames // t_pad)
+        per_batch = chunk_cap(t_pad, max_batch_frames)
         for k in range(0, len(idxs), per_batch):
             yield idxs[k:k + per_batch], t_pad, s_pad
