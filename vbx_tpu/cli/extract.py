@@ -80,10 +80,7 @@ def main(argv=None) -> int:
         from vbx_tpu.models.resnet import load_torch_checkpoint
         model, variables = load_torch_checkpoint(
             args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim,
-            dtype=dtype)
-        if args.model == "ResNet34":
-            from vbx_tpu.models.resnet import resnet34
-            model = resnet34(args.ndim, args.embed_dim, dtype=dtype)
+            dtype=dtype, arch=args.model)
 
     cfg = ExtractorConfig(feat_dim=args.ndim, embed_dim=args.embed_dim,
                           seg_len=args.seg_len, seg_jump=args.seg_jump)

@@ -63,12 +63,20 @@ def _collect(graph: OnnxGraph
     convs: List[_ConvSpec] = []
     conv_by_output: Dict[str, _ConvSpec] = {}
     gemm_w = gemm_b = None
+    def tensor(name: str, what: str) -> np.ndarray:
+        key = alias.get(name, name)
+        if key not in init:
+            raise ValueError(
+                f"{what} {name!r} is not a graph initializer (produced by "
+                f"a node?); only plain-weight graphs are supported")
+        return init[key]
+
     for n in graph.nodes:
         if n.op_type == "Conv":
-            w = init[alias.get(n.inputs[1], n.inputs[1])]
+            w = tensor(n.inputs[1], "Conv weight")
             b = None
             if len(n.inputs) > 2 and n.inputs[2]:
-                b = init[alias.get(n.inputs[2], n.inputs[2])]
+                b = tensor(n.inputs[2], "Conv bias")
             strides = tuple(n.attrs.get("strides", [1, 1]))
             if n.attrs.get("group", 1) != 1:
                 raise ValueError("grouped convolutions not in this family")
@@ -80,7 +88,9 @@ def _collect(graph: OnnxGraph
             auto_pad = n.attrs.get("auto_pad", b"NOTSET")
             if auto_pad not in (b"NOTSET", "NOTSET"):
                 raise ValueError(f"unsupported Conv auto_pad {auto_pad!r}")
-            pads = tuple(n.attrs.get("pads", [kh // 2, kw // 2] * 2))
+            # ONNX spec default for a missing `pads` is all-zero, NOT the
+            # torch k//2 convention the Flax model hardcodes
+            pads = tuple(n.attrs.get("pads", [0, 0, 0, 0]))
             if pads != (kh // 2, kw // 2, kh // 2, kw // 2):
                 raise ValueError(
                     f"Conv pads {pads} != torch-ResNet convention "
@@ -101,7 +111,7 @@ def _collect(graph: OnnxGraph
             if abs(eps - _BN_EPS) > 1e-8:
                 raise ValueError(f"unsupported BatchNorm epsilon {eps}")
             names = ("scale", "bias", "mean", "var")
-            spec.bn = {k: np.asarray(init[alias.get(v, v)])
+            spec.bn = {k: np.asarray(tensor(v, f"BatchNorm {k}"))
                        for k, v in zip(names, n.inputs[1:5])}
             conv_by_output[n.outputs[0]] = spec
         elif n.op_type == "Gemm":
@@ -113,8 +123,12 @@ def _collect(graph: OnnxGraph
                 raise ValueError(
                     "multiple Gemm nodes; the x-vector family has exactly "
                     "one embedding layer")
-            gemm_w = np.asarray(init[alias.get(n.inputs[1], n.inputs[1])])
-            gemm_b = np.asarray(init[alias.get(n.inputs[2], n.inputs[2])])
+            gemm_w = np.asarray(tensor(n.inputs[1], "Gemm weight"))
+            if len(n.inputs) > 2 and n.inputs[2]:
+                gemm_b = np.asarray(tensor(n.inputs[2], "Gemm bias"))
+            else:
+                # C is optional in the Gemm spec (bias-free nn.Linear)
+                gemm_b = np.zeros(gemm_w.shape[0], gemm_w.dtype)
     if gemm_w is None:
         raise ValueError("no Gemm (embedding) node found")
     return convs, gemm_w, gemm_b

@@ -261,16 +261,28 @@ def convert_torch_state_dict(sd: Dict[str, Any], num_blocks=(3, 4, 23, 3)
 
 
 def load_torch_checkpoint(path: str, feat_dim: int = 64,
-                          embed_dim: int = 256, dtype=jnp.float32):
-    """Load a reference .pth/.pt checkpoint into (model, variables)."""
+                          embed_dim: int = 256, dtype=jnp.float32,
+                          arch: str = "ResNet101"):
+    """Load a reference .pth/.pt checkpoint into (model, variables).
+
+    `arch` selects the architecture the state dict is converted against
+    (ResNet101 or ResNet34) — converting a ResNet34 checkpoint with
+    ResNet101 block counts would fabricate phantom empty layer subtrees
+    and defer the mismatch to a confusing missing-param error inside
+    model.apply."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else \
         ckpt.state_dict()
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    model = resnet101(feat_dim, embed_dim, dtype=dtype)
-    params, stats = convert_torch_state_dict(sd)
+    if arch == "ResNet101":
+        model = resnet101(feat_dim, embed_dim, dtype=dtype)
+    elif arch == "ResNet34":
+        model = resnet34(feat_dim, embed_dim, dtype=dtype)
+    else:
+        raise ValueError(f"unknown arch {arch!r} (ResNet101 or ResNet34)")
+    params, stats = convert_torch_state_dict(sd, num_blocks=model.num_blocks)
     variables = {**params, **stats}
     return model, variables
 
