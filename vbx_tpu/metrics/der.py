@@ -98,12 +98,26 @@ def _merge_intervals(ivs: Iterable[Tuple[float, float]]
 
 def _clip_turns(turns: Sequence[Turn],
                 regions: List[Tuple[float, float]]) -> List[Turn]:
+    """Clip turns to the union of (non-overlapping) scoring regions.
+
+    Bisect sweep instead of the all-pairs loop: with collars the region
+    list has ~2 entries per reference boundary, and turns x regions grows
+    to millions of pairs per recording-hour."""
+    import bisect
+
+    regions = sorted(regions)
+    starts = [s for s, _ in regions]
     out = []
     for t in turns:
-        for s, e in regions:
+        i = max(bisect.bisect_right(starts, t.start) - 1, 0)
+        while i < len(regions):
+            s, e = regions[i]
+            if s >= t.end:
+                break
             cs, ce = max(t.start, s), min(t.end, e)
             if ce > cs:
                 out.append(Turn(cs, ce, t.speaker))
+            i += 1
     return out
 
 
