@@ -117,6 +117,46 @@ def test_degenerate_recordings_batched(tmp_path):
 
 
 @needs_ref
+def test_failed_recording_is_isolated(tmp_path, monkeypatch, capsys):
+    """One bad recording must not kill the corpus (reference parity: the
+    process-per-recording fan-out isolates failures, AMI_run.sh:53-58):
+    it is skipped with a warning, the rest produce RTTMs. A
+    single-recording run still fails visibly."""
+    import vbx_tpu.engine.pipeline as P
+
+    ark, seg = _split_ark(tmp_path)       # recA (512 frames), recB (513)
+    kw = dict(config=get_preset("example"),
+              plda_file=f"{REF}/VBx/models/ResNet101_16kHz/plda",
+              transform_file=f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+              verbose=False)
+
+    real = P.ahc_labels
+
+    def failing(x, *a, **k):
+        if x.shape[0] == 512:             # recA only
+            raise RuntimeError("synthetic init failure")
+        return real(x, *a, **k)
+
+    monkeypatch.setattr(P, "ahc_labels", failing)
+    for batch in (True, False):
+        out = diarize_ark(ark, seg, str(tmp_path / f"o{batch}"),
+                          batch=batch, **kw)
+        assert set(out) == {"recB"}, batch
+        assert (tmp_path / f"o{batch}" / "recB.rttm").exists()
+        assert not (tmp_path / f"o{batch}" / "recA.rttm").exists()
+        assert "synthetic init failure" in capsys.readouterr().err
+
+    # single recording: the error must surface, not be swallowed
+    vecs = [(k, v) for k, v in iter_vec_ark(ark) if k.startswith("recA")]
+    segs = [r for r in read_segments(seg) if r[1] == "recA"]
+    write_vec_ark(str(tmp_path / "one.ark"), vecs)
+    write_segments(str(tmp_path / "one.seg"), segs)
+    with pytest.raises(RuntimeError, match="synthetic init failure"):
+        diarize_ark(str(tmp_path / "one.ark"), str(tmp_path / "one.seg"),
+                    str(tmp_path / "o1"), batch=True, **kw)
+
+
+@needs_ref
 def test_batched_equals_streaming(tmp_path):
     ark, seg = _split_ark(tmp_path)
     cfg = get_preset("example")

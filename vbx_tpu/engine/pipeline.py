@@ -212,16 +212,23 @@ def diarize_ark(
         for rec, seg_names, x_raw in recs:
             if verbose:
                 print(rec)
-            out = diar.diarize_xvectors(x_raw)
+            try:
+                out = diar.diarize_xvectors(x_raw)
+            except Exception as exc:       # noqa: BLE001 — isolate per rec
+                _warn_failed(rec, exc, runlog, strict=len(recs) == 1)
+                continue
             out.recording = rec
             outputs[rec] = out
     else:
         stage_log: Dict[str, Any] = {}
         outputs = _diarize_batched(diar, recs, max_batch_frames, verbose,
-                                   fb_impl=fb_impl, stage_log=stage_log)
+                                   fb_impl=fb_impl, stage_log=stage_log,
+                                   runlog=runlog)
         runlog.write({"event": "stages", **stage_log})
 
     for rec, seg_names, x_raw in recs:
+        if rec not in outputs:
+            continue                       # failed recording, already warned
         names, times = segs_dict[rec]
         if not np.all(names == np.array(seg_names)):
             raise ValueError(f"segments/ark name mismatch for {rec}")
@@ -247,10 +254,26 @@ def diarize_ark(
     return outputs
 
 
+def _warn_failed(rec: str, exc: Exception, runlog=None,
+                 strict: bool = False) -> None:
+    """Per-recording failure isolation (reference parity: one bad file
+    kills only its own task line, AMI_run.sh:53-58 process-per-recording).
+    strict=True re-raises — a single-recording run should fail visibly."""
+    if strict:
+        raise exc
+    import sys as _sys
+    print(f"ERROR: recording {rec!r} failed and is skipped: "
+          f"{type(exc).__name__}: {exc}", file=_sys.stderr)
+    if runlog is not None:
+        runlog.write({"event": "recording_failed", "recording": rec,
+                      "error": f"{type(exc).__name__}: {exc}"})
+
+
 def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                      verbose: bool, init_workers: int = 8,
                      fb_impl: Optional[str] = None,
                      stage_log: Optional[Dict[str, Any]] = None,
+                     runlog=None,
                      ) -> Dict[str, DiarizationOutput]:
     """Bucketed-padded batched VB over all recordings, pipelined against the
     host init chain. The init chain (f64 transform + cosine + calibration +
@@ -369,9 +392,13 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         except ImportError:
             blas_ctx = contextlib.nullcontext()
         with blas_ctx, ThreadPoolExecutor(max_workers=n_workers) as pool:
-            futures = [pool.submit(prep, i) for i in range(n)]
+            futures = {pool.submit(prep, i): i for i in range(n)}
             for fut in as_completed(futures):
-                payload = fut.result()
+                try:
+                    payload = fut.result()
+                except Exception as exc:   # noqa: BLE001 — isolate per rec
+                    _warn_failed(recs[futures[fut]][0], exc, runlog)
+                    continue
                 i, rec, T, S, key, Xi, Gi, p = payload
                 payload.clear()   # release the Future's pin on Xi/Gi
                 # upload from the (otherwise idle) main thread so the
