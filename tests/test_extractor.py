@@ -176,3 +176,30 @@ def test_bf16_extraction_close_to_f32(tmp_path):
         assert np.isfinite(b).all()
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.999, (k, cos)
+
+
+def test_failed_file_is_isolated(tmp_path, capsys):
+    """A corrupt wav skips only its own file (reference parity: one
+    extraction task line per file, extract.sh:20-36); a single-file run
+    still raises."""
+    _, fm, variables = _small_model()
+    fs = 16000
+    rng = np.random.default_rng(3)
+    for n in ("good", "bad"):
+        write_wav(str(tmp_path / f"{n}.wav"), rng.uniform(-0.5, 0.5, 2 * fs),
+                  fs)
+        (tmp_path / f"{n}.lab").write_text("0.10 1.80 sp\n")
+    (tmp_path / "bad.wav").write_bytes(b"RIFFgarbage")
+
+    ex = XVectorExtractor(fm, variables, fs, batch_size=4)
+    counts = extract_to_ark(
+        [str(tmp_path / "good.wav"), str(tmp_path / "bad.wav")],
+        [str(tmp_path / "good.lab"), str(tmp_path / "bad.lab")],
+        ["good", "bad"], str(tmp_path / "x.ark"), str(tmp_path / "x.seg"), ex)
+    assert "good" in counts and "bad" not in counts
+    assert "bad" in capsys.readouterr().err
+
+    with pytest.raises(Exception):
+        extract_to_ark([str(tmp_path / "bad.wav")],
+                       [str(tmp_path / "bad.lab")], ["bad"],
+                       str(tmp_path / "y.ark"), str(tmp_path / "y.seg"), ex)

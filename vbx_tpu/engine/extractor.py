@@ -275,22 +275,47 @@ def extract_to_ark(wav_paths: Sequence[str], lab_paths: Sequence[str],
     from vbx_tpu.io.wav import read_wav
     from vbx_tpu.utils.timing import Timer
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(wav, lab):
+        signal, fs = read_wav(wav)
+        if signal.ndim > 1:
+            signal = signal.mean(axis=1)
+        return signal, fs, read_lab(lab)
+
     counts: Dict[str, int] = {}
     vecs: List[Tuple[str, np.ndarray]] = []
     rows: List[Tuple[str, str, float, float]] = []
-    for wav, lab, name in zip(wav_paths, lab_paths, names):
-        with Timer(f"Processing file {name}"):
-            signal, fs = read_wav(wav)
-            if signal.ndim > 1:
-                signal = signal.mean(axis=1)
-            if fs != extractor.sample_rate:
-                raise ValueError(
-                    f"{wav}: sample rate {fs} != extractor "
-                    f"{extractor.sample_rate}")
-            segs = extractor.extract_file(signal, read_lab(lab), name)
-        counts[name] = len(segs)
-        vecs.extend((s.key, s.xvector) for s in segs)
-        rows.extend((s.key, name, s.start, s.end) for s in segs)
+    files = list(zip(wav_paths, lab_paths, names))
+    # one-deep prefetch: decode file i+1 on a reader thread while the
+    # device embeds file i (host wav/VAD I/O otherwise serializes with
+    # the accelerator)
+    with ThreadPoolExecutor(max_workers=1) as io_pool:
+        nxt = io_pool.submit(load, *files[0][:2]) if files else None
+        for idx, (wav, lab, name) in enumerate(files):
+            fut, nxt = nxt, (io_pool.submit(load, *files[idx + 1][:2])
+                             if idx + 1 < len(files) else None)
+            try:
+                with Timer(f"Processing file {name}"):
+                    signal, fs, lab_segs = fut.result()
+                    if fs != extractor.sample_rate:
+                        raise ValueError(
+                            f"{wav}: sample rate {fs} != extractor "
+                            f"{extractor.sample_rate}")
+                    segs = extractor.extract_file(signal, lab_segs, name)
+            except Exception as exc:   # noqa: BLE001 — per-file isolation
+                # reference parity: extraction task lines are one process
+                # per file (extract.sh:20-36); a single-file run fails
+                # visibly
+                if len(files) == 1:
+                    raise
+                import sys as _sys
+                print(f"ERROR: file {name!r} failed and is skipped: "
+                      f"{type(exc).__name__}: {exc}", file=_sys.stderr)
+                continue
+            counts[name] = len(segs)
+            vecs.extend((s.key, s.xvector) for s in segs)
+            rows.extend((s.key, name, s.start, s.end) for s in segs)
     write_vec_ark(ark_path, vecs)
     write_segments(segments_path, rows)
     return counts
