@@ -81,7 +81,7 @@ def smooth_labels_oracle(labels, smoothing):
     return softmax(onehot * smoothing, axis=1)
 
 
-def random_hmm_problem(rng, T, S, D=None, scale=3.0):
+def random_hmm_problem(rng, T, S, scale=3.0):
     """Random structured-HMM inputs: log_p with plausible magnitudes, a
     normalized prior, and a loop probability."""
     log_p = scale * rng.standard_normal((T, S)) - 30.0

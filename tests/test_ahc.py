@@ -7,7 +7,9 @@ import scipy.cluster.hierarchy as sch
 from vbx_tpu.clustering import (fcluster_by_distance, linkage,
                                 squareform_condensed)
 from vbx_tpu.engine.ahc import ahc_labels, random_labels, smooth_labels_to_gamma
-from vbx_tpu.ops.calibration import two_gmm_calib_lin, two_gmm_calib_lin_np
+from vbx_tpu.ops.calibration import (two_gmm_calib_lin,
+                                     two_gmm_calib_lin_binned,
+                                     two_gmm_calib_lin_np)
 
 from .oracle import smooth_labels_oracle
 
@@ -142,9 +144,6 @@ def test_blocked_cosine_path_matches_full():
     AHC labels identical. (The condensed entries may differ by a few ulp —
     BLAS blocks the row-block matmul differently than the full matmul.)"""
     import vbx_tpu.engine.ahc as ahc
-    from vbx_tpu.clustering import (
-        fcluster_by_distance, linkage, squareform_condensed)
-    from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
 
     rng = np.random.default_rng(11)
     N, D, K = 700, 64, 5
@@ -175,9 +174,6 @@ def test_native_linkage_matches_scipy_exactly():
     exactness: identical merge ids/sizes to scipy average linkage (the
     distances agree to ~1 ulp — scipy factors the Lance-Williams average
     update differently)."""
-    import scipy.cluster.hierarchy as sch
-    from vbx_tpu.clustering import linkage, squareform_condensed
-
     rng = np.random.default_rng(12)
     for n in (40, 333, 900):
         x = rng.standard_normal((n, 16))
@@ -197,8 +193,6 @@ def test_degenerate_identical_scores_calibration_and_ahc():
     the calibration must instead return the common value and AHC a single
     cluster — no warnings, finite threshold."""
     import warnings
-
-    from vbx_tpu.ops.calibration import two_gmm_calib_lin_np
 
     scores = np.full((50, 50), 0.7)
     with warnings.catch_warnings():

@@ -62,6 +62,9 @@ def _reference_extract(tm, signal, labs_s, fs, name):
     """The exact predict.py:140-210 loop with reference features."""
     sys.path.insert(0, f"{REF}/VBx")
     import features
+    if fs != 16000:
+        raise ValueError(f"_reference_extract supports fs=16000 only, "
+                         f"got {fs}")
     if fs == 16000:
         noverlap, winlen = 240, 400
         fbank_mx = features.mel_fbank_mx(winlen, fs, NUMCHANS=64,
@@ -148,6 +151,7 @@ def test_extract_to_ark_roundtrip(tmp_path):
     np.testing.assert_allclose(np.diff(times[:-1, 0]), 0.24, atol=1e-6)
 
 
+@needs_ref
 def test_bf16_extraction_close_to_f32(tmp_path):
     """--dtype bfloat16 path: the MXU-native precision must produce
     embeddings whose cosine agreement with float32 stays > 0.999 (the
@@ -178,6 +182,7 @@ def test_bf16_extraction_close_to_f32(tmp_path):
         assert cos > 0.999, (k, cos)
 
 
+@needs_ref
 def test_failed_file_is_isolated(tmp_path, capsys):
     """A corrupt wav skips only its own file (reference parity: one
     extraction task line per file, extract.sh:20-36); a single-file run

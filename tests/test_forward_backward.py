@@ -1,5 +1,7 @@
 """Forward-backward kernels vs the float64 log-domain oracle."""
 
+import zlib
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -20,7 +22,10 @@ IMPLS = {
 @pytest.mark.parametrize("impl", sorted(IMPLS))
 @pytest.mark.parametrize("T,S", [(1, 3), (2, 2), (17, 5), (301, 12)])
 def test_matches_oracle_f64(impl, T, S):
-    rng = np.random.default_rng(hash((impl, T, S)) % 2**32)
+    # deterministic per-case seed (hash() is salted per process and would
+    # make the parity data unreproducible across pytest invocations)
+    rng = np.random.default_rng(
+        zlib.crc32(f"{impl}-{T}-{S}".encode()))
     log_p, pi, loop_prob = random_hmm_problem(rng, T, S)
     tr = structured_transition(pi, loop_prob)
     g_ref, log_px_ref, lfw_ref, lbw_ref, pi_stat_ref = \

@@ -1,6 +1,5 @@
 """I/O codecs: ark, segments, RTTM, PLDA, transform, VAD."""
 
-import io
 import os
 
 import numpy as np
@@ -220,3 +219,40 @@ def test_read_xvector_timing_dict_matches_reference():
     for rec in ours:
         np.testing.assert_array_equal(ours[rec][0], theirs[rec][0])
         np.testing.assert_allclose(ours[rec][1], theirs[rec][1], atol=1e-12)
+
+
+def _varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_tensor_int32_data_wire_forms():
+    """TensorProto numeric edge cases the torch exporter never emits but
+    the spec allows: FLOAT16 stored in int32_data as uint16 bit patterns,
+    and non-packed (one field per element) repeated entries with values
+    that don't fit in one byte."""
+    from vbx_tpu.io.onnx import _parse_tensor
+
+    # fp16 [1.0, -2.0] as packed int32_data bit patterns 0x3C00, 0xC000
+    buf = (b"\x08" + _varint(2)                  # dims: 2
+           + b"\x10" + _varint(10)               # data_type FLOAT16
+           + b"\x2a" + _varint(5)                # int32_data, packed len 5
+           + _varint(0x3C00) + _varint(0xC000))
+    t = _parse_tensor(buf)
+    np.testing.assert_array_equal(np.asarray(t.array, np.float32),
+                                  [1.0, -2.0])
+
+    # INT32 non-packed entries >= 128 (varint > 1 byte per element)
+    buf = (b"\x08" + _varint(3) + b"\x10" + _varint(6)
+           + b"\x28" + _varint(200)              # int32_data, wtype 0
+           + b"\x28" + _varint(70000)
+           + b"\x28" + _varint(5))
+    t = _parse_tensor(buf)
+    np.testing.assert_array_equal(t.array, [200, 70000, 5])

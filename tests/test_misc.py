@@ -46,9 +46,9 @@ def test_output_2nd(tmp_path):
     assert o.labels2nd is not None
     assert np.all(o.labels2nd != o.labels1st)     # 2nd best differs
     assert (tmp_path / "ES2005a.rttm").exists()
-    second = tmp_path.parent / (tmp_path.name + "2nd")
     # pipeline writes the 2nd-best rttms next to the primary dir
-    assert os.path.exists(str(tmp_path) + "2nd/ES2005a.rttm")
+    second = tmp_path.parent / (tmp_path.name + "2nd")
+    assert (second / "ES2005a.rttm").exists()
 
 
 def test_profiling_noop():

@@ -186,10 +186,9 @@ def test_pallas_engine_result_is_batchsize_independent():
               fb_impl="pallas")
 
     def run(B, pos):
-        X = np.stack([random_vb_problem(rng, T, S, D)[0]
-                      for _ in range(B)]).astype(np.float32)
-        G = np.stack([random_vb_problem(rng, T, S, D)[2]
-                      for _ in range(B)]).astype(np.float32)
+        fillers = [random_vb_problem(rng, T, S, D) for _ in range(B)]
+        X = np.stack([f[0] for f in fillers]).astype(np.float32)
+        G = np.stack([f[2] for f in fillers]).astype(np.float32)
         X[pos], G[pos] = X1, G1
         PI = np.broadcast_to(PI1, (B, S)).astype(np.float32)
         r = vbx_batched(jnp.asarray(X), jnp.asarray(phi, jnp.float32),
@@ -250,9 +249,6 @@ def test_batched_engine_pallas_matches_structured():
 def test_sb_kernel_rejects_vmem_overflow():
     """A batch too wide to double-buffer even one-frame chunks must be
     rejected with a clear error, not an opaque Mosaic lowering failure."""
-    import jax.numpy as jnp
-    import pytest
-
     from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb
 
     T, S, B = 8, 60, 7700        # S_pad=64, B_pad=7808 -> ~2MiB/frame slot
