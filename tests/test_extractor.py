@@ -65,11 +65,10 @@ def _reference_extract(tm, signal, labs_s, fs, name):
     if fs != 16000:
         raise ValueError(f"_reference_extract supports fs=16000 only, "
                          f"got {fs}")
-    if fs == 16000:
-        noverlap, winlen = 240, 400
-        fbank_mx = features.mel_fbank_mx(winlen, fs, NUMCHANS=64,
-                                         LOFREQ=20.0, HIFREQ=7600,
-                                         htk_bug=False)
+    noverlap, winlen = 240, 400
+    fbank_mx = features.mel_fbank_mx(winlen, fs, NUMCHANS=64,
+                                     LOFREQ=20.0, HIFREQ=7600,
+                                     htk_bug=False)
     window = features.povey_window(winlen)
     labs = np.atleast_2d((np.asarray(labs_s) * fs).astype(int))
     np.random.seed(3)

@@ -146,3 +146,16 @@ def test_corpus_jer_ignores_zero_ref_recordings():
     sys = {"r1": [T(0, 10, "x")], "r2": [T(0, 5, "y")]}
     _, total = score_corpus(ref, sys, collar=0.0)
     assert total.jer == pytest.approx(0.0)        # r2 contributes nothing
+
+
+def test_clip_turns_overlapping_regions():
+    """UEM rows may overlap (read verbatim from the file); clipping must
+    treat them as a union — the bisect sweep merges first. A turn inside
+    the union is kept exactly once."""
+    from vbx_tpu.metrics.der import Turn, _clip_turns
+
+    out = _clip_turns([Turn(70.0, 80.0, "a")], [(0.0, 100.0), (50.0, 60.0)])
+    assert [(t.start, t.end) for t in out] == [(70.0, 80.0)]
+    # disjoint regions split a spanning turn
+    out = _clip_turns([Turn(5.0, 25.0, "a")], [(0.0, 10.0), (20.0, 30.0)])
+    assert [(t.start, t.end) for t in out] == [(5.0, 10.0), (20.0, 25.0)]

@@ -146,6 +146,29 @@ def test_failed_recording_is_isolated(tmp_path, monkeypatch, capsys):
         assert not (tmp_path / f"o{batch}" / "recA.rttm").exists()
         assert "synthetic init failure" in capsys.readouterr().err
 
+    # failures out-param + CLI signal
+    failures = {}
+    diarize_ark(ark, seg, str(tmp_path / "of"), batch=True,
+                failures=failures, **kw)
+    assert set(failures) == {"recA"} and "synthetic" in failures["recA"]
+
+    # resume re-run with ONLY the bad recording left must still skip it
+    # (strictness follows the original request, and the previously-finished
+    # recording keeps the all-failed guard from firing)
+    out = diarize_ark(ark, seg, str(tmp_path / "of"), batch=True,
+                      resume=True, **kw)
+    assert out == {}
+    capsys.readouterr()
+
+    # a corpus where EVERYTHING fails must raise, not return empty
+    monkeypatch.setattr(P, "ahc_labels",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("all broken")))
+    with pytest.raises(RuntimeError, match="recording\\(s\\) failed"):
+        diarize_ark(ark, seg, str(tmp_path / "oall"), batch=True, **kw)
+    capsys.readouterr()
+    monkeypatch.setattr(P, "ahc_labels", failing)
+
     # single recording: the error must surface, not be swallowed
     vecs = [(k, v) for k, v in iter_vec_ark(ark) if k.startswith("recA")]
     segs = [r for r in read_segments(seg) if r[1] == "recA"]

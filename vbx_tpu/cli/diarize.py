@@ -91,16 +91,21 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     from vbx_tpu.utils.profiling import trace
+    failures = {}
     with trace():   # jax.profiler capture iff VBX_TPU_TRACE_DIR is set
         outputs = diarize_ark(
             args.xvec_ark_file, args.segments_file, args.out_rttm_dir, cfg,
             args.plda_file, args.xvec_transform,
             batch=not args.no_batch, max_batch_frames=args.max_batch_frames,
             resume=args.resume, runlog_path=args.runlog,
-            fb_impl=args.fb_impl)
+            fb_impl=args.fb_impl, failures=failures)
     for rec, out in outputs.items():
         print(f"{rec}: {out.n_speakers} speakers, {out.n_iters} VB "
               f"iterations", file=sys.stderr)
+    if failures:
+        print(f"{len(failures)} recording(s) FAILED: "
+              f"{', '.join(sorted(failures))}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -97,6 +97,11 @@ def main(argv=None) -> int:
                                 args.out_seg_fn, extractor)
     for name, n in counts.items():
         print(f"{name}: {n} x-vectors", file=sys.stderr)
+    failed = [n for n in names if n not in counts]
+    if failed:
+        print(f"{len(failed)} file(s) FAILED: {', '.join(failed)}",
+              file=sys.stderr)
+        return 1
     return 0
 
 

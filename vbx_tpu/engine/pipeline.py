@@ -163,6 +163,7 @@ def diarize_ark(
     runlog_path: Optional[str] = None,
     shard_over_hosts: bool = False,
     fb_impl: Optional[str] = None,
+    failures: Optional[Dict[str, str]] = None,
 ) -> Dict[str, DiarizationOutput]:
     """Diarize every recording in an ark file and write per-recording RTTMs
     (CLI parity: vbhmm.py:115-179). `batch=True` pads recordings into
@@ -174,6 +175,12 @@ def diarize_ark(
     the reference recipes' skip-if-output-exists re-entry, AMI_run.sh:51).
     `runlog_path` appends one JSON record per recording (iterations, ELBO,
     speakers, wall time) plus a summary.
+
+    Failure isolation: a recording whose init or VB raises is skipped with
+    a warning (recorded in `failures` if a dict is passed, and in the
+    runlog) unless the CALLER asked for exactly one recording — that run
+    fails visibly. If EVERY recording fails, a RuntimeError is raised so
+    an all-broken corpus can't masquerade as an empty-but-successful one.
     """
     import time as _time
 
@@ -195,66 +202,86 @@ def diarize_ark(
         # no gather is needed beyond concatenation by host 0
         from vbx_tpu.parallel.distributed import local_recording_slice
         recs = recs[local_recording_slice(len(recs))]
+    # strictness follows the caller's REQUEST, not what remains after the
+    # resume filter: a corrupt recording must stay skippable on re-runs
+    # (resume could otherwise never converge past it)
+    strict = len(recs) == 1
+    n_resumed = 0
     if resume:
         skipped = {r for r, _, _ in recs if os.path.exists(
             os.path.join(out_rttm_dir, f"{r}.rttm"))}
         recs = [it for it in recs if it[0] not in skipped]
+        n_resumed = len(skipped)
         if skipped and verbose:
             print(f"resume: skipping {len(skipped)} finished recording(s)")
     if not recs:
         runlog.close()
         return {}
+    if failures is None:
+        failures = {}
 
     outputs: Dict[str, DiarizationOutput] = {}
-    _, _, run_vb = _parse_init(config.init)
+    try:
+        _, _, run_vb = _parse_init(config.init)
 
-    if not batch or not run_vb or len(recs) == 1:
+        if not batch or not run_vb or len(recs) == 1:
+            for rec, seg_names, x_raw in recs:
+                if verbose:
+                    print(rec)
+                try:
+                    out = diar.diarize_xvectors(x_raw)
+                except Exception as exc:   # noqa: BLE001 — isolate per rec
+                    _warn_failed(rec, exc, runlog, failures, strict=strict)
+                    continue
+                out.recording = rec
+                outputs[rec] = out
+        else:
+            stage_log: Dict[str, Any] = {}
+            outputs = _diarize_batched(diar, recs, max_batch_frames, verbose,
+                                       fb_impl=fb_impl, stage_log=stage_log,
+                                       runlog=runlog, failures=failures)
+            runlog.write({"event": "stages", **stage_log})
+
+        if not outputs and not n_resumed:
+            # nothing succeeded now or in a previous (resumed) run: an
+            # all-broken corpus must not masquerade as empty-but-successful
+            raise RuntimeError(
+                f"all {len(recs)} recording(s) failed: "
+                f"{dict(list(failures.items())[:3])}")
+
         for rec, seg_names, x_raw in recs:
-            if verbose:
-                print(rec)
-            try:
-                out = diar.diarize_xvectors(x_raw)
-            except Exception as exc:       # noqa: BLE001 — isolate per rec
-                _warn_failed(rec, exc, runlog, strict=len(recs) == 1)
-                continue
-            out.recording = rec
-            outputs[rec] = out
-    else:
-        stage_log: Dict[str, Any] = {}
-        outputs = _diarize_batched(diar, recs, max_batch_frames, verbose,
-                                   fb_impl=fb_impl, stage_log=stage_log,
-                                   runlog=runlog)
-        runlog.write({"event": "stages", **stage_log})
-
-    for rec, seg_names, x_raw in recs:
-        if rec not in outputs:
-            continue                       # failed recording, already warned
-        names, times = segs_dict[rec]
-        if not np.all(names == np.array(seg_names)):
-            raise ValueError(f"segments/ark name mismatch for {rec}")
-        out = outputs[rec]
-        start, end = times.T
-        starts, ends, out_labels = merge_adjacent_labels(
-            start, end, out.labels1st)
-        write_rttm(os.path.join(out_rttm_dir, f"{rec}.rttm"),
-                   rec, starts, ends, out_labels)
-        if (config.output_2nd and out.labels2nd is not None):
-            starts2, ends2, labels2 = merge_adjacent_labels(
-                start, end, out.labels2nd)
-            dir2 = f"{out_rttm_dir}2nd"
-            os.makedirs(dir2, exist_ok=True)
-            write_rttm(os.path.join(dir2, f"{rec}.rttm"),
-                       rec, starts2, ends2, labels2)
-        runlog.recording(rec, n_speakers=out.n_speakers,
-                         n_iters=out.n_iters, elbo=out.elbo)
-    runlog.write({"event": "summary", "n_recordings": len(recs),
-                  "seconds": round(_time.perf_counter() - t_start, 3),
-                  "config": config.name, "init": config.init})
-    runlog.close()
+            if rec not in outputs:
+                continue                   # failed recording, already warned
+            names, times = segs_dict[rec]
+            if not np.all(names == np.array(seg_names)):
+                raise ValueError(f"segments/ark name mismatch for {rec}")
+            out = outputs[rec]
+            start, end = times.T
+            starts, ends, out_labels = merge_adjacent_labels(
+                start, end, out.labels1st)
+            write_rttm(os.path.join(out_rttm_dir, f"{rec}.rttm"),
+                       rec, starts, ends, out_labels)
+            if (config.output_2nd and out.labels2nd is not None):
+                starts2, ends2, labels2 = merge_adjacent_labels(
+                    start, end, out.labels2nd)
+                dir2 = f"{out_rttm_dir}2nd"
+                os.makedirs(dir2, exist_ok=True)
+                write_rttm(os.path.join(dir2, f"{rec}.rttm"),
+                           rec, starts2, ends2, labels2)
+            runlog.recording(rec, n_speakers=out.n_speakers,
+                             n_iters=out.n_iters, elbo=out.elbo)
+        runlog.write({"event": "summary", "n_recordings": len(recs),
+                      "n_failed": len(failures),
+                      "failed": sorted(failures) or None,
+                      "seconds": round(_time.perf_counter() - t_start, 3),
+                      "config": config.name, "init": config.init})
+    finally:
+        runlog.close()
     return outputs
 
 
 def _warn_failed(rec: str, exc: Exception, runlog=None,
+                 failures: Optional[Dict[str, str]] = None,
                  strict: bool = False) -> None:
     """Per-recording failure isolation (reference parity: one bad file
     kills only its own task line, AMI_run.sh:53-58 process-per-recording).
@@ -264,6 +291,8 @@ def _warn_failed(rec: str, exc: Exception, runlog=None,
     import sys as _sys
     print(f"ERROR: recording {rec!r} failed and is skipped: "
           f"{type(exc).__name__}: {exc}", file=_sys.stderr)
+    if failures is not None:
+        failures[rec] = f"{type(exc).__name__}: {exc}"
     if runlog is not None:
         runlog.write({"event": "recording_failed", "recording": rec,
                       "error": f"{type(exc).__name__}: {exc}"})
@@ -274,6 +303,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                      fb_impl: Optional[str] = None,
                      stage_log: Optional[Dict[str, Any]] = None,
                      runlog=None,
+                     failures: Optional[Dict[str, str]] = None,
                      ) -> Dict[str, DiarizationOutput]:
     """Bucketed-padded batched VB over all recordings, pipelined against the
     host init chain. The init chain (f64 transform + cosine + calibration +
@@ -397,7 +427,8 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 try:
                     payload = fut.result()
                 except Exception as exc:   # noqa: BLE001 — isolate per rec
-                    _warn_failed(recs[futures[fut]][0], exc, runlog)
+                    _warn_failed(recs[futures[fut]][0], exc, runlog,
+                                 failures)
                     continue
                 i, rec, T, S, key, Xi, Gi, p = payload
                 payload.clear()   # release the Future's pin on Xi/Gi

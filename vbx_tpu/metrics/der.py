@@ -98,14 +98,18 @@ def _merge_intervals(ivs: Iterable[Tuple[float, float]]
 
 def _clip_turns(turns: Sequence[Turn],
                 regions: List[Tuple[float, float]]) -> List[Turn]:
-    """Clip turns to the union of (non-overlapping) scoring regions.
+    """Clip turns to the union of the scoring regions.
 
     Bisect sweep instead of the all-pairs loop: with collars the region
     list has ~2 entries per reference boundary, and turns x regions grows
-    to millions of pairs per recording-hour."""
+    to millions of pairs per recording-hour. Regions are merged first —
+    the sweep needs them sorted and disjoint, and callers may pass raw
+    (possibly overlapping) UEM rows; clipping against the merged union is
+    the correct semantics either way (the old all-pairs loop DUPLICATED a
+    turn clipped by two overlapping regions)."""
     import bisect
 
-    regions = sorted(regions)
+    regions = _merge_intervals(regions)
     starts = [s for s, _ in regions]
     out = []
     for t in turns:

@@ -43,13 +43,13 @@ def _frame_set_ids(turns: Sequence[Turn],
     this replaces dominated corpus-scale scoring (~360k frames per
     recording-hour)."""
     speakers = sorted({t.speaker for t in turns})
+    col = {s: k for k, s in enumerate(speakers)}
     parts = []
     for t0, t1 in segments:
         n = int(round((t1 - t0) / step))
         if n <= 0:
             continue
         active = np.zeros((n, max(len(speakers), 1)), dtype=bool)
-        col = {s: k for k, s in enumerate(speakers)}
         for t in turns:
             i0 = max(0, int(round((t.start - t0) / step)))
             i1 = min(n, int(round((t.end - t0) / step)))
@@ -88,7 +88,7 @@ def frame_clustering_metrics(
     """Corpus-pooled frame clustering metrics over UEM frames. `uems` maps
     recording -> list of (onset, offset) scoring intervals (dscore trims
     turns and the frame grid to the UEM before every metric)."""
-    from vbx_tpu.metrics.der import _clip_turns
+    from vbx_tpu.metrics.der import _clip_turns, _merge_intervals
 
     refs, syss = [], []
     ref_offset = sys_offset = 0
@@ -110,7 +110,8 @@ def frame_clustering_metrics(
             segments = [(min(t.start for t in allt),
                          max(t.end for t in allt))]
         else:
-            segments = regions
+            # overlapping UEM rows must not double-count frames
+            segments = _merge_intervals(regions)
         # per-recording label namespacing via integer class-id offsets
         # (classes are equivalence classes only; no global meaning needed)
         rl, rn = _frame_set_ids(rturns, segments, step)
