@@ -256,3 +256,28 @@ def test_tensor_int32_data_wire_forms():
            + b"\x28" + _varint(5))
     t = _parse_tensor(buf)
     np.testing.assert_array_equal(t.array, [200, 70000, 5])
+
+
+def test_malformed_inputs_raise_valueerror(tmp_path):
+    """Every codec rejects malformed input with a ValueError carrying
+    context — no raw UnicodeDecodeError/struct.error/IndexError surfaces
+    (corpus runs rely on typed failures for per-file isolation)."""
+    from vbx_tpu.io.onnx import read_onnx
+    from vbx_tpu.io.vad import read_lab
+    from vbx_tpu.io.wav import read_wav
+
+    cases = [
+        (read_vec_ark, b"key \x00BFV \x04\x10\x00\x00\x00\x01"),  # truncated
+        (read_vec_ark, b"\xff\xfe\x00garbage "),                  # bad key
+        (read_wav, b"RIFF\x10\x00\x00\x00WAVEjunk"),              # no chunks
+        (read_wav, b""),                                          # empty
+        (read_onnx, b"\x08\x96\x01notaproto\xff\xff\xff"),
+        (read_plda, b"\x00B<NotPlda> junk"),
+        (read_rttm, b"SPEAKER onlythreefields x\n"),
+        (read_lab, b"abc def\n"),
+    ]
+    for i, (fn, data) in enumerate(cases):
+        p = tmp_path / f"bad{i}"
+        p.write_bytes(data)
+        with pytest.raises(ValueError):
+            fn(str(p))

@@ -28,7 +28,10 @@ def _read_key(fd: BinaryIO) -> str | None:
         if c == b" ":
             if not chars:
                 raise ValueError("empty ark key")
-            return b"".join(chars).decode()
+            try:
+                return b"".join(chars).decode()
+            except UnicodeDecodeError as e:
+                raise ValueError(f"malformed ark key (not utf-8): {e}")
         chars.append(c)
 
 

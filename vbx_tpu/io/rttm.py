@@ -68,6 +68,10 @@ def read_rttm(path: str) -> List[RttmSegment]:
             parts = line.split()
             if not parts or parts[0].upper() != "SPEAKER":
                 continue
+            if len(parts) < 8:
+                raise ValueError(
+                    f"{path}: malformed RTTM SPEAKER line "
+                    f"({len(parts)} fields < 8): {line.rstrip()!r}")
             out.append(RttmSegment(
                 recording=parts[1],
                 start=float(parts[3]),

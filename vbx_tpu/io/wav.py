@@ -19,7 +19,10 @@ _PCM_DTYPES = {8: np.uint8, 16: "<i2", 32: "<i4"}
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """-> (samples [N] or [N, C] float64 in [-1, 1), sample_rate)."""
     with open(path, "rb") as f:
-        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        head = f.read(12)
+        if len(head) < 12:
+            raise ValueError(f"{path}: not a RIFF/WAVE file (truncated)")
+        riff, _size, wave = struct.unpack("<4sI4s", head)
         if riff != b"RIFF" or wave != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
         fmt = None
