@@ -40,26 +40,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def prepare_inputs():
-    from scipy.special import softmax
-
-    from vbx_tpu.engine.ahc import ahc_labels
+def prepare_inputs(cfg):
+    """Build the VB inputs through the SAME pipeline the framework ships
+    (Diarizer + the 'example' preset of record) so the benchmark can never
+    silently drift from the production workload."""
+    from vbx_tpu.engine.pipeline import Diarizer
     from vbx_tpu.io.ark import group_by_recording, iter_vec_ark
-    from vbx_tpu.io.plda import read_plda, rediagonalize_plda
-    from vbx_tpu.io.transform import read_xvec_transform
 
+    diar = Diarizer.from_files(cfg, PLDA, H5)
     _, _, x_raw = next(group_by_recording(iter_vec_ark(ARK)))
-    mu, tr, psi = rediagonalize_plda(*read_plda(PLDA))
-    mean1, lda, mean2 = read_xvec_transform(H5)
-    x = np.asarray(x_raw, np.float64) - mean1
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    x = x @ lda - mean2
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    labels = ahc_labels(x, -0.015)
-    S = int(labels.max()) + 1
-    qinit = softmax(np.eye(S)[labels] * 5.0, axis=1)
-    fea = (x - mu) @ tr.T[:, :128]
-    return fea, psi[:128], qinit
+    x = diar.transform_xvectors(x_raw)
+    labels = diar.initial_labels(x)
+    return diar.vb_inputs(x, labels)
 
 
 def bench_baseline(fea, phi, qinit, hp):
@@ -69,7 +61,8 @@ def bench_baseline(fea, phi, qinit, hp):
     pi = np.full(S, 1.0 / S)
     t0 = time.perf_counter()
     _, _, elbos, _, _ = vbx_oracle(fea, phi, hp["loopP"], hp["Fa"], hp["Fb"],
-                                   pi, qinit, max_iters=40, epsilon=1e-6)
+                                   pi, qinit, max_iters=hp["max_iters"],
+                                   epsilon=hp["epsilon"])
     t = time.perf_counter() - t0
     log(f"baseline (reference NumPy f64, 1 recording): {t:.3f}s "
         f"({len(elbos)} EM iterations)")
@@ -101,8 +94,9 @@ def bench_tpu(fea, phi, qinit, hp):
 
     def run(g_in):
         return vbx_batched(X, phi32, g_in, PI, FM, SM, loop_prob=hp["loopP"],
-                           Fa=hp["Fa"], Fb=hp["Fb"], max_iters=40,
-                           epsilon=1e-6, fb_impl="pallas")
+                           Fa=hp["Fa"], Fb=hp["Fb"],
+                           max_iters=hp["max_iters"],
+                           epsilon=hp["epsilon"], fb_impl="pallas")
 
     def chain(k):
         g = G
@@ -148,8 +142,11 @@ def main():
     from vbx_tpu.utils.compile_cache import enable as enable_compile_cache
     cache = enable_compile_cache()
     log(f"compilation cache: {cache}")
-    hp = {"Fa": 0.3, "Fb": 17.0, "loopP": 0.99}   # run_example.sh:30-34
-    fea, phi, qinit = prepare_inputs()
+    from vbx_tpu.config import get_preset
+    cfg = get_preset("example")                   # run_example.sh:30-34
+    hp = {"Fa": cfg.vb.Fa, "Fb": cfg.vb.Fb, "loopP": cfg.vb.loop_prob,
+          "max_iters": cfg.vb.max_iters, "epsilon": cfg.vb.epsilon}
+    fea, phi, qinit = prepare_inputs(cfg)
     log(f"workload: T={fea.shape[0]} S={qinit.shape[1]} D={fea.shape[1]}")
     t_ref = bench_baseline(fea, phi, qinit, hp)
     t_tpu = bench_tpu(fea, phi, qinit, hp)

@@ -10,8 +10,9 @@ this runner:
   - stage 'diarization': runs ALL recordings through the padded-batched
                          vmapped VB engine (bucketed by length), then writes
                          and concatenates RTTMs,
-  - stage 'score':       scores forgiving/fair/full like the reference
-                         recipes (AMI_run.sh:63-65).
+  - stage 'score':       scores the preset's protocols of record
+                         (AMI_run.sh:63-65 forgiving/fair/full;
+                         DIHARD2_run.sh:61-62 fair/full).
 
 Idempotent re-entry like the reference (AMI_run.sh:51): stages skip work
 whose outputs already exist unless --force.
@@ -25,6 +26,8 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vbx_tpu.config import get_preset
 from vbx_tpu.metrics.der import score_corpus
@@ -67,11 +70,14 @@ def stage_xvectors(args):
     cfg = get_preset(args.preset)
     ark = os.path.join(args.exp_dir, "xvectors.ark")
     seg = os.path.join(args.exp_dir, "xvectors.seg")
-    if os.path.exists(ark) and not args.force:
+    # require BOTH stage outputs: extract_to_ark writes the ark before the
+    # segments file, so a kill between the two must not look complete
+    if os.path.exists(ark) and os.path.exists(seg) and not args.force:
         print(f"skip: {ark} exists", file=sys.stderr)
         return
     model, variables = load_torch_checkpoint(args.weights)
-    ex = XVectorExtractor(model, variables, cfg.sample_rate)
+    ex = XVectorExtractor(model, variables, cfg.sample_rate,
+                          config=cfg.extractor)
     names = _names(args.list_file)
     wavs = [os.path.join(args.wav_dir, f"{n}.wav") for n in names]
     labs = [os.path.join(args.lab_dir, f"{n}.lab") for n in names]
@@ -115,21 +121,40 @@ def stage_diarization(args):
 def stage_score(args):
     from vbx_tpu.cli.score import _load_turns
 
+    cfg = get_preset(args.preset)
     names = set(_names(args.list_file))
     ref = {k: v for k, v in _load_turns(
         [os.path.join(args.ref_rttm_dir, "*.rttm")]).items() if k in names}
-    sys_ = _load_turns([os.path.join(args.exp_dir, "all.rttm")])
+    # filter the system side to the list too: a stale all.rttm from a run
+    # over a larger list would otherwise score its extra recordings against
+    # an empty reference (pure false alarm) and silently inflate DER
+    sys_ = {k: v for k, v in _load_turns(
+        [os.path.join(args.exp_dir, "all.rttm")]).items() if k in names}
     for rec in set(ref) - set(sys_):
         sys_[rec] = []
-    for proto, kw in PROTOCOLS.items():
+    for proto in cfg.protocols:        # protocols of record per dataset
+        kw = PROTOCOLS[proto]
         _, total = score_corpus(ref, sys_, **kw)
         print(f"{proto}: DER {total.der:.2f}  JER {total.jer:.2f}  "
               f"(miss {total.missed:.1f}s fa {total.falarm:.1f}s "
               f"conf {total.confusion:.1f}s / {total.scored_time:.1f}s)")
 
 
+REQUIRED_BY_STAGE = {
+    "xvectors": ("wav_dir", "lab_dir", "weights"),
+    "diarization": ("plda_file", "xvec_transform"),
+    "score": ("ref_rttm_dir",),
+}
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    missing = [f"--{opt.replace('_', '-')}"
+               for opt in REQUIRED_BY_STAGE[args.stage]
+               if getattr(args, opt) is None]
+    if missing:
+        parser.error(f"stage '{args.stage}' requires {' '.join(missing)}")
     {"xvectors": stage_xvectors,
      "diarization": stage_diarization,
      "score": stage_score}[args.stage](args)

@@ -31,6 +31,27 @@ def main():
     print(f"device: {jax.devices()[0]}  B={B} T={T} S={S}", flush=True)
     rng = np.random.default_rng(0)
 
+    # Ack-reliability calibration (see chain_bench.py / BENCHMARKS.md): in
+    # the tunnel's "fast" state block_until_ready returns before execution
+    # finishes and every timing below would be dispatch latency. Time a
+    # known-FLOPs matmul the same way; an impossible implied rate flags it.
+    A = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32) * 1e-4)
+    mm = jax.jit(lambda a: a @ a)
+    jax.block_until_ready(mm(A))                 # compile+warm
+    t0 = time.perf_counter()
+    for _ in range(4):
+        jax.block_until_ready(mm(A))
+    tmm = (time.perf_counter() - t0) / 4
+    tflops = 2 * 4096**3 / tmm / 1e12
+    print(f"calib matmul 4096^3 f32: {tmm * 1e3:.2f} ms -> "
+          f"{tflops:.1f} TFLOP/s", flush=True)
+    if tflops > 400:                             # > any v5e peak: acks lie
+        print("WARNING: implied calib rate exceeds hardware peak — "
+              "completion acks are unreliable in this process state; "
+              "ALL timings below may be dispatch latency, not kernel time. "
+              "Re-run, or trust only chained measurements (chain_bench.py).",
+              flush=True)
+
     # ---- kernel level ----
     logp = rng.normal(size=(T, B, S)).astype(np.float32)
     m = logp.max(-1)

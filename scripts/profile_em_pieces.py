@@ -37,6 +37,20 @@ def main():
 
     print(f"device: {jax.devices()[0]}  B={B} T={T} S={S} D={D}", flush=True)
     rng = np.random.default_rng(0)
+
+    # Ack-reliability calibration (chain_bench.py / BENCHMARKS.md): if the
+    # implied rate on a known-FLOPs matmul exceeds hardware peak, the
+    # completion acks lie and every med_time below is dispatch latency.
+    A = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32) * 1e-4)
+    tmm = med_time(jax.jit(lambda a: a @ a), A)
+    tflops = 2 * 4096**3 / tmm / 1e12
+    print(f"calib matmul 4096^3 f32: {tmm * 1e3:.2f} ms -> "
+          f"{tflops:.1f} TFLOP/s", flush=True)
+    if tflops > 400:
+        print("WARNING: implied calib rate exceeds hardware peak — acks "
+              "unreliable in this process state; the piece timings below "
+              "may be dispatch latency. Re-run, or use chain_bench.py.",
+              flush=True)
     rho = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
     g_bts = jnp.asarray(
         rng.dirichlet(np.ones(S), size=(B, T)).astype(np.float32))

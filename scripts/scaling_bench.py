@@ -8,8 +8,10 @@ devices share the host's cores, so CPU "efficiency" saturates at the
 physical core count. On a real slice, run it unmodified under the default
 backend (it shards over however many devices jax reports).
 
-Two measurements, both at fixed per-run EM iteration count (epsilon=0
-disables early convergence so every configuration does identical work):
+Two measurements, both at fixed per-run EM iteration count (epsilon=-1
+disables early convergence — the engine freezes a recording when
+delta-ELBO < epsilon, and f32 deltas can quantize negative, so epsilon=0
+would NOT guarantee identical work in every configuration):
 
 - dp weak scaling: B grows with the device count (recordings are
   embarrassingly parallel; the reference's per-recording fan-out axis,
@@ -29,7 +31,7 @@ import sys
 import time
 
 N_DEV = int(os.environ.get("SCALING_DEVICES", "8"))
-if (os.environ.get("JAX_PLATFORMS") in (None, "", "axon")
+if (os.environ.get("JAX_PLATFORMS") in (None, "", "axon", "cpu")
         and not os.environ.get("SCALING_ON_DEVICE")
         and not os.environ.get("_SCALING_EXEC")):
     # default to the virtual-CPU harness (see module docstring) — the
@@ -72,7 +74,7 @@ def timed_run(mesh, args):
 
     def run():
         res = vbx_sharded(mesh, *args, loop_prob=0.9, Fa=0.3, Fb=17.0,
-                          max_iters=ITERS, epsilon=0.0)
+                          max_iters=ITERS, epsilon=-1.0)
         jax.block_until_ready(res.gamma)
         return res
 

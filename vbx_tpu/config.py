@@ -67,18 +67,24 @@ class DiarizationConfig:
     extractor: ExtractorConfig = dataclasses.field(default_factory=ExtractorConfig)
     output_2nd: bool = False
     sample_rate: int = 16000
+    # scoring protocols of record for this dataset (reference: AMI_run.sh:63-65
+    # scores forgiving/fair/full; DIHARD2_run.sh:61-62 scores only fair+full)
+    protocols: tuple = ("forgiving", "fair", "full")
 
     def replace(self, **kw) -> "DiarizationConfig":
         return dataclasses.replace(self, **kw)
 
 
 def _preset(name: str, Fa: float, Fb: float, loopP: float, smoothing: float,
-            sample_rate: int) -> DiarizationConfig:
+            sample_rate: int,
+            protocols: tuple = ("forgiving", "fair", "full"),
+            ) -> DiarizationConfig:
     return DiarizationConfig(
         name=name,
         vb=VBConfig(Fa=Fa, Fb=Fb, loop_prob=loopP),
         ahc=AHCConfig(threshold=-0.015, init_smoothing=smoothing),
         sample_rate=sample_rate,
+        protocols=protocols,
     )
 
 
@@ -96,9 +102,9 @@ DATASET_PRESETS = {
     # AMI_run.sh:6 (Mix-Headset: Fb 68)
     "ami_mixheadset": _preset("ami_mixheadset", Fa=0.4, Fb=68.0, loopP=0.65,
                               smoothing=7.0, sample_rate=16000),
-    # DIHARD2_run.sh:42-47
+    # DIHARD2_run.sh:42-47; scored fair+full only (DIHARD2_run.sh:61-62)
     "dihard2": _preset("dihard2", Fa=0.2, Fb=6.0, loopP=0.35, smoothing=7.0,
-                       sample_rate=16000),
+                       sample_rate=16000, protocols=("fair", "full")),
 }
 
 
