@@ -72,3 +72,46 @@ def test_diarization_and_score_stages(tmp_path, capsys):
         ["score"] + argv_common + ["--ref-rttm-dir", str(refdir)]) == 0
     out = capsys.readouterr().out
     assert "forgiving" in out and "DER" in out
+
+
+@needs_ref
+def test_score_stage_protocols_and_stale_filtering(tmp_path, capsys):
+    # pure score-stage fixture: golden system output vs golden reference
+    exp = tmp_path / "exp"
+    refdir = tmp_path / "refs"
+    exp.mkdir()
+    refdir.mkdir()
+    golden_sys = open(f"{REF}/exp/ES2005a.rttm").read()
+    (refdir / "ES2005a.rttm").write_text(
+        open(f"{REF}/example/rttm/ES2005a.rttm").read())
+    (tmp_path / "list.txt").write_text("ES2005a\n")
+    # stale extra recording in all.rttm (from a hypothetical larger run):
+    # must be filtered out, not scored as pure false alarm
+    (exp / "all.rttm").write_text(
+        golden_sys + "SPEAKER GHOST 1 0.00 100.00 <NA> <NA> 1 <NA> <NA>\n")
+
+    argv = ["score", "--list-file", str(tmp_path / "list.txt"),
+            "--exp-dir", str(exp), "--ref-rttm-dir", str(refdir)]
+
+    assert run_corpus.main(argv + ["--preset", "example"]) == 0
+    out = capsys.readouterr().out
+    assert "forgiving: DER 7.06" in out          # ghost filtered out
+    assert "fair:" in out and "full:" in out
+
+    # DIHARD2's protocols of record are fair+full only (DIHARD2_run.sh:61-62)
+    assert run_corpus.main(argv + ["--preset", "dihard2"]) == 0
+    out = capsys.readouterr().out
+    assert "forgiving" not in out
+    assert "fair:" in out and "full:" in out
+
+
+def test_stage_specific_required_flags(tmp_path, capsys):
+    lst = tmp_path / "list.txt"
+    lst.write_text("rec\n")
+    with pytest.raises(SystemExit) as exc:
+        run_corpus.main(["xvectors", "--preset", "example",
+                         "--list-file", str(lst),
+                         "--exp-dir", str(tmp_path)])
+    assert exc.value.code == 2                   # argparse usage error
+    err = capsys.readouterr().err
+    assert "--wav-dir" in err and "--weights" in err
