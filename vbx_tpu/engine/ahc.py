@@ -136,30 +136,27 @@ def _blocked_cosine_condensed_and_thr(
             s2sum += np.bincount(idx, weights=flat * flat, minlength=nb)
 
     diag = np.empty(N, np.float64)
-    tri = np.empty(blk * (blk - 1) // 2, np.float64)
+    mask = None
     o = 0
     for i0 in range(0, N, blk):
         i1 = min(i0 + blk, N)
         b = i1 - i0
         xb = xn[i0:i1]
         St = xb @ xb.T                             # [b, b] diagonal block
-        Sr = xb @ xn[i1:].T if i1 < N else None    # [b, N - i1] strict upper
-        if Sr is not None:
-            hist(Sr)                               # contiguous, one pass
-        to = 0
-        for li in range(b):
-            i = i0 + li
-            diag[i] = St[li, li]
-            row_tri = St[li, li + 1:]              # in-block strict upper
-            tri[to:to + row_tri.size] = row_tri
-            to += row_tri.size
-            np.negative(row_tri, out=cond[o:o + row_tri.size])
-            o += row_tri.size
-            if Sr is not None:
-                np.negative(Sr[li], out=cond[o:o + Sr.shape[1]])
-                o += Sr.shape[1]
-        if to:
-            hist(tri[:to])
+        # [b, N - i0]: in-block columns then the strict-upper rectangle.
+        # St and the rectangle stay separate dgemm calls (same partition as
+        # the per-row formulation), so every score is bit-identical to it.
+        R = (np.concatenate((St, xb @ xn[i1:].T), axis=1)
+             if i1 < N else St)
+        if mask is None or mask.shape != R.shape:
+            mask = np.arange(R.shape[1])[None, :] > np.arange(b)[:, None]
+        # row-major boolean extraction == concatenated per-row strict-upper
+        # spans == exactly this block's condensed-vector region
+        upper = R[mask]
+        hist(upper)
+        np.negative(upper, out=cond[o:o + upper.size])
+        o += upper.size
+        diag[i0:i1] = np.diagonal(St)
     cnt *= 2.0
     ssum *= 2.0
     s2sum *= 2.0
