@@ -115,3 +115,65 @@ def test_stage_specific_required_flags(tmp_path, capsys):
     assert exc.value.code == 2                   # argparse usage error
     err = capsys.readouterr().err
     assert "--wav-dir" in err and "--weights" in err
+
+
+@needs_ref
+def test_xvectors_stage_plumbing(tmp_path, monkeypatch, capsys):
+    """stage_xvectors end-to-end with a tiny model monkeypatched over the
+    ResNet101 checkpoint loader (full-fidelity extraction fidelity is
+    test_extractor's job): wav+lab in, ark+seg out, extractor config from
+    the preset, and the both-outputs re-entry rule."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, f"{REF}/VBx")
+    import models.resnet as ref_resnet
+
+    from vbx_tpu.io.wav import write_wav
+    from vbx_tpu.models.resnet import (BasicBlock, ResNetXVector,
+                                       convert_torch_state_dict)
+
+    torch.manual_seed(0)
+    tm = ref_resnet.ResNet(ref_resnet.BasicBlock, [1, 1, 1, 1],
+                           feat_dim=64, embed_dim=32)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_torch_state_dict(sd, num_blocks=(1, 1, 1, 1))
+    fm = ResNetXVector(block=BasicBlock, num_blocks=(1, 1, 1, 1),
+                       feat_dim=64, embed_dim=32)
+
+    import vbx_tpu.models.resnet as resnet_mod
+    monkeypatch.setattr(resnet_mod, "load_torch_checkpoint",
+                        lambda path, **kw: (fm, {**params, **stats}))
+
+    wav_dir = tmp_path / "wav"
+    lab_dir = tmp_path / "lab"
+    exp = tmp_path / "exp"
+    wav_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for rec in ("recA", "recB"):
+        write_wav(str(wav_dir / f"{rec}.wav"),
+                  0.1 * rng.standard_normal(2 * 16000), 16000)
+        (lab_dir / f"{rec}.lab").write_text("0.10 1.90 sp\n")
+    (tmp_path / "list.txt").write_text("recA\nrecB\n")
+
+    argv = ["xvectors", "--preset", "example",
+            "--list-file", str(tmp_path / "list.txt"),
+            "--exp-dir", str(exp), "--wav-dir", str(wav_dir),
+            "--lab-dir", str(lab_dir), "--weights", "unused.pth"]
+    assert run_corpus.main(argv) == 0
+    ark = exp / "xvectors.ark"
+    seg = exp / "xvectors.seg"
+    vecs = dict(iter_vec_ark(str(ark)))
+    rows = read_segments(str(seg))
+    assert len(vecs) == len(rows) > 0
+    assert {r[1] for r in rows} == {"recA", "recB"}
+    for v in vecs.values():
+        assert v.shape == (32,) and np.all(np.isfinite(v))
+
+    # re-entry: complete outputs -> skip; missing seg -> re-extract
+    mtime = ark.stat().st_mtime_ns
+    assert run_corpus.main(argv) == 0
+    assert "skip" in capsys.readouterr().err
+    assert ark.stat().st_mtime_ns == mtime
+    seg.unlink()
+    assert run_corpus.main(argv) == 0
+    assert seg.exists()          # a half-written stage is not "complete"
