@@ -74,7 +74,19 @@ def main(argv=None) -> int:
     if args.per_recording:
         for rec in sorted(per):
             r = per[rec]
-            print(f"{rec}\t{r.der:.2f}\t{r.jer:.2f}" + "\t--" * 9)
+            rcm = frame_clustering_metrics({rec: ref.get(rec, [])},
+                                           {rec: sys_.get(rec, [])},
+                                           uems=uems)
+            print("\t".join(
+                [rec, f"{r.der:.2f}", f"{r.jer:.2f}",
+                 f"{rcm.get('b3_precision', 0):.2f}",
+                 f"{rcm.get('b3_recall', 0):.2f}",
+                 f"{rcm.get('b3_f1', 0):.2f}",
+                 f"{rcm.get('gkt_ref_sys', 0):.2f}",
+                 f"{rcm.get('gkt_sys_ref', 0):.2f}",
+                 f"{rcm.get('h_ref_given_sys', 0):.2f}",
+                 f"{rcm.get('h_sys_given_ref', 0):.2f}",
+                 f"{rcm.get('mi', 0):.2f}", f"{rcm.get('nmi', 0):.2f}"]))
     print("\t".join(
         ["*** OVERALL ***",
          f"{total.der:.2f}", f"{total.jer:.2f}",
