@@ -44,7 +44,8 @@ def build_parser():
     p.add_argument("stage", choices=["xvectors", "diarization", "score"],
                    help="pipeline stage (reference INSTRUCTION arg)")
     p.add_argument("--preset", required=True,
-                   help="dataset preset (vbx_tpu.config.DATASET_PRESETS)")
+                   help="dataset preset (vbx_tpu.config.DATASET_PRESETS) "
+                        "or a .yaml/.yml/.json config file")
     p.add_argument("--list-file", required=True,
                    help="text file with one recording name per line")
     p.add_argument("--exp-dir", required=True)

@@ -56,3 +56,40 @@ def test_profiling_noop():
         assert d is None
     with annotate("x"):
         pass
+
+
+def test_config_dict_roundtrip_and_yaml(tmp_path):
+    from vbx_tpu.config import (config_from_dict, config_to_dict,
+                                get_preset)
+
+    cfg = get_preset("dihard2")
+    assert config_from_dict(config_to_dict(cfg)) == cfg
+
+    # preset base + nested partial overrides
+    cfg2 = config_from_dict(
+        {"preset": "ami_mixheadset", "init": "random_8+VB",
+         "vb": {"loop_prob": 0.5}, "protocols": ["fair"]})
+    assert cfg2.vb.loop_prob == 0.5
+    assert cfg2.vb.Fb == 68.0                  # preset value preserved
+    assert cfg2.init == "random_8+VB"
+    assert cfg2.protocols == ("fair",)
+
+    # typo safety
+    with pytest.raises(KeyError, match="unknown config key"):
+        config_from_dict({"looprob": 0.5})
+    with pytest.raises(KeyError, match="unknown vb config key"):
+        config_from_dict({"vb": {"fa": 1.0}})
+    with pytest.raises(TypeError, match="must be a mapping"):
+        config_from_dict({"vb": 3})
+
+    # get_preset dispatches on file extension
+    y = tmp_path / "my.yaml"
+    y.write_text("preset: callhome\nvb:\n  Fa: 0.9\nlda_dim: 64\n")
+    cfg3 = get_preset(str(y))
+    assert cfg3.vb.Fa == 0.9 and cfg3.vb.Fb == 17.0 and cfg3.lda_dim == 64
+    assert cfg3.sample_rate == 8000            # callhome base
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("- a\n- b\n")
+    with pytest.raises(TypeError, match="mapping at top level"):
+        get_preset(str(bad))

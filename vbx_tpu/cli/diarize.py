@@ -39,8 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-smoothing", type=float, default=None)
     p.add_argument("--output-2nd", action="store_true", default=False)
     p.add_argument("--preset", type=str, default=None,
-                   choices=sorted(DATASET_PRESETS),
-                   help="dataset preset supplying defaults for "
+                   help="dataset preset name "
+                        f"({sorted(DATASET_PRESETS)}) or a .yaml/.yml/.json "
+                        "config file, supplying defaults for "
                         "threshold/lda-dim/Fa/Fb/loopP/smoothing")
     p.add_argument("--no-batch", action="store_true",
                    help="run recordings one by one (streaming) instead of "

@@ -108,9 +108,72 @@ DATASET_PRESETS = {
 }
 
 
-def get_preset(name: str) -> DiarizationConfig:
+def get_preset(name_or_path: str) -> DiarizationConfig:
+    """Resolve a dataset config: a named preset, or a path to a YAML/JSON
+    file (anything ending .yaml/.yml/.json) holding overrides — the "one
+    typed config (dataclass/.yaml) with named dataset presets" the survey
+    calls for (SURVEY.md §5 config; the reference's config of record is
+    hardcoded bash, AMI_run.sh:45-49 etc.)."""
+    if name_or_path.endswith((".yaml", ".yml", ".json")):
+        return load_config_file(name_or_path)
     try:
-        return DATASET_PRESETS[name]
+        return DATASET_PRESETS[name_or_path]
     except KeyError:
         raise KeyError(
-            f"unknown preset {name!r}; available: {sorted(DATASET_PRESETS)}")
+            f"unknown preset {name_or_path!r}; available: "
+            f"{sorted(DATASET_PRESETS)} or a .yaml/.yml/.json config file")
+
+
+_SUBCONFIGS = {"vb": VBConfig, "ahc": AHCConfig, "extractor": ExtractorConfig}
+
+
+def config_from_dict(d: dict) -> DiarizationConfig:
+    """Typed construction from a plain dict. An optional 'preset' key names
+    the base config; every other key overrides a DiarizationConfig field.
+    Nested sections ('vb', 'ahc', 'extractor') are partial: unspecified
+    fields keep the base's values. Unknown keys raise (typo safety)."""
+    d = dict(d)
+    preset = d.pop("preset", None)
+    base = get_preset(preset) if preset else DiarizationConfig()
+    valid = {f.name for f in dataclasses.fields(DiarizationConfig)}
+    kw = {}
+    for key, val in d.items():
+        if key in _SUBCONFIGS:
+            if not isinstance(val, dict):
+                raise TypeError(f"config section {key!r} must be a mapping, "
+                                f"got {type(val).__name__}")
+            sub_valid = {f.name for f in dataclasses.fields(_SUBCONFIGS[key])}
+            unknown = set(val) - sub_valid
+            if unknown:
+                raise KeyError(f"unknown {key} config key(s) "
+                               f"{sorted(unknown)}; valid: {sorted(sub_valid)}")
+            kw[key] = dataclasses.replace(getattr(base, key), **val)
+        elif key in valid:
+            kw[key] = tuple(val) if key == "protocols" else val
+        else:
+            raise KeyError(f"unknown config key {key!r}; valid: "
+                           f"{sorted(valid)}")
+    return base.replace(**kw)
+
+
+def config_to_dict(cfg: DiarizationConfig) -> dict:
+    """Plain-dict form (YAML/JSON-serializable; round-trips through
+    config_from_dict)."""
+    d = dataclasses.asdict(cfg)
+    d["protocols"] = list(d["protocols"])
+    return d
+
+
+def load_config_file(path: str) -> DiarizationConfig:
+    """Load a YAML (or JSON — valid YAML) config file. See
+    config_from_dict for the schema."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if data is None:
+        data = {}
+    if not isinstance(data, dict):
+        raise TypeError(f"config file {path} must hold a mapping at top "
+                        f"level, got {type(data).__name__}")
+    return config_from_dict(data)
