@@ -122,3 +122,81 @@ def test_resnet_output_shape_and_determinism():
     b = model.apply(variables, feat)
     assert a.shape == (3, 256)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_ref
+def test_selayer_matches_torch_reference():
+    """Our NHWC SELayer vs the reference torch SELayer (resnet.py:74-89)
+    with imported weights."""
+    from vbx_tpu.models.resnet import SELayer
+
+    ref = _ref_resnet()
+    torch.manual_seed(1)
+    C, r = 32, 8
+    tse = ref.SELayer(C, reduction=r).eval()
+    rng = np.random.default_rng(1)
+    x_nchw = rng.standard_normal((3, C, 5, 7)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tse(torch.tensor(x_nchw)).numpy()
+
+    fse = SELayer(C, reduction=r)
+    variables = {"params": {
+        "fc1": {"kernel": tse.fc[0].weight.detach().numpy().T},
+        "fc2": {"kernel": tse.fc[2].weight.detach().numpy().T}}}
+    x_nhwc = np.transpose(x_nchw, (0, 2, 3, 1))
+    ours = np.asarray(fse.apply(variables, jnp.asarray(x_nhwc)))
+    np.testing.assert_allclose(
+        np.transpose(ours, (0, 3, 1, 2)), theirs, atol=1e-6)
+
+
+@needs_ref
+def test_se_resnet_import_and_masking():
+    """SE-wired blocks: the converter maps torch `se.fc.{0,2}` keys, and a
+    padded batch entry embeds exactly as its unpadded run (the SE squeeze
+    must average valid frames only)."""
+    from vbx_tpu.models.resnet import se_resnet34
+
+    ref = _ref_resnet()
+    torch.manual_seed(2)
+    fm = ResNetXVector(block=BasicBlock, num_blocks=(1, 1, 1, 1),
+                       feat_dim=16, embed_dim=24, se_reduction=4)
+    rng = np.random.default_rng(2)
+    feat = rng.standard_normal((1, 16, 40)).astype(np.float32)
+    import jax
+
+    variables = fm.init(jax.random.PRNGKey(0), jnp.asarray(feat))
+    # every block got an SE gate
+    for blk, p in variables["params"].items():
+        if blk.startswith("layer"):
+            assert "se" in p, f"{blk} missing SE params"
+
+    # converter maps torch-style `se.fc.{0,2}` keys onto the flax tree:
+    # take a real reference state dict and inject SELayer weights per block
+    tm = ref.ResNet(ref.BasicBlock, [1, 1, 1, 1], feat_dim=16, embed_dim=24)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    for li in range(1, 5):
+        tse = ref.SELayer(32 * 2 ** (li - 1), reduction=4)  # planes from m_channels=32
+        for i in (0, 2):
+            sd[f"layer{li}.0.se.fc.{i}.weight"] = \
+                tse.fc[i].weight.detach().numpy()
+    params, stats = convert_torch_state_dict(sd, num_blocks=(1, 1, 1, 1))
+    conv_vars = {**params, **stats}
+    np.testing.assert_array_equal(
+        conv_vars["params"]["layer2_0"]["se"]["fc1"]["kernel"],
+        sd["layer2.0.se.fc.0.weight"].T)
+    # the converted tree drives the SE model end to end
+    e = np.asarray(fm.apply(conv_vars, jnp.asarray(feat)))
+    assert e.shape == (1, 24) and np.all(np.isfinite(e))
+
+    # padded == true length through the SE squeeze
+    T_true = 40
+    padded = np.zeros((1, 16, 64), np.float32)
+    padded[:, :, :T_true] = feat
+    e_true = np.asarray(fm.apply(variables, jnp.asarray(feat),
+                                 lengths=jnp.asarray([T_true])))
+    e_pad = np.asarray(fm.apply(variables, jnp.asarray(padded),
+                                lengths=jnp.asarray([T_true])))
+    np.testing.assert_allclose(e_pad, e_true, atol=1e-5 * np.abs(e_true).max())
+
+    big = se_resnet34(feat_dim=64, embed_dim=256)
+    assert big.se_reduction == 16

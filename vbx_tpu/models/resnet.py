@@ -40,12 +40,40 @@ def _mask_time(y, mask):
     return y * mask[:, None, :, None].astype(y.dtype)
 
 
+class SELayer(nn.Module):
+    """Squeeze-and-excitation channel gate (reference: resnet.py:74-89 —
+    defined there for the SE-ResNet family though unwired in the shipped
+    blocks): global average pool -> bottleneck MLP (no biases) -> sigmoid
+    channel scale. NHWC here; `mask` [B, T] restricts the squeeze to valid
+    frames so padded batch entries gate identically to unpadded runs."""
+    channels: int
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        if mask is None:
+            y = jnp.mean(x.astype(jnp.float32), axis=(1, 2))     # [B, C]
+        else:
+            m = mask[:, None, :, None].astype(jnp.float32)
+            y = (jnp.sum(x.astype(jnp.float32) * m, axis=(1, 2))
+                 / (jnp.sum(m, axis=(1, 2)) * x.shape[1]))
+        y = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     dtype=self.dtype, name="fc1")(y.astype(self.dtype))
+        y = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                     name="fc2")(nn.relu(y))
+        return x * nn.sigmoid(y)[:, None, None, :].astype(x.dtype)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) with projection shortcut
-    (reference: resnet.py:44-71)."""
+    (reference: resnet.py:44-71). `se_reduction` wires an SELayer gate
+    before the residual add (the standard SE-ResNet placement; the
+    reference defines the layer but ships no SE checkpoints)."""
     planes: int
     stride: int = 1
     expansion: int = 4
+    se_reduction: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,6 +97,13 @@ class Bottleneck(nn.Module):
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
         y = norm("bn3")(y)
+        if self.se_reduction:
+            out_mask = None
+            if in_mask is not None:
+                out_mask = (in_mask[:, ::self.stride] if self.stride > 1
+                            else in_mask)[:, :y.shape[2]]
+            y = SELayer(out_ch, self.se_reduction, dtype=self.dtype,
+                        name="se")(y, mask=out_mask)
         if self.stride != 1 or x.shape[-1] != out_ch:
             x = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
                         use_bias=False, dtype=self.dtype, name="shortcut_conv")(x)
@@ -78,10 +113,11 @@ class Bottleneck(nn.Module):
 
 class BasicBlock(nn.Module):
     """3x3(stride) -> 3x3 with projection shortcut
-    (reference: resnet.py:17-41)."""
+    (reference: resnet.py:17-41). `se_reduction` as in Bottleneck."""
     planes: int
     stride: int = 1
     expansion: int = 1
+    se_reduction: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,6 +135,9 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
+        if self.se_reduction:
+            y = SELayer(self.planes, self.se_reduction, dtype=self.dtype,
+                        name="se")(y, mask=out_mask)
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                         use_bias=False, dtype=self.dtype, name="shortcut_conv")(x)
@@ -113,6 +152,7 @@ class ResNetXVector(nn.Module):
     m_channels: int = 32
     feat_dim: int = 64
     embed_dim: int = 256
+    se_reduction: int = 0     # 0 = plain ResNet; >0 = SE-ResNet (SELayer)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -153,6 +193,7 @@ class ResNetXVector(nn.Module):
                     # out_t = floor((t-1)/2)+1 = ceil(t/2) for 3x3/s2/p1
                     cur_len = (cur_len + 1) // 2
                 blk = self.block(planes=planes, stride=blk_stride,
+                                 se_reduction=self.se_reduction,
                                  dtype=self.dtype, name=f"layer{li}_{bi}")
                 if self.block is Bottleneck:
                     # its 3x3 conv reads at INPUT resolution
@@ -199,6 +240,15 @@ def resnet34(feat_dim: int = 64, embed_dim: int = 256,
                          feat_dim=feat_dim, embed_dim=embed_dim, dtype=dtype)
 
 
+def se_resnet34(feat_dim: int = 64, embed_dim: int = 256, reduction: int = 16,
+                dtype=jnp.float32) -> ResNetXVector:
+    """SE-ResNet34: BasicBlock stages with the reference's SELayer gate
+    (resnet.py:74-89) before each residual add."""
+    return ResNetXVector(block=BasicBlock, num_blocks=(3, 4, 6, 3),
+                         feat_dim=feat_dim, embed_dim=embed_dim,
+                         se_reduction=reduction, dtype=dtype)
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint import
 # ---------------------------------------------------------------------------
@@ -241,6 +291,14 @@ def convert_torch_state_dict(sd: Dict[str, Any], num_blocks=(3, 4, 23, 3)
                              "bias": sd[f"{src}.{bn}.bias"]}
                 blk_s[bn] = {"mean": sd[f"{src}.{bn}.running_mean"],
                              "var": sd[f"{src}.{bn}.running_var"]}
+            if f"{src}.se.fc.0.weight" in sd:
+                # torch SELayer (resnet.py:74-89): fc = Sequential(Linear,
+                # ReLU, Linear, Sigmoid) -> indices 0 and 2, no biases
+                blk_p["se"] = {
+                    "fc1": {"kernel": np.asarray(
+                        sd[f"{src}.se.fc.0.weight"]).T},
+                    "fc2": {"kernel": np.asarray(
+                        sd[f"{src}.se.fc.2.weight"]).T}}
             if f"{src}.shortcut.0.weight" in sd:
                 blk_p["shortcut_conv"] = {
                     "kernel": _conv_w(sd[f"{src}.shortcut.0.weight"])}
