@@ -118,3 +118,18 @@ def test_elbo_monotone_nondecreasing():
               max_iters=25, epsilon=1e-9)
     e = np.asarray(res.elbo)[:int(res.n_iters)]
     assert np.all(np.diff(e) > -1e-6), e
+
+
+def test_vbx_accepts_numpy_integer_pi():
+    """labels.max()+1 without int() yields np.int64 — the uniform-prior
+    scalar form must accept it."""
+    import jax.numpy as jnp
+
+    from vbx_tpu.engine.vbhmm import vbx
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((20, 8)), jnp.float32)
+    phi = jnp.asarray(rng.uniform(0.5, 2.0, 8), jnp.float32)
+    g = jnp.asarray(rng.dirichlet(np.ones(3), size=20), jnp.float32)
+    res = vbx(X, phi, pi=np.int64(3), gamma=g, max_iters=2)
+    assert res.gamma.shape == (20, 3)

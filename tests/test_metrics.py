@@ -159,3 +159,23 @@ def test_clip_turns_overlapping_regions():
     # disjoint regions split a spanning turn
     out = _clip_turns([Turn(5.0, 25.0, "a")], [(0.0, 10.0), (20.0, 30.0)])
     assert [(t.start, t.end) for t in out] == [(5.0, 10.0), (20.0, 25.0)]
+
+
+def test_frame_metrics_pool_silent_uem_recordings():
+    """A recording whose explicit UEM region contains no speech on either
+    side contributes agreeing empty-set frames to the pooled table (its
+    omission would shift every corpus-level clustering metric)."""
+    from vbx_tpu.metrics.frame_metrics import frame_clustering_metrics
+
+    ref = {"a": [Turn(0.0, 10.0, "x")], "b": []}
+    sys = {"a": [Turn(0.0, 10.0, "1")], "b": []}
+    uems = {"a": (0.0, 10.0), "b": (0.0, 10.0)}
+    with_b = frame_clustering_metrics(ref, sys, uems=uems)
+    without_b = frame_clustering_metrics(
+        {"a": ref["a"]}, {"a": sys["a"]}, uems={"a": uems["a"]})
+    # recording a alone is a perfect single-class match; adding b's 1000
+    # silence frames keeps precision/recall perfect but changes entropies
+    assert with_b["b3_f1"] == pytest.approx(1.0)
+    assert with_b["mi"] != pytest.approx(without_b["mi"])
+    # silence frames agree: confusion-free, so NMI stays defined and finite
+    assert np.isfinite(with_b["nmi"])

@@ -75,3 +75,21 @@ def test_l2_normalize():
     x = rng.standard_normal((5, 8))
     y = np.asarray(l2_normalize(jnp.asarray(x)))
     np.testing.assert_allclose(np.linalg.norm(y, axis=1), 1.0, rtol=1e-12)
+
+
+@needs_ref
+def test_two_gmm_llrs_match_reference_before_convergence():
+    """The reference returns lls computed at the TOP of the final EM
+    iteration (params one update behind the threshold); with few iterations
+    on slowly-separating data the distinction is measurable."""
+    lib = _ref_lib()
+    rng = np.random.default_rng(7)
+    # barely-bimodal: EM still moving at every iteration count tested
+    s = np.concatenate([rng.normal(0.0, 1.0, 4000),
+                        rng.normal(0.45, 1.0, 2500)])
+    for niters in (1, 3, 20):
+        thr_ref, llrs_ref = lib.twoGMMcalib_lin(s.copy(), niters=niters)
+        thr, llrs = two_gmm_calib_with_llrs(jnp.asarray(s), niters=niters)
+        assert abs(float(thr) - thr_ref) < 1e-6, niters
+        np.testing.assert_allclose(np.asarray(llrs), llrs_ref, atol=1e-6,
+                                   err_msg=f"niters={niters}")

@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vbx_tpu.ops.forward_backward import (
     forward_backward_assoc, forward_backward_structured)
@@ -178,8 +179,8 @@ def vbx(
     phi = jnp.asarray(phi, dtype)
     T = X.shape[0]
 
-    if isinstance(pi, int):
-        pi = jnp.ones((pi,), dtype) / pi
+    if isinstance(pi, (int, np.integer)):
+        pi = jnp.ones((int(pi),), dtype) / int(pi)
     else:
         pi = jnp.asarray(pi, dtype)
     S = pi.shape[0]

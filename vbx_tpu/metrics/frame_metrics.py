@@ -104,14 +104,18 @@ def frame_clustering_metrics(
             rturns = _clip_turns(rturns, regions)
             sturns = _clip_turns(sturns, regions)
         allt = rturns + sturns
-        if not allt:
-            continue
-        if regions is None:
-            segments = [(min(t.start for t in allt),
-                         max(t.end for t in allt))]
-        else:
+        if regions is not None:
+            # explicit UEM defines the frames even with no in-region speech
+            # (all-silence frames agree as the empty set and ARE pooled);
             # overlapping UEM rows must not double-count frames
             segments = _merge_intervals(regions)
+        elif not allt:
+            # no turns and no explicit region: the implicit UEM
+            # (min onset..max offset) is empty, nothing to pool
+            continue
+        else:
+            segments = [(min(t.start for t in allt),
+                         max(t.end for t in allt))]
         # per-recording label namespacing via integer class-id offsets
         # (classes are equivalence classes only; no global meaning needed)
         rl, rn = _frame_set_ids(rturns, segments, step)

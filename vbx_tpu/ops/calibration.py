@@ -23,10 +23,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _em_params(s: jax.Array, niters: int):
+def _em_params(s: jax.Array, niters: int, init_state=None):
     """Run the shared-variance 2-GMM EM on flattened scores; returns the
     final (weights, means, var). The single source of the device EM loop —
-    both the threshold and the LLR entry points consume it."""
+    both the threshold and the LLR entry points consume it. `init_state`
+    resumes from given (weights, means, var) instead of the data init."""
     dtype = s.dtype
     n = s.shape[0]
 
@@ -38,6 +39,8 @@ def _em_params(s: jax.Array, niters: int):
     weights0 = jnp.array([0.5, 0.5], dtype=dtype)
     means0 = mean_s + std_s * jnp.array([-1.0, 1.0], dtype=dtype)
     var0 = jnp.var(s)
+    if init_state is not None:
+        weights0, means0, var0 = init_state
 
     def em_iter(_, state):
         weights, means, var = state
@@ -194,7 +197,13 @@ def two_gmm_calib_lin_binned(scores, niters: int = 20,
     if hi <= lo:
         return float(lo)
     # chunked single pass: giant temporaries (idx int64, s*s) otherwise
-    # dominate the runtime ~10x through allocator/memory-bandwidth churn
+    # dominate the runtime ~10x through allocator/memory-bandwidth churn.
+    # The native single-pass accumulator (clustering.hist_moments — the
+    # same routine the blocked cosine path streams through) does each chunk
+    # in one C pass; the numpy fallback below bins identically (truncating
+    # cast + clamp to the last bin).
+    from vbx_tpu.clustering import hist_moments
+
     scale = n_bins / (hi - lo)
     cnt = np.zeros(n_bins)
     ssum = np.zeros(n_bins)
@@ -202,7 +211,9 @@ def two_gmm_calib_lin_binned(scores, niters: int = 20,
     CH = 8_000_000
     for i in range(0, n, CH):
         chunk = s[i:i + CH]
-        idx = np.minimum(((chunk - lo) * scale).astype(np.int32), n_bins - 1)
+        if hist_moments(chunk, lo, scale, n_bins, cnt, ssum, s2sum):
+            continue
+        idx = np.clip(((chunk - lo) * scale).astype(np.int64), 0, n_bins - 1)
         cnt += np.bincount(idx, minlength=n_bins)
         ssum += np.bincount(idx, weights=chunk, minlength=n_bins)
         s2sum += np.bincount(idx, weights=chunk * chunk, minlength=n_bins)
@@ -213,14 +224,22 @@ def two_gmm_calib_lin_binned(scores, niters: int = 20,
 
 def two_gmm_calib_with_llrs(scores: jax.Array,
                             niters: int = 20) -> Tuple[jax.Array, jax.Array]:
-    """Threshold plus linearly calibrated log-odds-ratio scores ordered so
-    the higher-mean component is 'target' (reference returns
-    lls[:, argmax] - lls[:, argmin])."""
+    """Threshold plus linearly calibrated log-odds-ratio scores.
+
+    Reference semantics exactly (diarization_lib.twoGMMcalib_lin:13-31):
+    the returned lls are those computed at the TOP of the final EM
+    iteration (i.e. from the parameters after niters-1 updates — the
+    reference's loop computes lls before updating), while the threshold and
+    the target-component ordering (argmax/argmin of means, so equal means
+    give all-zero llrs) use the post-loop parameters."""
+    if niters < 1:
+        raise ValueError("niters must be >= 1")
     s = scores.reshape(-1)
-    weights, means, var = _em_params(s, niters)
+    prev = _em_params(s, niters - 1)             # params entering last iter
+    weights, means, var = _em_params(s, 1, init_state=prev)
     threshold = _threshold_from(weights, means, var)
-    lls = (jnp.log(weights) - 0.5 * jnp.log(var)
-           - 0.5 * (s[:, None] - means) ** 2 / var)
-    hi = jnp.argmax(means)
-    llrs = lls[:, hi] - lls[:, 1 - hi]
+    pw, pm, pv = prev
+    lls = (jnp.log(pw) - 0.5 * jnp.log(pv)
+           - 0.5 * (s[:, None] - pm) ** 2 / pv)
+    llrs = lls[:, jnp.argmax(means)] - lls[:, jnp.argmin(means)]
     return threshold, llrs

@@ -36,8 +36,3 @@ def masked_logsumexp(x, mask, axis=-1, keepdims=False):
     return logsumexp(masked_fill(x, mask), axis=axis, keepdims=keepdims)
 
 
-def logaddexp(a, b):
-    """Elementwise log(exp(a) + exp(b)), stable around NEG_INF."""
-    m = jnp.maximum(a, b)
-    m_safe = jnp.maximum(m, jnp.asarray(NEG_INF, dtype=m.dtype))
-    return m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))

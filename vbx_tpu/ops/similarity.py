@@ -88,12 +88,8 @@ def kaldi_plda_scoring_dense(
     return np.asarray(scores)
 
 
-def apply_xvec_transform(x: jax.Array, mean1: jax.Array, lda: jax.Array,
-                         mean2: jax.Array) -> jax.Array:
-    """256-d -> 128-d PLDA-space projection:
-    l2norm(l2norm(x - mean1) @ lda - mean2) (reference: vbhmm.py:125-129,
-    written there as l2norm(lda.T @ l2norm(x-mean1).T).T - mean2 followed by
-    a second l2norm inside the caller's l2_norm wrapping)."""
-    y = l2_normalize(x - mean1)
-    y = jnp.matmul(y, lda, preferred_element_type=x.dtype) - mean2
-    return l2_normalize(y)
+# NOTE: the x-vector transform (vbhmm.py:125-129) deliberately has NO
+# device-side implementation here: it feeds the AHC init chain, whose
+# calibration threshold and linkage cut are float64-sensitive, so the
+# authoritative implementation is host f64 in engine.pipeline.Diarizer
+# .transform_xvectors (see CLAUDE.md invariants).
