@@ -91,3 +91,33 @@ def test_reference_entry_point_aliases(tmp_path):
         "--in-lab-dir", "lab", "--in-wav-dir", "wav",
         "--out-ark-fn", "x.ark", "--out-seg-fn", "x.seg"])
     assert args.seg_len == 144 and args.gpus == ""
+
+
+def test_diarize_preset_target_energy_not_clobbered(tmp_path):
+    """--target-energy left unset must preserve the preset/YAML value."""
+    from vbx_tpu.cli.diarize import build_parser, config_from_args
+
+    y = tmp_path / "cfg.yaml"
+    y.write_text("preset: example\nahc:\n  target_energy: 0.3\n")
+    argv = ["--init", "AHC+VB", "--out-rttm-dir", "o", "--xvec-ark-file",
+            "a", "--segments-file", "s", "--xvec-transform", "t",
+            "--plda-file", "p", "--preset", str(y)]
+    cfg = config_from_args(build_parser().parse_args(argv))
+    assert cfg.ahc.target_energy == 0.3
+    cfg2 = config_from_args(build_parser().parse_args(
+        argv + ["--target-energy", "0.7"]))
+    assert cfg2.ahc.target_energy == 0.7
+
+
+def test_score_rejects_recordings_missing_from_uem(tmp_path, capsys):
+    from vbx_tpu.cli.score import main as score_main
+
+    r = tmp_path / "ref.rttm"
+    s = tmp_path / "sys.rttm"
+    r.write_text("SPEAKER recA 1 0.0 5.0 <NA> <NA> x <NA> <NA>\n")
+    s.write_text("SPEAKER recA 1 0.0 5.0 <NA> <NA> 1 <NA> <NA>\n")
+    u = tmp_path / "cover.uem"
+    u.write_text("recB 1 0.0 10.0\n")           # recA absent
+    rc = score_main(["-r", str(r), "-s", str(s), "-u", str(u)])
+    assert rc == 1
+    assert "missing from" in capsys.readouterr().err

@@ -281,3 +281,30 @@ def test_malformed_inputs_raise_valueerror(tmp_path):
         p.write_bytes(data)
         with pytest.raises(ValueError):
             fn(str(p))
+
+
+def test_wav_rejects_nonstandard_float_width(tmp_path):
+    import struct
+
+    # hand-build a wav claiming IEEE-float (fmt 3) at 16 bits
+    data = struct.pack("<4h", 1, 2, 3, 4)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = tmp_path / "f16.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    from vbx_tpu.io.wav import read_wav
+    with pytest.raises(ValueError, match="IEEE-float width"):
+        read_wav(str(p))
+
+
+def test_truncated_ark_key_is_a_typed_truncation_error(tmp_path):
+    from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
+
+    p = tmp_path / "t.ark"
+    write_vec_ark(str(p), [("rec_0001", np.ones(4, np.float32))])
+    blob = p.read_bytes()
+    # cut inside the NEXT record's key (append a key fragment, no space)
+    p.write_bytes(blob + b"rec_00")
+    with pytest.raises(ValueError, match="truncated ark: EOF inside"):
+        list(iter_vec_ark(str(p)))

@@ -42,3 +42,29 @@ def test_missing_parts(tmp_path):
     with pytest.raises(FileNotFoundError):
         reassemble_split_zip(str(tmp_path / "nope.part-a*"), str(tmp_path))
     assert find_checkpoint(str(tmp_path)) is None
+
+
+def test_reassemble_manifest_short_circuits(tmp_path):
+    """Second call must not redo assembly I/O: the manifest lists members
+    and all exist -> early return (and the parts can even be gone)."""
+    import zipfile
+
+    from vbx_tpu.models.weights import reassemble_split_zip
+
+    z = tmp_path / "m.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("w/a.txt", "A")
+        zf.writestr("w/b.txt", "B")
+    blob = z.read_bytes()
+    z.unlink()
+    (tmp_path / "m.zip.part-aa").write_bytes(blob[:20])
+    (tmp_path / "m.zip.part-ab").write_bytes(blob[20:])
+    out = tmp_path / "out"
+    first = reassemble_split_zip(str(tmp_path / "m.zip.part-a*"), str(out))
+    assert sorted(os.path.basename(p) for p in first) == ["a.txt", "b.txt"]
+    # corrupt the parts: a re-run can only succeed via the manifest
+    # (reassembly would produce an unreadable zip)
+    for p in tmp_path.glob("m.zip.part-a*"):
+        p.write_bytes(b"garbage")
+    second = reassemble_split_zip(str(tmp_path / "m.zip.part-a*"), str(out))
+    assert sorted(second) == sorted(first)

@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--Fa", type=float, default=None)
     p.add_argument("--Fb", type=float, default=None)
     p.add_argument("--loopP", type=float, default=None)
-    p.add_argument("--target-energy", type=float, default=1.0)
+    p.add_argument("--target-energy", type=float, default=None,
+                   help="PLDA-scoring PCA energy (default: preset's value, "
+                        "1.0 like the reference vbhmm.py:85-89)")
     p.add_argument("--init-smoothing", type=float, default=None)
     p.add_argument("--output-2nd", action="store_true", default=False)
     p.add_argument("--preset", type=str, default=None,
@@ -78,7 +80,8 @@ def config_from_args(args) -> DiarizationConfig:
             init_smoothing=(args.init_smoothing
                             if args.init_smoothing is not None
                             else ahc.init_smoothing))
-    ahc = dataclasses.replace(ahc, target_energy=args.target_energy)
+    if args.target_energy is not None:
+        ahc = dataclasses.replace(ahc, target_energy=args.target_energy)
     if not 0 <= vb.loop_prob <= 1:
         raise SystemExit(f"Expecting loopP between 0 and 1, got "
                          f"{vb.loop_prob} instead.")

@@ -62,6 +62,14 @@ def main(argv=None) -> int:
     if args.uem:
         from vbx_tpu.io.uem import read_uem
         uems = read_uem(args.uem)
+        uncovered = sorted((set(ref) | set(sys_)) - set(uems))
+        if uncovered:
+            # dscore (the parity target) rejects recordings absent from an
+            # explicit UEM; silently falling back to gen_uem extents for
+            # them would mix two scoring protocols in one OVERALL row
+            print(f"ERROR: {len(uncovered)} recording(s) missing from "
+                  f"{args.uem}: " + " ".join(uncovered), file=sys.stderr)
+            return 1
     per, total = score_corpus(ref, sys_, collar=args.collar,
                               ignore_overlaps=args.ignore_overlaps,
                               uems=uems)

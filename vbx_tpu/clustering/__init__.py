@@ -146,8 +146,15 @@ def hist_moments(s: np.ndarray, lo: float, scale: float, n_bins: int,
     if lib is None:
         return False
     s = np.ascontiguousarray(s, dtype=np.float64).reshape(-1)
-    for a in (cnt, ssum, s2sum):
-        assert a.dtype == np.float64 and a.flags.c_contiguous
+    for name, a in (("cnt", cnt), ("ssum", ssum), ("s2sum", s2sum)):
+        # explicit raise, not assert: the native call writes 8-byte doubles
+        # through these buffers, so a mistyped array under `python -O`
+        # (asserts stripped) would be silent heap corruption
+        if a.dtype != np.float64 or not a.flags.c_contiguous:
+            raise ValueError(
+                f"hist_moments accumulator {name!r} must be C-contiguous "
+                f"float64 (got dtype={a.dtype}, "
+                f"contiguous={a.flags.c_contiguous})")
     lib.hist_moments_f64(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), s.size,
         ctypes.c_double(lo), ctypes.c_double(scale), n_bins,

@@ -18,13 +18,19 @@ from typing import BinaryIO, Dict, Iterable, Iterator, List, Tuple
 
 import numpy as np
 
+from vbx_tpu.io.common import open_sink
+
 
 def _read_key(fd: BinaryIO) -> str | None:
     chars = []
     while True:
         c = fd.read(1)
         if not c:  # EOF
-            return None if not chars else b"".join(chars).decode()
+            if chars:
+                frag = b"".join(chars)[:40]
+                raise ValueError(
+                    f"truncated ark: EOF inside record key {frag!r}")
+            return None
         if c == b" ":
             if not chars:
                 raise ValueError("empty ark key")
@@ -82,11 +88,8 @@ def write_vec_ark(path_or_fd, data: Iterable[Tuple[str, np.ndarray]]) -> None:
             fd.write(struct.pack("<i", vec.shape[0]))
             fd.write(vec.tobytes())
 
-    if hasattr(path_or_fd, "write"):
-        _write(path_or_fd)
-    else:
-        with open(path_or_fd, "wb") as fd:
-            _write(fd)
+    with open_sink(path_or_fd, "wb") as fd:
+        _write(fd)
 
 
 def write_txt_vectors(path: str, data: Dict[str, np.ndarray]) -> None:

@@ -15,6 +15,8 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
+from vbx_tpu.io.common import open_sink
+
 
 @dataclasses.dataclass(frozen=True)
 class RttmSegment:
@@ -32,32 +34,20 @@ def write_rttm(path_or_fd, recording: str, starts: Sequence[float],
                ends: Sequence[float], labels: Sequence[int]) -> None:
     """Write merged, integer-labeled segments for one recording."""
 
-    def _write(fp):
+    with open_sink(path_or_fd) as fp:
         for label, s, e in zip(labels, starts, ends):
             fp.write(f"SPEAKER {recording} 1 {s:03f} {e - s:03f} "
                      f"<NA> <NA> {int(label) + 1} <NA> <NA>{os.linesep}")
-
-    if hasattr(path_or_fd, "write"):
-        _write(path_or_fd)
-    else:
-        with open(path_or_fd, "w") as fp:
-            _write(fp)
 
 
 def write_rttm_str(path_or_fd, segments: Iterable[RttmSegment]) -> None:
     """Write arbitrary (string-labeled) RTTM segments."""
 
-    def _write(fp):
+    with open_sink(path_or_fd) as fp:
         for seg in segments:
             fp.write(f"SPEAKER {seg.recording} 1 {seg.start:03f} "
                      f"{seg.duration:03f} <NA> <NA> {seg.speaker} "
                      f"<NA> <NA>{os.linesep}")
-
-    if hasattr(path_or_fd, "write"):
-        _write(path_or_fd)
-    else:
-        with open(path_or_fd, "w") as fp:
-            _write(fp)
 
 
 def read_rttm(path: str) -> List[RttmSegment]:

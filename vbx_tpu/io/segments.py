@@ -10,6 +10,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from vbx_tpu.io.common import open_sink
+
 
 def read_segments(path: str) -> List[Tuple[str, str, float, float]]:
     out = []
@@ -44,12 +46,6 @@ def read_xvector_timing_dict(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarra
 def write_segments(path_or_fd, rows) -> None:
     """Write (name, recording, start, end) rows."""
 
-    def _write(fp):
+    with open_sink(path_or_fd) as fp:
         for name, rec, start, end in rows:
             fp.write(f"{name} {rec} {start} {end}\n")
-
-    if hasattr(path_or_fd, "write"):
-        _write(path_or_fd)
-    else:
-        with open(path_or_fd, "w") as fp:
-            _write(fp)

@@ -25,8 +25,10 @@ def read_uem(path: str) -> Dict[str, List[Tuple[float, float]]]:
     return out
 
 
-def write_uem(path: str, uem: Dict[str, List[Tuple[float, float]]]) -> None:
-    with open(path, "w") as fp:
+def write_uem(path_or_fd, uem: Dict[str, List[Tuple[float, float]]]) -> None:
+    from vbx_tpu.io.common import open_sink
+
+    with open_sink(path_or_fd) as fp:
         for rec in sorted(uem):
             for on, off in uem[rec]:
                 fp.write(f"{rec} 1 {on:.3f} {off:.3f}\n")

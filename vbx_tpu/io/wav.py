@@ -69,7 +69,12 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         else:
             raise ValueError(f"{path}: unsupported PCM width {bits}")
     elif audio_fmt == 3:                            # IEEE float
-        dt = "<f4" if bits == 32 else "<f8"
+        if bits == 32:
+            dt = "<f4"
+        elif bits == 64:
+            dt = "<f8"
+        else:
+            raise ValueError(f"{path}: unsupported IEEE-float width {bits}")
         x = np.frombuffer(data, dtype=dt).astype(np.float64)
     else:
         raise ValueError(f"{path}: unsupported wav format {audio_fmt}")
