@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NIST UEM file restricting the scoring regions "
                         "(default: per-recording min onset..max offset, "
                         "dscore's gen_uem behavior)")
+    p.add_argument("--step", type=float, default=0.01,
+                   help="frame step (s) for the clustering-metric columns "
+                        "(dscore's --step; DER/JER are event-based and "
+                        "unaffected)")
     p.add_argument("--collar", type=float, default=0.0)
     p.add_argument("--ignore_overlaps", action="store_true")
     p.add_argument("--per-recording", action="store_true",
@@ -73,7 +77,7 @@ def main(argv=None) -> int:
     per, total = score_corpus(ref, sys_, collar=args.collar,
                               ignore_overlaps=args.ignore_overlaps,
                               uems=uems)
-    cm = frame_clustering_metrics(ref, sys_, uems=uems)
+    cm = frame_clustering_metrics(ref, sys_, step=args.step, uems=uems)
 
     cols = ["DER", "JER", "B3-Precision", "B3-Recall", "B3-F1",
             "GKT(ref, sys)", "GKT(sys, ref)", "H(ref|sys)", "H(sys|ref)",
@@ -84,7 +88,7 @@ def main(argv=None) -> int:
             r = per[rec]
             rcm = frame_clustering_metrics({rec: ref.get(rec, [])},
                                            {rec: sys_.get(rec, [])},
-                                           uems=uems)
+                                           step=args.step, uems=uems)
             print("\t".join(
                 [rec, f"{r.der:.2f}", f"{r.jer:.2f}",
                  f"{rcm.get('b3_precision', 0):.2f}",
