@@ -258,3 +258,25 @@ def test_sb_kernel_rejects_vmem_overflow():
     pinit = jnp.full((S, B), 1.0 / S, jnp.float32)
     with pytest.raises(ValueError, match="VMEM"):
         fb_scan_pallas_sb(w, valid, col, pinit, 0.9, interpret=True)
+
+
+def test_fused_sb_recip_normalization_matches():
+    """recip=True (narrow reciprocal-multiply normalization) must agree
+    with the broadcast-divide form to float32 roundoff."""
+    import jax.numpy as jnp
+
+    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb
+
+    rng = np.random.default_rng(11)
+    T, S, B = 96, 6, 4
+    w = jnp.asarray(rng.uniform(0.05, 1.0, (T, S, B)).astype(np.float32))
+    valid = jnp.ones((T, B), jnp.float32)
+    pi = rng.dirichlet(np.ones(S), size=B).astype(np.float32).T
+    col = jnp.asarray(0.1 * pi + 1e-8)
+    pinit = jnp.asarray(pi + 1e-8)
+    a0, b0, c0 = fb_scan_pallas_sb(w, valid, col, pinit, 0.9,
+                                   interpret=True)
+    a1, b1, c1 = fb_scan_pallas_sb(w, valid, col, pinit, 0.9,
+                                   interpret=True, recip=True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-6)

@@ -190,7 +190,8 @@ def _fused_kernel(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
 
 def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
                      ahat_ref, bhat_ref, cfw_ref,
-                     fcarry_ref, bcarry_ref, wsave_ref):
+                     fcarry_ref, bcarry_ref, wsave_ref, *,
+                     recip: bool = False):
     """Speakers-on-SUBLANES variant of _fused_kernel: tiles are
     [S_pad8, B_pad128] so the speaker axis pads to a multiple of 8 instead
     of 128 lanes — ~4x less VMEM/HBM traffic at diarization-typical S~32 —
@@ -225,7 +226,10 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
         a = jnp.where(at_end, w_t * pinit, w_t * (lp * fprev + col))
         c = jnp.maximum(jnp.sum(a, axis=0, keepdims=True),
                         jnp.float32(_TINY))
-        af = a / c
+        # recip: normalize by multiplying with the reciprocal computed once
+        # on the narrow [1, Bp] row instead of a full-tile broadcast divide
+        # (1-ulp different; the pallas path is tolerance-parity)
+        af = a * (1.0 / c) if recip else a / c
         ahat_ref[i] = af
         cfw_ref[i] = jnp.broadcast_to(c, cfw_ref.shape[1:])
 
@@ -236,7 +240,8 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
         b = lp * u + jnp.sum(col * u, axis=0, keepdims=True)
         cb = jnp.maximum(jnp.sum(b, axis=0, keepdims=True),
                          jnp.float32(_TINY))
-        bf = jnp.where(at_end, jnp.full_like(u, 1.0 / Sp), b / cb)
+        bn = b * (1.0 / cb) if recip else b / cb
+        bf = jnp.where(at_end, jnp.full_like(u, 1.0 / Sp), bn)
         bhat_ref[j] = bf
         return af, bf
 
@@ -245,10 +250,10 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
     wsave_ref[:] = wb_ref[0]             # this chunk's first frame, for k+1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "recip"))
 def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
                       pinit: jax.Array, loop_prob,
-                      interpret: bool = False,
+                      interpret: bool = False, recip: bool = False,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused bidirectional smoother in [T, S, B] layout (speakers on
     sublanes, batch on lanes) — the batched-throughput path for B > ~16.
@@ -309,7 +314,7 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
         return (0, 0)
 
     ahat, bhat, cfw_b = pl.pallas_call(
-        _fused_kernel_sb,
+        functools.partial(_fused_kernel_sb, recip=recip),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((t_chunk, Sp, Bp), chunk3,
