@@ -121,3 +121,25 @@ def test_score_rejects_recordings_missing_from_uem(tmp_path, capsys):
     rc = score_main(["-r", str(r), "-s", str(s), "-u", str(u)])
     assert rc == 1
     assert "missing from" in capsys.readouterr().err
+
+
+def test_extract_model_file_takes_precedence(tmp_path, monkeypatch):
+    """--model-file (whole pickled torch model) wins over --weights
+    (reference: predict.py:117-119)."""
+    pytest.importorskip("torch")
+    from vbx_tpu.cli import extract as extract_cli
+
+    seen = {}
+
+    def fake_load(path, **kw):
+        seen["path"] = path
+        raise SystemExit(0)          # stop before any real extraction
+
+    import vbx_tpu.models.resnet as resnet_mod
+    monkeypatch.setattr(resnet_mod, "load_torch_checkpoint", fake_load)
+    argv = ["--weights", "w.pth", "--model-file", "whole.pt",
+            "--in-file-list", "l", "--in-lab-dir", "d", "--in-wav-dir", "d",
+            "--out-ark-fn", "o.ark", "--out-seg-fn", "o.seg"]
+    with pytest.raises(SystemExit):
+        extract_cli.main(argv)
+    assert seen["path"] == "whole.pt"

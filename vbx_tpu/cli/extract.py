@@ -78,8 +78,12 @@ def main(argv=None) -> int:
                 f"width {model.embed_dim}")
     else:
         from vbx_tpu.models.resnet import load_torch_checkpoint
+        # --model-file (a whole pickled torch model) takes precedence over
+        # --weights, like the reference (predict.py:117-119); the loader
+        # extracts its state dict either way
         model, variables = load_torch_checkpoint(
-            args.weights, feat_dim=args.ndim, embed_dim=args.embed_dim,
+            args.model_file or args.weights,
+            feat_dim=args.ndim, embed_dim=args.embed_dim,
             dtype=dtype, arch=args.model)
 
     cfg = ExtractorConfig(feat_dim=args.ndim, embed_dim=args.embed_dim,
