@@ -93,3 +93,46 @@ def test_config_dict_roundtrip_and_yaml(tmp_path):
     bad.write_text("- a\n- b\n")
     with pytest.raises(TypeError, match="mapping at top level"):
         get_preset(str(bad))
+
+
+def test_timer_records_elapsed(caplog):
+    import logging
+    import time as _time
+
+    from vbx_tpu.utils.timing import Timer
+
+    with caplog.at_level(logging.INFO, logger="vbx_tpu"):
+        with Timer("stage-x") as t:
+            _time.sleep(0.01)
+    assert t.elapsed >= 0.01
+    msgs = [r.message for r in caplog.records]
+    assert any("Start: stage-x" in m for m in msgs)
+    assert any("End: stage-x" in m for m in msgs)
+    # log=False stays silent
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="vbx_tpu"):
+        with Timer("quiet", log=False):
+            pass
+    assert not caplog.records
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    import jax
+
+    from vbx_tpu.utils.compile_cache import enable
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # respects an already-configured dir
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "pre"))
+        assert enable(str(tmp_path / "other")) == str(tmp_path / "pre")
+        # sets + creates when unset
+        jax.config.update("jax_compilation_cache_dir", None)
+        got = enable(str(tmp_path / "cache"))
+        assert got == str(tmp_path / "cache") and os.path.isdir(got)
+        # off switch
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("VBX_TPU_COMPILE_CACHE", "off")
+        assert enable() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
