@@ -20,4 +20,7 @@ Capability parity target: BUTSpeechFIT/VBx (see SURVEY.md).
 
 __version__ = "0.1.0"
 
-from vbx_tpu.config import DiarizationConfig, DATASET_PRESETS  # noqa: F401
+from vbx_tpu.config import (  # noqa: F401
+    DATASET_PRESETS, DiarizationConfig, config_from_dict, config_to_dict,
+    get_preset,
+)
