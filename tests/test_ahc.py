@@ -208,3 +208,24 @@ def test_degenerate_identical_scores_calibration_and_ahc():
         warnings.simplefilter("error")
         labels = ahc_labels(x, -0.015)
     assert labels.max() == 0
+
+
+def test_ahc_device_similarity_backend():
+    """compute_backend='device' (TPU pairwise-similarity kernel feeding the
+    host linkage, SURVEY §2.2) must produce the same clustering as the host
+    f64 chain on well-separated data (the backends differ only in matmul
+    precision, which cannot flip merges at this separation)."""
+    rng = np.random.default_rng(5)
+    cents = rng.standard_normal((4, 32)) * 5
+    x = cents[np.repeat(np.arange(4), 50)] + 0.1 * rng.standard_normal((200, 32))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    host = ahc_labels(x, -0.015)
+    dev = ahc_labels(x, -0.015, compute_backend="device")
+    assert host.max() == dev.max() == 3
+    # same partition up to label permutation
+    import itertools
+    for perm in itertools.permutations(range(4)):
+        if np.all(np.array(perm)[host] == dev):
+            break
+    else:
+        raise AssertionError("device backend changed the partition")
