@@ -149,8 +149,7 @@ def test_blocked_cosine_path_matches_full():
     N, D, K = 700, 64, 5
     centers = rng.standard_normal((K, D))
     x = centers[rng.integers(0, K, N)] + 0.9 * rng.standard_normal((N, D))
-    x64 = x / np.linalg.norm(x, axis=1, keepdims=True)
-    xn = x64 / np.linalg.norm(x64, axis=1, keepdims=True)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
 
     cond_b, thr_b = ahc._blocked_cosine_condensed_and_thr(xn, blk=128)
     scr = xn @ xn.T

@@ -2,7 +2,6 @@
 
 import os
 
-import numpy as np
 import pytest
 
 from vbx_tpu.cli.diarize import main as diarize_main

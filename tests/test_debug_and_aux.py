@@ -12,6 +12,8 @@ from vbx_tpu.utils.runlog import RunLog
 
 from .oracle import random_vb_problem
 
+from .util import import_reference
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
                                reason="reference not mounted")
@@ -19,8 +21,7 @@ needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
 
 @needs_ref
 def test_frame_der_matches_reference():
-    sys.path.insert(0, f"{REF}/VBx")
-    from VBx import DER as ref_der
+    ref_der = import_reference("VBx").DER
     rng = np.random.default_rng(0)
     T, S = 200, 4
     q = rng.dirichlet(np.ones(S), size=T)

@@ -73,12 +73,15 @@ def test_batched_matches_individual_runs_with_padding():
     problems = [_problem(10, T=60, S=4, D=12), _problem(11, T=90, S=6, D=12),
                 _problem(12, T=33, S=3, D=12)]
     kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=12, epsilon=1e-6)
+    # ONE shared phi (vbx_batched's model is shared across the batch): the
+    # singles must run with the same phi or the comparison is vacuous —
+    # phi-insensitive synthetic data would mask a batched path that
+    # mishandled phi entirely
+    phi = problems[0][1]
     singles = [
         vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
             gamma=jnp.asarray(g), **kw)
-        for X, phi, g, pi in problems]
-
-    phi = problems[0][1]
+        for X, _, g, pi in problems]
     T_pad = max(p[0].shape[0] for p in problems)
     S_pad = max(p[2].shape[1] for p in problems)
     B, D = len(problems), problems[0][0].shape[1]
@@ -123,10 +126,6 @@ def test_elbo_monotone_nondecreasing():
 def test_vbx_accepts_numpy_integer_pi():
     """labels.max()+1 without int() yields np.int64 — the uniform-prior
     scalar form must accept it."""
-    import jax.numpy as jnp
-
-    from vbx_tpu.engine.vbhmm import vbx
-
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.standard_normal((20, 8)), jnp.float32)
     phi = jnp.asarray(rng.uniform(0.5, 2.0, 8), jnp.float32)

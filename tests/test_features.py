@@ -13,6 +13,8 @@ from vbx_tpu.models.features import (add_dither, cmvn_floating, fbank_config,
                                      fbank_htk, frame_signal, htk_nfft,
                                      mel_filterbank, povey_window)
 
+from .util import import_reference
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
                                reason="reference not mounted")
@@ -23,9 +25,7 @@ def _ref_features():
     # modules put that directory on sys.path too, which shadows the `VBx`
     # package name with the VBx.py module, so `from VBx import features`
     # is order-dependent
-    sys.path.insert(0, f"{REF}/VBx")
-    import features
-    return features
+    return import_reference("features")
 
 
 @needs_ref

@@ -15,6 +15,8 @@ from vbx_tpu.io.segments import read_xvector_timing_dict, write_segments
 from vbx_tpu.io.transform import read_xvec_transform
 from vbx_tpu.io.vad import lab_to_sample_ranges, read_lab
 
+from .util import import_reference
+
 REF = "/root/reference"
 REF_PLDA = f"{REF}/VBx/models/ResNet101_16kHz/plda"
 REF_H5 = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
@@ -166,9 +168,7 @@ def test_vad_lab(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"), reason="no reference")
 def test_merge_adjacent_labels_matches_reference():
-    import sys
-    sys.path.insert(0, f"{REF}/VBx")
-    import diarization_lib as dl
+    dl = import_reference("diarization_lib")
     rng = np.random.default_rng(0)
     for trial in range(20):
         n = rng.integers(1, 40)
@@ -185,9 +185,7 @@ def test_merge_adjacent_labels_matches_reference():
 
 @pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"), reason="no reference")
 def test_segment_to_frame_labels_matches_reference():
-    import sys
-    sys.path.insert(0, f"{REF}/VBx")
-    import diarization_lib as dl
+    dl = import_reference("diarization_lib")
     rng = np.random.default_rng(1)
     for trial in range(10):
         n = rng.integers(1, 15)
@@ -210,9 +208,7 @@ def test_segment_to_frame_labels_matches_reference():
 
 @pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"), reason="no reference")
 def test_read_xvector_timing_dict_matches_reference():
-    import sys
-    sys.path.insert(0, f"{REF}/VBx")
-    import diarization_lib as dl
+    dl = import_reference("diarization_lib")
     ours = read_xvector_timing_dict(REF_SEG)
     theirs = dl.read_xvector_timing_dict(REF_SEG)
     assert set(ours) == set(theirs)

@@ -2,7 +2,6 @@
 smoother on long T, and bucketing."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

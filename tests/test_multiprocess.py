@@ -22,8 +22,7 @@ import textwrap
 import numpy as np
 import pytest
 
-from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
-from vbx_tpu.io.segments import read_segments, write_segments
+from tests.util import split_ark_corpus
 
 REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -36,6 +35,9 @@ CHILD = textwrap.dedent("""
     sys.path.insert(0, {repo!r})
     import jax
     jax.config.update("jax_platforms", "cpu")   # before any backend use
+    # match the parent's conftest config exactly so the bit-for-bit RTTM
+    # comparison isolates the multi-process variable, not dtype promotion
+    jax.config.update("jax_enable_x64", True)
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "run_corpus", os.path.join({repo!r}, "recipes", "run_corpus.py"))
@@ -48,22 +50,12 @@ CHILD = textwrap.dedent("""
 def _build_corpus(tmp_path, n_rec=3, frames_per_rec=120):
     """Tiny corpus: the first n_rec*frames_per_rec ES2005a x-vectors split
     into n_rec pseudo-recordings (real embeddings keep AHC/VB well-posed)."""
-    vecs = list(iter_vec_ark(f"{REF}/exp/ES2005a.ark"))
-    segs = read_segments(f"{REF}/exp/ES2005a.seg")
     exp = tmp_path / "exp"
-    exp.mkdir(parents=True)
-    out_vecs, out_rows = [], []
-    for r in range(n_rec):
-        rec = f"rec{r}"
-        for i in range(r * frames_per_rec, (r + 1) * frames_per_rec):
-            (key, v), (_, _, s, e) = vecs[i], segs[i]
-            out_vecs.append((f"{rec}_{key.split('_', 1)[1]}", v))
-            out_rows.append((f"{rec}_{key.split('_', 1)[1]}", rec, s, e))
-    write_vec_ark(str(exp / "xvectors.ark"), out_vecs)
-    write_segments(str(exp / "xvectors.seg"), out_rows)
+    _, _, names = split_ark_corpus(exp, n_rec=n_rec,
+                                   frames_per_rec=frames_per_rec)
     lst = tmp_path / "list.txt"
-    lst.write_text("".join(f"rec{r}\n" for r in range(n_rec)))
-    return exp, lst
+    lst.write_text("".join(f"{n}\n" for n in names))
+    return exp, lst, names
 
 
 def _free_port():
@@ -74,7 +66,7 @@ def _free_port():
 
 @needs_ref
 def test_two_process_corpus_matches_single_process(tmp_path):
-    exp, lst = _build_corpus(tmp_path)
+    exp, lst, names = _build_corpus(tmp_path)
     argv = ["diarization", "--preset", "example",
             "--list-file", str(lst), "--exp-dir", str(exp),
             "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
@@ -97,30 +89,31 @@ def test_two_process_corpus_matches_single_process(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
 
-    # host sharding: ceil(3/2) -> process 0 owns rec0+rec1, process 1 rec2
-    # (the per-process runlog would show it; the durable check is that every
-    # per-recording RTTM exists and host 0's all.rttm has all three)
+    # host sharding: ceil(3/2) -> process 0 owns the first two recordings,
+    # process 1 the third (the per-process runlog would show it; the durable
+    # check is that every per-recording RTTM exists and host 0's all.rttm
+    # has all three)
     multi = {}
-    for r in range(3):
-        path = exp / "rttms" / f"rec{r}.rttm"
-        assert path.exists(), f"rec{r}.rttm missing after 2-process run"
-        multi[f"rec{r}"] = path.read_text()
+    for rec in names:
+        path = exp / "rttms" / f"{rec}.rttm"
+        assert path.exists(), f"{rec}.rttm missing after 2-process run"
+        multi[rec] = path.read_text()
     all_body = (exp / "all.rttm").read_text()
-    assert all(f"rec{r}" in all_body for r in range(3))
+    assert all(rec in all_body for rec in names)
 
     # single-process rerun of the same corpus must agree bit-for-bit
     spec = importlib.util.spec_from_file_location(
         "run_corpus_sp", os.path.join(REPO, "recipes", "run_corpus.py"))
     rc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rc)
-    exp2, lst2 = _build_corpus(tmp_path / "single")
+    exp2, lst2, _ = _build_corpus(tmp_path / "single")
     argv2 = ["diarization", "--preset", "example",
              "--list-file", str(lst2), "--exp-dir", str(exp2),
              "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
              "--xvec-transform",
              f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"]
     assert rc.main(argv2) == 0
-    for r in range(3):
-        single = (exp2 / "rttms" / f"rec{r}.rttm").read_text()
-        assert single == multi[f"rec{r}"], (
-            f"rec{r}: 2-process RTTM differs from single-process")
+    for rec in names:
+        single = (exp2 / "rttms" / f"{rec}.rttm").read_text()
+        assert single == multi[rec], (
+            f"{rec}: 2-process RTTM differs from single-process")

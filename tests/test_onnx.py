@@ -15,6 +15,8 @@ import pytest
 
 import jax.numpy as jnp
 
+from .util import import_reference
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
                                reason="reference not mounted")
@@ -22,9 +24,7 @@ torch = pytest.importorskip("torch")
 
 
 def _ref_resnet():
-    sys.path.insert(0, f"{REF}/VBx")
-    import models.resnet as ref_resnet
-    return ref_resnet
+    return import_reference("models.resnet")
 
 
 @pytest.fixture(autouse=True)

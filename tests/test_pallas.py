@@ -2,7 +2,6 @@
 (interpret mode on the CPU backend; the compiled path runs on real TPU and
 is exercised by bench.py and the golden run)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -10,7 +9,6 @@ import pytest
 from vbx_tpu.engine.vbhmm import vbx_batched
 from vbx_tpu.ops.fb_pallas import fb_scan_pallas, fb_scan_pallas_sb
 from vbx_tpu.ops.forward_backward import forward_backward_structured
-from vbx_tpu.ops.lse import masked_fill
 
 from .oracle import random_hmm_problem, random_vb_problem
 
@@ -279,4 +277,8 @@ def test_fused_sb_recip_normalization_matches():
     a1, b1, c1 = fb_scan_pallas_sb(w, valid, col, pinit, 0.9,
                                    interpret=True, recip=True)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-6)
+    # bhat's per-frame scale convention is identical between the two
+    # normalization variants, so direct comparison is valid here (the
+    # backward pass has its own recip branch to cover)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-6)

@@ -10,6 +10,8 @@ from vbx_tpu.engine.pipeline import diarize_ark
 from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
 from vbx_tpu.io.segments import read_segments, write_segments
 
+from .util import split_ark_corpus
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(
     not os.path.exists(f"{REF}/exp/ES2005a.ark"),
@@ -18,18 +20,9 @@ needs_ref = pytest.mark.skipif(
 
 def _split_ark(tmp_path):
     """Make a 2-recording corpus by splitting ES2005a in half."""
-    vecs = list(iter_vec_ark(f"{REF}/exp/ES2005a.ark"))
-    segs = read_segments(f"{REF}/exp/ES2005a.seg")
-    half = len(vecs) // 2
-    out_vecs, out_rows = [], []
-    for i, ((key, v), (sname, _, s, e)) in enumerate(zip(vecs, segs)):
-        rec = "recA" if i < half else "recB"
-        newkey = f"{rec}_{key.split('_', 1)[1]}"
-        out_vecs.append((newkey, v))
-        out_rows.append((newkey, rec, s, e))
-    write_vec_ark(str(tmp_path / "two.ark"), out_vecs)
-    write_segments(str(tmp_path / "two.seg"), out_rows)
-    return str(tmp_path / "two.ark"), str(tmp_path / "two.seg")
+    ark, seg, _ = split_ark_corpus(tmp_path, n_rec=2, ark_name="two.ark",
+                                   seg_name="two.seg")
+    return ark, seg
 
 
 @needs_ref

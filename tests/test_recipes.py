@@ -12,6 +12,10 @@ import pytest
 from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
 from vbx_tpu.io.segments import read_segments, write_segments
 
+from .util import split_ark_corpus
+
+from .util import import_reference
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(
     not os.path.exists(f"{REF}/exp/ES2005a.ark"),
@@ -27,19 +31,9 @@ _spec.loader.exec_module(run_corpus)
 @needs_ref
 def test_diarization_and_score_stages(tmp_path, capsys):
     # corpus of two recordings: ES2005a split in half
-    vecs = list(iter_vec_ark(f"{REF}/exp/ES2005a.ark"))
-    segs = read_segments(f"{REF}/exp/ES2005a.seg")
-    half = len(vecs) // 2
-    out_vecs, out_rows = [], []
-    for i, ((key, v), (sname, _, s, e)) in enumerate(zip(vecs, segs)):
-        rec = "recA" if i < half else "recB"
-        out_vecs.append((f"{rec}_{key.split('_', 1)[1]}", v))
-        out_rows.append((f"{rec}_{key.split('_', 1)[1]}", rec, s, e))
     exp = tmp_path / "exp"
-    exp.mkdir()
-    write_vec_ark(str(exp / "xvectors.ark"), out_vecs)
-    write_segments(str(exp / "xvectors.seg"), out_rows)
-    (tmp_path / "list.txt").write_text("recA\nrecB\n")
+    _, _, names = split_ark_corpus(exp, n_rec=2)
+    (tmp_path / "list.txt").write_text("".join(f"{n}\n" for n in names))
     refdir = tmp_path / "refs"
     refdir.mkdir()
     # reference RTTMs: relabel the golden annotation per half (timing is
@@ -124,8 +118,7 @@ def test_xvectors_stage_plumbing(tmp_path, monkeypatch, capsys):
     test_extractor's job): wav+lab in, ark+seg out, extractor config from
     the preset, and the both-outputs re-entry rule."""
     torch = pytest.importorskip("torch")
-    sys.path.insert(0, f"{REF}/VBx")
-    import models.resnet as ref_resnet
+    ref_resnet = import_reference("models.resnet")
 
     from vbx_tpu.io.wav import write_wav
     from vbx_tpu.models.resnet import (BasicBlock, ResNetXVector,

@@ -29,7 +29,12 @@ def _synth_recording(rng, T, K, D=256):
 
 def _reference_diarize(x_raw, plda_file, h5_file, Fa, Fb, loopP,
                        threshold, smoothing, lda_dim=128):
-    """The exact vbhmm.py:104-162 flow using the reference's own modules."""
+    """The exact vbhmm.py:104-162 flow using the reference's own modules.
+
+    NOTE on the CLAUDE.md no-copy rule: vbhmm.py keeps this flow inside its
+    __main__ block, so the orchestration must be restated here to serve as
+    the parity oracle; every numerical step calls the reference's own
+    imported functions rather than copies."""
     sys.path.insert(0, f"{REF}/VBx")
     import h5py
     import scipy.cluster.hierarchy as sch

@@ -14,6 +14,8 @@ from vbx_tpu.models.resnet import (BasicBlock, Bottleneck, ResNetXVector,
                                    convert_torch_state_dict, fold_batchnorm,
                                    resnet34, resnet101)
 
+from .util import import_reference
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
                                reason="reference not mounted")
@@ -21,9 +23,7 @@ torch = pytest.importorskip("torch")
 
 
 def _ref_resnet():
-    sys.path.insert(0, f"{REF}/VBx")
-    import models.resnet as ref_resnet
-    return ref_resnet
+    return import_reference("models.resnet")
 
 
 def _compare(torch_model, flax_model, num_blocks, feat, tol):

@@ -12,15 +12,15 @@ from vbx_tpu.ops.calibration import two_gmm_calib_with_llrs
 from vbx_tpu.ops.similarity import (cos_similarity, kaldi_plda_scoring_dense,
                                     l2_normalize, plda_scoring_in_lda_space)
 
+from .util import import_reference
+
 REF = "/root/reference"
 needs_ref = pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
                                reason="reference not mounted")
 
 
 def _ref_lib():
-    sys.path.insert(0, f"{REF}/VBx")
-    import diarization_lib
-    return diarization_lib
+    return import_reference("diarization_lib")
 
 
 @needs_ref
