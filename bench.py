@@ -32,8 +32,14 @@ ARK = f"{REF}/exp/ES2005a.ark"
 PLDA = f"{REF}/VBx/models/ResNet101_16kHz/plda"
 H5 = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
 
-B = 256         # recordings per device batch (measured throughput-optimal)
+_CPU_MODE = bool(os.environ.get("VBX_TPU_BENCH_CPU"))
+# recordings per device batch (measured throughput-optimal on the chip;
+# small on the CPU fallback so a degraded run finishes inside the driver's
+# timeout)
+B = 16 if _CPU_MODE else 256
 REPEATS = 3     # chains per K; min taken (chaining already averages K runs)
+K1, K2 = (1, 3) if _CPU_MODE else (2, 12)   # chain lengths for the slope
+FB_IMPL = "structured" if _CPU_MODE else "pallas"   # pallas is TPU-only
 
 
 def log(*a):
@@ -96,7 +102,7 @@ def bench_tpu(fea, phi, qinit, hp):
         return vbx_batched(X, phi32, g_in, PI, FM, SM, loop_prob=hp["loopP"],
                            Fa=hp["Fa"], Fb=hp["Fb"],
                            max_iters=hp["max_iters"],
-                           epsilon=hp["epsilon"], fb_impl="pallas")
+                           epsilon=hp["epsilon"], fb_impl=FB_IMPL)
 
     def chain(k):
         g = G
@@ -123,7 +129,6 @@ def bench_tpu(fea, phi, qinit, hp):
         log("WARNING: benchmark output diverged from the golden result")
     for _ in range(2):      # shed the executor's first-runs-slow phase
         chain(2)
-    K1, K2 = 2, 12
     t1 = min(chain(K1)[0] for _ in range(REPEATS))
     t2 = min(chain(K2)[0] for _ in range(REPEATS))
     if t2 <= t1:            # tunnel-state flip mid-measurement
@@ -138,7 +143,38 @@ def bench_tpu(fea, phi, qinit, hp):
     return t
 
 
+def _device_preflight(timeout_s: int = 240) -> bool:
+    """Probe the default accelerator in a SUBPROCESS (a dead/claimed tunnel
+    chip hangs at backend init, which cannot be interrupted in-process).
+    Returns False if the probe dies or times out."""
+    import subprocess
+
+    if os.environ.get("VBX_TPU_BENCH_CPU"):
+        return False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(float((jnp.ones((64, 64)) @ jnp.ones((64, 64)))[0, 0]))"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_preflight():
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            # dead/claimed chip: measure on CPU rather than hang the
+            # driver's bench run; the JSON is honest (CPU vs CPU) and
+            # the degradation is logged
+            log("WARNING: accelerator preflight failed (tunnel chip dead "
+                "or claimed); re-running the benchmark on CPU — expect a "
+                "much lower number than the TPU results in BENCHMARKS.md")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)],
+                      {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+                       "JAX_PLATFORMS": "cpu", "VBX_TPU_BENCH_CPU": "1"})
     from vbx_tpu.utils.compile_cache import enable as enable_compile_cache
     cache = enable_compile_cache()
     log(f"compilation cache: {cache}")
