@@ -4,13 +4,12 @@ re-entry semantics mirrored from the reference recipes (AMI_run.sh:51)."""
 
 import importlib.util
 import os
-import sys
 
 import numpy as np
 import pytest
 
-from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
-from vbx_tpu.io.segments import read_segments, write_segments
+from vbx_tpu.io.ark import iter_vec_ark
+from vbx_tpu.io.segments import read_segments
 
 from .util import split_ark_corpus
 
