@@ -8,7 +8,7 @@ consumes run k's output), and (2) ending with a host FETCH of result
 bytes, which cannot complete early. Per-run device time is then the slope
 (wall(K2) - wall(K1)) / (K2 - K1), with all dispatch overheads cancelled.
 
-    timeout 590 python scripts/chain_bench.py [B] [iters]
+    timeout 590 python scripts/chain_bench.py [B] [iters] [impl,impl,...]
 """
 
 import os
@@ -60,7 +60,9 @@ def main():
     print(f"calib matmul 8192^3 f32: {tmm * 1e3:.2f} ms/op -> "
           f"{2 * 8192**3 / tmm / 1e12:.1f} TFLOP/s", flush=True)
 
-    for impl in ("structured", "pallas"):
+    impls = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ("structured", "pallas", "pallas_bf16"))
+    for impl in impls:
         def em(g):
             r = vbx_batched(X, phi, g, PI, FM, SM, loop_prob=0.99,
                             Fa=0.3, Fb=17.0, max_iters=ITERS,

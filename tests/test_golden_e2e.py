@@ -54,3 +54,23 @@ def test_es2005a_f32_engine_matches_f64_labels(tmp_path):
                         PLDA, H5, verbose=False)["ES2005a"]
     agree = np.mean(out64.labels1st == out32.labels1st)
     assert agree > 0.999, agree
+
+
+@needs_assets
+def test_es2005a_golden_der_pallas_bf16(tmp_path):
+    """The bf16-stream throughput mode (fb_impl='pallas_bf16') must keep
+    the golden acceptance result: 5 speakers, DER 7.06, and the same
+    labels as the default engine."""
+    out_bf = diarize_ark(ARK, SEG, str(tmp_path / "bf"),
+                         get_preset("example"), PLDA, H5, verbose=False,
+                         fb_impl="pallas_bf16")["ES2005a"]
+    assert out_bf.n_speakers == 5
+    per, tot = der_from_rttm_files(
+        GOLD_RTTM, str(tmp_path / "bf" / "ES2005a.rttm"),
+        collar=0.25, ignore_overlaps=True)
+    assert tot.der == pytest.approx(7.06, abs=0.006)
+    out_def = diarize_ark(ARK, SEG, str(tmp_path / "def"),
+                          get_preset("example"), PLDA, H5,
+                          verbose=False)["ES2005a"]
+    agree = np.mean(out_def.labels1st == out_bf.labels1st)
+    assert agree > 0.999, agree

@@ -50,10 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the padded-batched engine")
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
     p.add_argument("--fb-impl", type=str, default=None,
-                   choices=["structured", "assoc", "pallas"],
+                   choices=["structured", "assoc", "pallas", "pallas_bf16"],
                    help="forward-backward engine (default: structured; "
-                        "'pallas' = fused batched kernel, 'assoc' = "
-                        "work-parallel scan for very long recordings)")
+                        "'pallas' = fused batched kernel, 'pallas_bf16' = "
+                        "same kernel with bfloat16 streams (fastest, "
+                        "tolerance-parity), 'assoc' = work-parallel scan "
+                        "for very long recordings)")
     p.add_argument("--resume", action="store_true",
                    help="skip recordings whose RTTM already exists "
                         "(per-recording checkpointing)")

@@ -226,20 +226,32 @@ class _PState(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "interpret"))
+    jax.jit, static_argnames=("max_iters", "interpret", "io_dtype"))
 def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
                                loop_prob, fa, fb, epsilon,
-                               *, max_iters: int, interpret: bool):
+                               *, max_iters: int, interpret: bool,
+                               io_dtype: str = "float32"):
     """Batched EM around the speakers-on-sublanes fused kernel
     (ops.fb_pallas.fb_scan_pallas_sb). Everything lives in [T, S, B]
     layout through the loop — the einsums emit/consume it directly, so no
     per-iteration transposes, and kernel arrays pad the speaker axis to a
     multiple of 8 sublanes instead of 128 lanes (~4x less HBM traffic at
     S~32 than the [T, B, S->128] path). Semantics identical to `_vbx_jit`
-    under vmap (tests/test_pallas.py)."""
+    under vmap (tests/test_pallas.py).
+
+    io_dtype='bfloat16' stores the iteration's LARGE streams — rho, the
+    gamma loop state, w, and the kernel's ahat/bhat — in bfloat16, roughly
+    halving per-iteration HBM traffic (the bound resource). All reductions
+    accumulate in float32: the T-axis sums upcast elementwise (the convert
+    fuses into the reduce), the einsums set preferred_element_type=f32
+    (bf16 MXU inputs, f32 accumulator), and the per-frame normalizers,
+    ELBO, and pi updates never leave f32. Fixed-point accuracy is bounded
+    by tests (gamma within ~2e-2 of the f32 path, identical labels on the
+    golden recording); it is an opt-in throughput mode, not the default."""
     from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb
 
     dtype = jnp.float32
+    io_dt = jnp.dtype(io_dtype)
     B, T, D = X.shape
     S = gamma.shape[-1]
     X = X.astype(dtype)
@@ -253,35 +265,37 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
 
     G_tb = -0.5 * (jnp.sum(X * X, axis=-1)
                    + D * jnp.log(2 * jnp.pi).astype(dtype)).T    # [T, B]
-    rho = X * jnp.sqrt(phi)[None, None, :]            # [B, T, D]
+    rho = (X * jnp.sqrt(phi)[None, None, :]).astype(io_dt)  # [B, T, D]
     fa_over_fb = fa / fb
 
     gamma = (gamma.astype(dtype) * fmask[:, :, None]
              * speaker_mask.astype(dtype)[:, None, :])
-    gamma_tsb = jnp.transpose(gamma, (1, 2, 0))       # [T, S, B]
+    gamma_tsb = jnp.transpose(gamma, (1, 2, 0)).astype(io_dt)  # [T, S, B]
     pi = pi.astype(dtype) * speaker_mask.astype(dtype)
 
     vmapped_elbo_term = jax.vmap(vb_elbo_model_term, in_axes=(0, 0, None))
     vmapped_pi_update = jax.vmap(vb_pi_update, in_axes=(0, 0, 0, None))
 
     def m_step(g_tsb):
-        counts = jnp.sum(g_tsb, axis=0)               # [S, B]
+        # T-axis count accumulates in f32 (convert fuses into the reduce)
+        counts = jnp.sum(g_tsb.astype(dtype), axis=0)             # [S, B]
         invL = 1.0 / (1.0 + fa_over_fb
                       * counts.T[:, :, None] * phi[None, None, :])  # [B,S,D]
         stats = jnp.einsum("tsb,btd->bsd", g_tsb, rho,
                            preferred_element_type=dtype)
-        alpha = fa_over_fb * invL * stats
+        alpha = fa_over_fb * invL * stats.astype(dtype)
         return invL, alpha
 
     def one_iteration(state: _PState) -> _PState:
         first = state.it == 0
         invL, alpha = m_step(state.gamma)
 
-        cross = jnp.einsum("btd,bsd->tsb", rho, alpha,
+        cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
                            preferred_element_type=dtype)
         quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
                           preferred_element_type=dtype)
-        log_p = fa * (cross - 0.5 * quad.T[None] + G_tb[:, None, :])
+        log_p = fa * (cross.astype(dtype) - 0.5 * quad.T[None]
+                      + G_tb[:, None, :])
         log_p = masked_fill(log_p, speaker_mask.T[None].astype(bool))
 
         # w is computed OUTSIDE the kernel on purpose: moving the
@@ -290,21 +304,23 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # — the walk is latency-bound and the extra in-step transcendental
         # work costs more than the saved w-materialization bandwidth
         m = jnp.max(log_p, axis=1)                    # [T, B]
-        w = jnp.exp(log_p - m[:, None, :]) * smask_sb[None]
+        w = (jnp.exp(log_p - m[:, None, :]) * smask_sb[None]).astype(io_dt)
         col = (1.0 - loop_prob) * state.pi + eps      # [B, S]
         pinit = state.pi + eps
         ahat, bhat, cfw = fb_scan_pallas_sb(
-            w, valid_tb, col.T, pinit.T, loop_prob, interpret=interpret)
+            w, valid_tb, col.T, pinit.T, loop_prob, interpret=interpret,
+            io_dtype=io_dtype)
 
-        ab = ahat * bhat
+        ab = ahat.astype(dtype) * bhat.astype(dtype)
         denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)
-        new_gamma = (ab / denom) * valid_tb[:, None, :]
+        new_gamma = ((ab / denom) * valid_tb[:, None, :]).astype(io_dt)
         log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)   # [B]
 
         not_first_frame = valid_tb.at[0].set(0.0)     # exclude global t=0
-        terms = w * bhat / (denom * cfw[:, None, :])
+        terms = (w.astype(dtype) * bhat.astype(dtype)
+                 / (denom * cfw[:, None, :]))
         pi_stat = jnp.sum(terms * not_first_frame[:, None, :], axis=0).T
-        gamma0 = new_gamma[0].T                       # [B, S]
+        gamma0 = new_gamma[0].astype(dtype).T         # [B, S]
 
         elbo_val = log_px + vmapped_elbo_term(invL, alpha, fb)    # [B]
         new_pi = vmapped_pi_update(gamma0, state.pi, pi_stat, loop_prob)
@@ -344,7 +360,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
 
     n_iters = jnp.sum(jnp.logical_not(jnp.isnan(final.elbo)),
                       axis=1).astype(jnp.int32)
-    g_out = jnp.transpose(final.gamma, (2, 0, 1))     # [B, T, S]
+    g_out = jnp.transpose(final.gamma, (2, 0, 1)).astype(dtype)  # [B, T, S]
     # speaker model recomputed from the FINAL responsibilities (one extra
     # M-step): the scan paths return the model of the crossing iteration
     # (computed from the previous gamma); both are valid converged models
@@ -396,15 +412,18 @@ def vbx_batched(
     fb_impl: 'structured' (default — XLA compiles the scan into a tight
     on-device loop; measured at parity with or ahead of the Pallas kernel
     on v5e and it supports float64 on CPU), 'pallas' (the fused
-    natively-batched kernel path, ops.fb_pallas), or 'assoc'
-    (work-parallel associative scan for very long recordings).
+    natively-batched kernel path, ops.fb_pallas), 'pallas_bf16' (same
+    kernel path with the large per-iteration streams stored in bfloat16 —
+    f32 accumulation throughout; lowest HBM traffic, tolerance-parity
+    only — see _vbx_batched_pallas_sb_jit), or 'assoc' (work-parallel
+    associative scan for very long recordings).
     """
     if fb_impl is None:
         fb_impl = "structured"
-    if fb_impl == "pallas" and gamma.shape[-1] > 128:
+    if fb_impl in ("pallas", "pallas_bf16") and gamma.shape[-1] > 128:
         # the fused kernel holds speakers on the 128-lane axis
         fb_impl = "structured"
-    if fb_impl == "pallas":
+    if fb_impl in ("pallas", "pallas_bf16"):
         interpret = jax.default_backend() == "cpu"
         # one engine for every B (small B pays lane padding, but small B is
         # not the throughput regime). A recording's result is batch-size-
@@ -414,7 +433,9 @@ def vbx_batched(
         return _vbx_batched_pallas_sb_jit(
             X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
             jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
-            jnp.float32(epsilon), max_iters=max_iters, interpret=interpret)
+            jnp.float32(epsilon), max_iters=max_iters, interpret=interpret,
+            io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
+                      else "float32"))
     dtype = X.dtype
     return _vbx_batched_jit(
         X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,

@@ -202,13 +202,19 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
     previous grid step). Reductions are sublane sums (axis 0 of the tile).
     The forward normalizer c is emitted per frame on a narrow [8, Bp] tile
     (sublane-broadcast; lane-dim stores must be 128-aligned) so callers
-    never re-derive it with an extra full-[T,S,B] pass."""
+    never re-derive it with an extra full-[T,S,B] pass.
+
+    Arithmetic is float32 regardless of the stream dtype: loads upcast,
+    stores downcast. With bfloat16 streams (fb_scan_pallas_sb io_dtype)
+    the w/ahat/bhat HBM bytes halve; carries, normalizers (cfw) and the
+    boundary-frame scratch stay f32."""
     k = pl.program_id(0)
     Tc = wf_ref.shape[0]
     lp = lp_ref[0, 0]
     col = col_ref[:]
     pinit = pinit_ref[:]
     Sp = ahat_ref.shape[1]
+    io_dtype = ahat_ref.dtype
 
     @pl.when(k == 0)
     def _():
@@ -222,7 +228,7 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
     def step(i, carry):
         fprev, bnext = carry
         at_end = jnp.logical_and(k == 0, i == 0)
-        w_t = wf_ref[i]                               # [Sp, Bp]
+        w_t = wf_ref[i].astype(jnp.float32)           # [Sp, Bp]
         a = jnp.where(at_end, w_t * pinit, w_t * (lp * fprev + col))
         c = jnp.maximum(jnp.sum(a, axis=0, keepdims=True),
                         jnp.float32(_TINY))
@@ -230,30 +236,34 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
         # on the narrow [1, Bp] row instead of a full-tile broadcast divide
         # (1-ulp different; the pallas path is tolerance-parity)
         af = a * (1.0 / c) if recip else a / c
-        ahat_ref[i] = af
+        ahat_ref[i] = af.astype(io_dtype)
         cfw_ref[i] = jnp.broadcast_to(c, cfw_ref.shape[1:])
 
         j = Tc - 1 - i
         w_next = jnp.where(i == 0, w_boundary,
-                           wb_ref[jnp.minimum(j + 1, Tc - 1)])
+                           wb_ref[jnp.minimum(j + 1, Tc - 1)]
+                           .astype(jnp.float32))
         u = w_next * bnext
         b = lp * u + jnp.sum(col * u, axis=0, keepdims=True)
         cb = jnp.maximum(jnp.sum(b, axis=0, keepdims=True),
                          jnp.float32(_TINY))
         bn = b * (1.0 / cb) if recip else b / cb
         bf = jnp.where(at_end, jnp.full_like(u, 1.0 / Sp), bn)
-        bhat_ref[j] = bf
+        bhat_ref[j] = bf.astype(io_dtype)
         return af, bf
 
     fcarry_ref[:], bcarry_ref[:] = jax.lax.fori_loop(
         0, Tc, step, (fcarry_ref[:], bcarry_ref[:]))
-    wsave_ref[:] = wb_ref[0]             # this chunk's first frame, for k+1
+    # this chunk's first frame, for grid step k+1 (f32 scratch)
+    wsave_ref[:] = wb_ref[0].astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "recip"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "recip", "io_dtype"))
 def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
                       pinit: jax.Array, loop_prob,
                       interpret: bool = False, recip: bool = False,
+                      io_dtype=jnp.float32,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused bidirectional smoother in [T, S, B] layout (speakers on
     sublanes, batch on lanes) — the batched-throughput path for B > ~16.
@@ -263,21 +273,27 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     valid:  [T, B] frame validity (False = padding suffix).
     col:    [S, B] transition column (1-loopP)*pi + eps.
     pinit:  [S, B] pi + eps.
-    Returns (ahat [T, S, B], bhat [T, S, B], cfw [T, B]).
+    io_dtype: dtype of the w/ahat/bhat HBM streams (float32 default, or
+            bfloat16 to halve the kernel's HBM traffic; all in-kernel
+            arithmetic stays float32 — see _fused_kernel_sb).
+    Returns (ahat [T, S, B], bhat [T, S, B], cfw [T, B]); ahat/bhat carry
+    io_dtype, cfw is always float32.
     """
     T, S, B = w.shape
+    io_dtype = jnp.dtype(io_dtype)
     if S > S_PAD:
         raise ValueError(f"S={S} > {S_PAD}; shard speakers first")
-    Sp = _round_up(S, 8)
+    # bf16 tiles pack sublane pairs: the second-minor axis tiles at 16
+    Sp = _round_up(S, 8 if io_dtype.itemsize == 4 else 16)
     Bp = _round_up(B, 128)
     # four double-buffered [t_chunk, Sp, Bp] streams (two w views, ahat,
     # bhat) + scratch + the buffered [Sp, Bp] broadcast operands must fit
     # the 16 MiB scoped VMEM; 13 MiB budget minus 7 frame-slots of fixed
     # overhead leaves the compiler comfortable slack (observed: the
     # compiler accounts more than the naive 8*block sum at large Bp)
-    frame_bytes = Sp * Bp * 4
+    frame_bytes = Sp * Bp * io_dtype.itemsize
     # per-frame VMEM: four double-buffered [Sp, Bp] streams (two w views,
-    # ahat, bhat) + the double-buffered [8, Bp] cfw row
+    # ahat, bhat) + the double-buffered [8, Bp] f32 cfw row
     t_chunk = ((13 << 20) - 7 * frame_bytes) \
         // (8 * frame_bytes + 2 * 8 * Bp * 4)
     if t_chunk < 1:
@@ -294,10 +310,10 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
 
     vmask = valid.astype(jnp.float32)                     # [T, B]
     wu = (w.astype(jnp.float32) * vmask[:, None, :]
-          + (1.0 - vmask[:, None, :]) / Sp)               # [T, S, B]
-    wp = jnp.full((Tp, Sp, Bp), 1.0 / Sp, jnp.float32)
+          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)  # [T, S, B]
+    wp = jnp.full((Tp, Sp, Bp), 1.0 / Sp, io_dtype)
     wp = wp.at[:T, :, :].set(
-        jnp.zeros((T, Sp, Bp), jnp.float32).at[:, :S, :B].set(wu))
+        jnp.zeros((T, Sp, Bp), io_dtype).at[:, :S, :B].set(wu))
     colp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
         col.astype(jnp.float32))
     pinitp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
@@ -334,8 +350,8 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Tp, Sp, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, Sp, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Sp, Bp), io_dtype),
+            jax.ShapeDtypeStruct((Tp, Sp, Bp), io_dtype),
             jax.ShapeDtypeStruct((Tp, 8, Bp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Sp, Bp), jnp.float32),
