@@ -1,0 +1,188 @@
+"""HTTP serving front-end: a warm diarization daemon on one device.
+
+No reference counterpart (the reference forks one OS process per recording,
+AMI_run.sh:53-58); this is the deployment-shaped surface over
+vbx_tpu.serving.DiarizationService — models loaded once, XLA executables
+warm, concurrent requests micro-batched onto the chip.
+
+Endpoints (JSON unless noted):
+  GET  /healthz   liveness + backend/device info
+  GET  /stats     request/batch counters, uptime, queue depth
+  POST /diarize   one of:
+    {"recording": str, "xvectors": [[f,...]], "timestamps": [[s,e],...]}
+        -> {"recording", "rttm", "n_speakers", "n_iters", "wall_ms",
+            "batch_size"}
+    {"xvec_ark_file": path, "segments_file": path}        (server-local)
+        -> {"results": {recording: {...as above...}}, "failed": {...}}
+
+Uses only the standard library (ThreadingHTTPServer): requests are parsed
+on socket threads and funneled into the service's single dispatch thread,
+which owns all device work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from vbx_tpu.cli.diarize import config_from_args
+from vbx_tpu.config import DATASET_PRESETS
+from vbx_tpu.serving import DiarizationService
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vbx-tpu-serve",
+        description="warm HTTP diarization service (TPU-native)")
+    p.add_argument("--xvec-transform", required=True, type=str)
+    p.add_argument("--plda-file", required=True, type=str)
+    p.add_argument("--init", type=str, default="AHC+VB")
+    p.add_argument("--preset", type=str, default=None,
+                   help=f"dataset preset ({sorted(DATASET_PRESETS)}) or a "
+                        ".yaml/.json config file")
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--lda-dim", type=int, default=None)
+    p.add_argument("--Fa", type=float, default=None)
+    p.add_argument("--Fb", type=float, default=None)
+    p.add_argument("--loopP", type=float, default=None)
+    p.add_argument("--target-energy", type=float, default=None)
+    p.add_argument("--init-smoothing", type=float, default=None)
+    p.add_argument("--fb-impl", type=str, default=None,
+                   choices=["structured", "assoc", "pallas", "pallas_bf16"])
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8300)
+    p.add_argument("--batch-window-ms", type=float, default=20.0,
+                   help="micro-batching window: how long the dispatcher "
+                        "waits for batch mates after the first request")
+    p.add_argument("--max-batch-frames", type=int, default=2_000_000)
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile of the common path")
+    # accepted for config_from_args compatibility; not used by the server
+    p.add_argument("--output-2nd", action="store_true",
+                   help=argparse.SUPPRESS)
+    return p
+
+
+def make_handler(service: DiarizationService):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; one access-log line per request to stderr
+        def log_message(self, fmt, *args):   # noqa: N802 (stdlib name)
+            print(f"{self.address_string()} {fmt % args}", file=sys.stderr)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):   # noqa: N802
+            if self.path == "/healthz":
+                import jax
+                d = jax.devices()[0]
+                self._reply(200, {"status": "ok",
+                                  "backend": jax.default_backend(),
+                                  "device": str(d)})
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):   # noqa: N802
+            if self.path != "/diarize":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as exc:
+                self._reply(400, {"error": f"bad JSON body: {exc}"})
+                return
+            try:
+                if "xvectors" in body:
+                    self._reply(200, _serve_inline(service, body))
+                elif "xvec_ark_file" in body:
+                    self._reply(200, _serve_ark(service, body))
+                else:
+                    self._reply(400, {
+                        "error": "need 'xvectors'+'timestamps' or "
+                                 "'xvec_ark_file'+'segments_file'"})
+            except (ValueError, KeyError, OSError) as exc:
+                self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:   # noqa: BLE001 — engine failure
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+def _result_json(r) -> dict:
+    return {"recording": r.recording, "rttm": r.rttm,
+            "n_speakers": r.n_speakers, "n_iters": r.n_iters,
+            "wall_ms": r.wall_ms, "batch_size": r.batch_size}
+
+
+def _serve_inline(service: DiarizationService, body: dict) -> dict:
+    x = np.asarray(body["xvectors"], np.float32)
+    ts = np.asarray(body["timestamps"], np.float64)
+    rec = str(body.get("recording", "recording"))
+    return _result_json(service.diarize(rec, x, ts))
+
+
+def _serve_ark(service: DiarizationService, body: dict) -> dict:
+    """Server-local ark + segments: submit every recording concurrently so
+    they micro-batch onto the device together."""
+    from vbx_tpu.io.ark import group_by_recording, iter_vec_ark
+    from vbx_tpu.io.segments import read_xvector_timing_dict
+
+    segs = read_xvector_timing_dict(str(body["segments_file"]))
+    futures = {}
+    for rec, seg_names, x_raw in group_by_recording(
+            iter_vec_ark(str(body["xvec_ark_file"]))):
+        names, times = segs[rec]
+        if not np.all(names == np.array(seg_names)):
+            raise ValueError(f"segments/ark name mismatch for {rec}")
+        futures[rec] = service.submit(rec, x_raw, times)
+    results, failed = {}, {}
+    for rec, fut in futures.items():
+        try:
+            results[rec] = _result_json(fut.result())
+        except Exception as exc:   # noqa: BLE001 — per-recording isolation
+            failed[rec] = f"{type(exc).__name__}: {exc}"
+    out = {"results": results}
+    if failed:
+        out["failed"] = failed
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    service = DiarizationService.from_files(
+        cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
+        batch_window_ms=args.batch_window_ms,
+        max_batch_frames=args.max_batch_frames)
+    if not args.no_warmup:
+        r = service.warmup()
+        print(f"warmup: {r.wall_ms:.0f} ms (compile included)",
+              file=sys.stderr)
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(service))
+    print(f"vbx-tpu-serve listening on http://{args.host}:{args.port} "
+          f"(init={cfg.init}, preset={cfg.name})", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        service.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,307 @@
+"""Persistent diarization service with micro-batched device dispatch.
+
+The reference has no serving story — each recording is a fresh OS process
+(AMI_run.sh:53-58 task lines), so every request pays interpreter + model
+load + (on an accelerator) compilation. This module keeps one warm process
+per chip: models stay loaded, XLA executables stay cached, and concurrent
+requests are MICRO-BATCHED — a worker thread drains the request queue for a
+short window, groups requests into the same (T, S) padded buckets the
+corpus pipeline uses (utils.bucketing), and runs the batched VB engine once
+per bucket. Under load the service therefore approaches the corpus
+pipeline's batched throughput while an idle service still answers a single
+request at streaming latency (the window only waits when a batch mate
+could plausibly arrive, and is capped at batch_window_ms).
+
+Results are independent of batch composition (the default engine is
+bit-comparable batched vs solo at a fixed padded shape —
+tests/test_engine.py), so batching is invisible to callers.
+
+The HTTP front-end lives in cli/serve.py; this module is the in-process
+API and owns no sockets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import queue
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vbx_tpu.config import DiarizationConfig
+from vbx_tpu.engine.pipeline import Diarizer, _parse_init
+from vbx_tpu.engine.vbhmm import vbx_batched
+from vbx_tpu.io.rttm import merge_adjacent_labels, write_rttm
+from vbx_tpu.utils.bucketing import bucket_shape, chunk_cap
+
+
+@dataclasses.dataclass
+class ServeResult:
+    """One diarized request."""
+    recording: str
+    rttm: str                       # RTTM text (merged segments)
+    labels1st: np.ndarray           # [N] 0-based per-x-vector labels
+    n_speakers: int
+    n_iters: int                    # VB iterations (0 if init-only config)
+    wall_ms: float                  # submit -> result wall time
+    batch_size: int                 # device batch this request rode in
+
+
+class _Request:
+    __slots__ = ("recording", "x_raw", "timestamps", "future", "t_submit",
+                 "fea", "phi", "qinit", "labels")
+
+    def __init__(self, recording: str, x_raw: np.ndarray,
+                 timestamps: np.ndarray):
+        self.recording = recording
+        self.x_raw = x_raw
+        self.timestamps = timestamps
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+        self.fea = self.phi = self.qinit = self.labels = None
+
+
+_SHUTDOWN = object()
+
+
+class DiarizationService:
+    """Warm, thread-safe diarization service around one device.
+
+    submit() is safe from any thread and returns a Future[ServeResult];
+    diarize() is the blocking convenience wrapper. One worker thread owns
+    all device dispatch (one process per chip is already the deployment
+    rule; one dispatch thread per process keeps device work serialized
+    and batchable).
+    """
+
+    def __init__(self, config: DiarizationConfig, plda, transform, *,
+                 fb_impl: Optional[str] = None,
+                 batch_window_ms: float = 20.0,
+                 max_batch_frames: int = 2_000_000,
+                 init_workers: int = 4):
+        self._diar = Diarizer(config, plda, transform)
+        self._fb_impl = fb_impl
+        self._window_s = batch_window_ms / 1e3
+        self._max_batch_frames = max_batch_frames
+        self._queue: "queue.Queue" = queue.Queue()
+        self._init_pool = ThreadPoolExecutor(
+            max_workers=max(1, init_workers),
+            thread_name_prefix="vbx-serve-init")
+        self._lock = threading.Lock()
+        self._stats = {"requests": 0, "failed": 0, "batches": 0,
+                       "batched_requests": 0, "max_batch": 0}
+        self._t_start = time.time()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="vbx-serve-dispatch")
+        self._worker.start()
+
+    @classmethod
+    def from_files(cls, config: DiarizationConfig, plda_file: str,
+                   transform_file: str, **kw) -> "DiarizationService":
+        from vbx_tpu.io.plda import read_plda
+        from vbx_tpu.io.transform import read_xvec_transform
+        return cls(config, read_plda(plda_file),
+                   read_xvec_transform(transform_file), **kw)
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, recording: str, x_raw: np.ndarray,
+               timestamps: np.ndarray) -> Future:
+        """Enqueue one recording: raw x-vectors [N, D_raw] + per-vector
+        (start, end) seconds [N, 2]. Returns a Future[ServeResult]."""
+        if self._closed:
+            raise RuntimeError("service is closed")
+        x_raw = np.asarray(x_raw)
+        timestamps = np.asarray(timestamps, np.float64)
+        if x_raw.ndim != 2 or timestamps.shape != (len(x_raw), 2):
+            raise ValueError(
+                f"need x_raw [N, D] and timestamps [N, 2]; got "
+                f"{x_raw.shape} and {timestamps.shape}")
+        req = _Request(recording, x_raw, timestamps)
+        self._queue.put(req)
+        return req.future
+
+    def diarize(self, recording: str, x_raw: np.ndarray,
+                timestamps: np.ndarray,
+                timeout: Optional[float] = None) -> ServeResult:
+        return self.submit(recording, x_raw, timestamps).result(timeout)
+
+    def warmup(self, n_xvectors: int = 256, n_raw_dim: Optional[int] = None,
+               ) -> ServeResult:
+        """Compile the common path before taking traffic: run one synthetic
+        recording end-to-end (host init chain + a device batch at the
+        smallest bucket shape). Further shapes compile on demand and stay
+        in the persistent compile cache."""
+        d = n_raw_dim or self._diar.mean1.shape[0]
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(n_xvectors, d)).astype(np.float32)
+        ts = np.stack([np.arange(n_xvectors) * 0.24,
+                       np.arange(n_xvectors) * 0.24 + 1.44], axis=1)
+        return self.diarize("__warmup__", x, ts)
+
+    def stats(self) -> Dict[str, object]:
+        with self._lock:
+            s = dict(self._stats)
+        s["uptime_s"] = round(time.time() - self._t_start, 3)
+        s["queue_depth"] = self._queue.qsize()
+        return s
+
+    def close(self) -> None:
+        """Drain-free shutdown: requests already queued are completed,
+        then the worker exits."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(_SHUTDOWN)
+        self._worker.join()
+        self._init_pool.shutdown(wait=False)
+
+    def __enter__(self) -> "DiarizationService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker --------------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is _SHUTDOWN:
+                return
+            batch = [item]
+            deadline = time.perf_counter() + self._window_s
+            stop = False
+            while True:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    stop = True
+                    break
+                batch.append(nxt)
+            try:
+                self._process(batch)
+            except Exception as exc:   # noqa: BLE001 — never kill the worker
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            if stop:
+                return
+
+    def _process(self, batch: List[_Request]) -> None:
+        _, _, run_vb = _parse_init(self._diar.config.init)
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batched_requests"] += len(batch)
+            self._stats["max_batch"] = max(self._stats["max_batch"],
+                                           len(batch))
+
+        # host init chain (f64 transform + AHC) across the pool; per-request
+        # failure isolation mirrors the corpus pipeline's
+        def init_one(req: _Request) -> None:
+            # reference-parity NaN guard (predict.py:185-186 skips NaN
+            # embeddings at extraction; a serving request made of them is
+            # an input error, not a diarization)
+            if not np.all(np.isfinite(req.x_raw)):
+                raise ValueError(
+                    f"{req.recording}: non-finite values in x_raw")
+            x = self._diar.transform_xvectors(req.x_raw)
+            req.labels = self._diar.initial_labels(x)
+            if run_vb:
+                req.fea, req.phi, req.qinit = self._diar.vb_inputs(
+                    x, req.labels)
+
+        alive: List[_Request] = []
+        for req, fut in [(r, self._init_pool.submit(init_one, r))
+                         for r in batch]:
+            try:
+                fut.result()
+                alive.append(req)
+            except Exception as exc:   # noqa: BLE001
+                self._fail(req, exc)
+
+        if not run_vb:
+            for req in alive:
+                self._finish(req, req.labels, n_iters=0,
+                             batch_size=len(alive))
+            return
+
+        # bucket-pad surviving requests and run the batched engine per group
+        groups: Dict[Tuple[int, int], List[_Request]] = {}
+        for req in alive:
+            groups.setdefault(bucket_shape(*req.qinit.shape), []).append(req)
+        for (t_pad, s_pad), reqs in sorted(groups.items()):
+            cap = chunk_cap(t_pad, self._max_batch_frames)
+            for k in range(0, len(reqs), cap):
+                self._run_chunk(reqs[k:k + cap], t_pad, s_pad)
+
+    def _run_chunk(self, reqs: List[_Request], t_pad: int,
+                   s_pad: int) -> None:
+        diar = self._diar
+        cfg = diar.config
+        B = len(reqs)
+        D = reqs[0].fea.shape[1]
+        X = np.zeros((B, t_pad, D), dtype=diar.dtype)
+        G = np.zeros((B, t_pad, s_pad), dtype=diar.dtype)
+        PI = np.zeros((B, s_pad), dtype=diar.dtype)
+        FM = np.zeros((B, t_pad), dtype=bool)
+        SM = np.zeros((B, s_pad), dtype=bool)
+        for b, req in enumerate(reqs):
+            T, S = req.qinit.shape
+            X[b, :T] = req.fea
+            G[b, :T, :S] = req.qinit
+            PI[b, :S] = 1.0 / S
+            FM[b, :T] = True
+            SM[b, :S] = True
+        try:
+            res = vbx_batched(
+                jnp.asarray(X), jnp.asarray(reqs[0].phi, diar.dtype),
+                jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
+                jnp.asarray(SM), loop_prob=cfg.vb.loop_prob,
+                Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, max_iters=cfg.vb.max_iters,
+                epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl)
+            q = np.asarray(res.gamma)
+            iters = np.asarray(res.n_iters)
+        except Exception as exc:   # noqa: BLE001 — fail the chunk, not the
+            for req in reqs:       # service
+                self._fail(req, exc)
+            return
+        for b, req in enumerate(reqs):
+            T, S = req.qinit.shape
+            labels = np.argmax(q[b, :T, :S], axis=1).astype(np.int32)
+            self._finish(req, labels, n_iters=int(iters[b]), batch_size=B)
+
+    # -- result assembly -------------------------------------------------------
+
+    def _fail(self, req: _Request, exc: Exception) -> None:
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["failed"] += 1
+        req.future.set_exception(exc)
+
+    def _finish(self, req: _Request, labels: np.ndarray, *, n_iters: int,
+                batch_size: int) -> None:
+        start, end = req.timestamps.T
+        starts, ends, out_labels = merge_adjacent_labels(start, end, labels)
+        buf = io.StringIO()
+        write_rttm(buf, req.recording, starts, ends, out_labels)
+        result = ServeResult(
+            recording=req.recording, rttm=buf.getvalue(),
+            labels1st=labels, n_speakers=len(np.unique(labels)),
+            n_iters=n_iters,
+            wall_ms=round((time.perf_counter() - req.t_submit) * 1e3, 3),
+            batch_size=batch_size)
+        with self._lock:
+            self._stats["requests"] += 1
+        req.future.set_result(result)
