@@ -95,6 +95,27 @@ def test_service_failure_isolation(tmp_path):
 
 
 @needs_assets
+def test_cancelled_future_does_not_poison_batch(tmp_path):
+    """cancel() on a pending request must not raise InvalidStateError in
+    the dispatcher or fail its batch mates."""
+    _, _, _, recs = _corpus_requests(tmp_path, n_rec=2)
+    items = sorted(recs.items())
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            batch_window_ms=300.0) as svc:
+        f_cancel = svc.submit(items[0][0], *items[0][1])
+        f_keep = svc.submit(items[1][0], *items[1][1])
+        cancelled = f_cancel.cancel()   # races the dispatcher; either way
+        res = f_keep.result(timeout=120)   # the mate must succeed
+        assert res.n_speakers >= 1
+        if cancelled:
+            with pytest.raises(Exception):
+                f_cancel.result(timeout=1)
+        stats = svc.stats()
+    assert stats["requests"] == 2      # cancelled requests stay counted
+
+
+@needs_assets
 def test_service_rejects_malformed_submissions(tmp_path):
     with DiarizationService.from_files(get_preset("example"), PLDA, H5) \
             as svc:
@@ -164,6 +185,9 @@ def test_http_server_end_to_end(tmp_path):
 
         code, err = post("/diarize", {"nonsense": 1})
         assert code == 400 and "error" in err
+        for bad in (5, None, "xvectors"):   # valid JSON, not an object
+            code, err = post("/diarize", bad)
+            assert code == 400 and "error" in err, bad
         code, err = post("/diarize", {"xvec_ark_file": "/nope",
                                       "segments_file": "/nope"})
         assert code == 400 and "error" in err

@@ -103,6 +103,9 @@ def make_handler(service: DiarizationService):
             except (ValueError, json.JSONDecodeError) as exc:
                 self._reply(400, {"error": f"bad JSON body: {exc}"})
                 return
+            if not isinstance(body, dict):
+                self._reply(400, {"error": "body must be a JSON object"})
+                return
             try:
                 if "xvectors" in body:
                     self._reply(200, _serve_inline(service, body))

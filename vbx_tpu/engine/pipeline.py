@@ -108,8 +108,12 @@ class Diarizer:
         return fea, phi, qinit
 
     def diarize_xvectors(self, x_raw: np.ndarray, seed: int = 0,
-                         keep_gamma: bool = False) -> DiarizationOutput:
-        """Full single-recording path (streaming mode)."""
+                         keep_gamma: bool = False,
+                         fb_impl: Optional[str] = None) -> DiarizationOutput:
+        """Full single-recording path (streaming mode). fb_impl follows
+        vbx_batched's choices; the batched-only 'pallas'/'pallas_bf16'
+        kernels run as a B=1 batch so a one-recording run still exercises
+        the requested engine."""
         cfg = self.config
         _, _, run_vb = _parse_init(cfg.init)
         x = self.transform_xvectors(x_raw)
@@ -121,13 +125,28 @@ class Diarizer:
 
         if run_vb:
             fea, phi, qinit = self.vb_inputs(x, labels1st)
-            res = vbx(
-                jnp.asarray(fea, self.dtype), jnp.asarray(phi, self.dtype),
-                loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-                pi=jnp.full((qinit.shape[1],), 1.0 / qinit.shape[1],
-                            dtype=self.dtype),
-                gamma=jnp.asarray(qinit, self.dtype),
-                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+            T, S = qinit.shape
+            if fb_impl is not None and fb_impl.startswith("pallas"):
+                res = vbx_batched(
+                    jnp.asarray(fea, self.dtype)[None],
+                    jnp.asarray(phi, self.dtype),
+                    jnp.asarray(qinit, self.dtype)[None],
+                    jnp.full((1, S), 1.0 / S, dtype=self.dtype),
+                    jnp.ones((1, T), bool), jnp.ones((1, S), bool),
+                    loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+                    max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                    fb_impl=fb_impl)
+                res = res._replace(gamma=res.gamma[0], elbo=res.elbo[0],
+                                   n_iters=res.n_iters[0])
+            else:
+                res = vbx(
+                    jnp.asarray(fea, self.dtype),
+                    jnp.asarray(phi, self.dtype),
+                    loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+                    pi=jnp.full((S,), 1.0 / S, dtype=self.dtype),
+                    gamma=jnp.asarray(qinit, self.dtype),
+                    max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                    fb_impl=fb_impl or "structured")
             q = np.asarray(res.gamma)
             order = np.argsort(-q, axis=1)
             labels1st = order[:, 0].astype(np.int32)
@@ -229,7 +248,7 @@ def diarize_ark(
                 if verbose:
                     print(rec)
                 try:
-                    out = diar.diarize_xvectors(x_raw)
+                    out = diar.diarize_xvectors(x_raw, fb_impl=fb_impl)
                 except Exception as exc:   # noqa: BLE001 — isolate per rec
                     _warn_failed(rec, exc, runlog, failures, strict=strict)
                     continue

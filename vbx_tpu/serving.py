@@ -8,9 +8,10 @@ requests are MICRO-BATCHED — a worker thread drains the request queue for a
 short window, groups requests into the same (T, S) padded buckets the
 corpus pipeline uses (utils.bucketing), and runs the batched VB engine once
 per bucket. Under load the service therefore approaches the corpus
-pipeline's batched throughput while an idle service still answers a single
-request at streaming latency (the window only waits when a batch mate
-could plausibly arrive, and is capped at batch_window_ms).
+pipeline's batched throughput; the cost is that every request waits up to
+batch_window_ms for potential batch mates before dispatch (set it to 0 for
+a pure-latency deployment — batching then only groups requests that were
+already queued together).
 
 Results are independent of batch composition (the default engine is
 bit-comparable batched vs solo at a fixed padded shape —
@@ -84,13 +85,27 @@ class DiarizationService:
                  batch_window_ms: float = 20.0,
                  max_batch_frames: int = 2_000_000,
                  init_workers: int = 4):
+        import os
+
+        from vbx_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()   # daemon restarts re-use compiled executables
         self._diar = Diarizer(config, plda, transform)
         self._fb_impl = fb_impl
         self._window_s = batch_window_ms / 1e3
         self._max_batch_frames = max_batch_frames
         self._queue: "queue.Queue" = queue.Queue()
+        init_workers = max(1, init_workers)
+        if init_workers > 1:
+            # the native linkage spawns an OpenMP team per call; the same
+            # discipline as the corpus pipeline's init pool (pipeline.py:
+            # pool workers x per-call teams oversubscribe the host), but
+            # set once for the service lifetime: share the cores
+            from vbx_tpu.clustering import set_native_threads
+            set_native_threads(
+                max(1, (os.cpu_count() or init_workers) // init_workers))
         self._init_pool = ThreadPoolExecutor(
-            max_workers=max(1, init_workers),
+            max_workers=init_workers,
             thread_name_prefix="vbx-serve-init")
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "failed": 0, "batches": 0,
@@ -115,8 +130,6 @@ class DiarizationService:
                timestamps: np.ndarray) -> Future:
         """Enqueue one recording: raw x-vectors [N, D_raw] + per-vector
         (start, end) seconds [N, 2]. Returns a Future[ServeResult]."""
-        if self._closed:
-            raise RuntimeError("service is closed")
         x_raw = np.asarray(x_raw)
         timestamps = np.asarray(timestamps, np.float64)
         if x_raw.ndim != 2 or timestamps.shape != (len(x_raw), 2):
@@ -124,7 +137,13 @@ class DiarizationService:
                 f"need x_raw [N, D] and timestamps [N, 2]; got "
                 f"{x_raw.shape} and {timestamps.shape}")
         req = _Request(recording, x_raw, timestamps)
-        self._queue.put(req)
+        # the closed check and the enqueue are one atomic step so a request
+        # can never land behind the shutdown sentinel (where it would never
+        # be processed and its future never complete)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put(req)
         return req.future
 
     def diarize(self, recording: str, x_raw: np.ndarray,
@@ -155,10 +174,11 @@ class DiarizationService:
     def close(self) -> None:
         """Drain-free shutdown: requests already queued are completed,
         then the worker exits."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(_SHUTDOWN)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_SHUTDOWN)
         self._worker.join()
         self._init_pool.shutdown(wait=False)
 
@@ -195,7 +215,7 @@ class DiarizationService:
             except Exception as exc:   # noqa: BLE001 — never kill the worker
                 for req in batch:
                     if not req.future.done():
-                        req.future.set_exception(exc)
+                        self._fail(req, exc)
             if stop:
                 return
 
@@ -288,10 +308,17 @@ class DiarizationService:
         with self._lock:
             self._stats["requests"] += 1
             self._stats["failed"] += 1
-        req.future.set_exception(exc)
+        # a caller may have cancel()ed the pending future; the claim below
+        # makes set_exception safe (and a cancelled request stays counted)
+        if req.future.set_running_or_notify_cancel():
+            req.future.set_exception(exc)
 
     def _finish(self, req: _Request, labels: np.ndarray, *, n_iters: int,
                 batch_size: int) -> None:
+        if not req.future.set_running_or_notify_cancel():
+            with self._lock:      # cancelled while queued/in flight
+                self._stats["requests"] += 1
+            return
         start, end = req.timestamps.T
         starts, ends, out_labels = merge_adjacent_labels(start, end, labels)
         buf = io.StringIO()
