@@ -127,6 +127,122 @@ def test_service_rejects_malformed_submissions(tmp_path):
         svc.submit("x", np.zeros((4, 8)), np.zeros((4, 2)))
 
 
+def _tiny_extractor_and_models(seed=5):
+    """Random tiny flax x-vector model + matching synthetic 32-d transform
+    and 16-d PLDA so the full audio path runs without reference weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from vbx_tpu.engine.extractor import XVectorExtractor
+    from vbx_tpu.models.resnet import BasicBlock, ResNetXVector
+
+    fs = 16000
+    fm = ResNetXVector(block=BasicBlock, num_blocks=(1, 1, 1, 1),
+                       feat_dim=64, embed_dim=32)
+    variables = fm.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 144), jnp.float32),
+                        lengths=jnp.array([144]))
+    ex = XVectorExtractor(fm, variables, fs, batch_size=8)
+    rng = np.random.default_rng(seed)
+    mean1 = rng.normal(size=32) * 0.01
+    lda = rng.normal(size=(32, 16))
+    mean2 = rng.normal(size=16) * 0.01
+    mu = rng.normal(size=16) * 0.01
+    tr = rng.normal(size=(16, 16)) + 4 * np.eye(16)
+    psi = np.linspace(2.0, 0.2, 16)
+    cfg = get_preset("example").replace(lda_dim=16)
+    return ex, cfg, (mu, tr, psi), (mean1, lda, mean2), fs
+
+
+def test_audio_request_matches_extract_then_diarize():
+    """An audio request (wav + VAD through the in-daemon extractor) must
+    equal extracting x-vectors first and submitting those."""
+    ex, cfg, plda, transform, fs = _tiny_extractor_and_models()
+    rng = np.random.default_rng(11)
+    signal = rng.uniform(-0.5, 0.5, 8 * fs)
+    vad = np.array([[0.2, 4.0], [4.5, 7.8]])
+
+    with DiarizationService(cfg, plda, transform, extractor=ex) as svc:
+        res_audio = svc.diarize_audio("recA", signal, vad, timeout=300)
+        segs = ex.extract_file(signal, vad, "recA")
+        x = np.stack([s.xvector for s in segs])
+        ts = np.array([[s.start, s.end] for s in segs])
+        res_xv = svc.diarize("recA", x, ts, timeout=300)
+        # no extractor -> audio requests are a configuration error
+        with pytest.raises(RuntimeError):
+            DiarizationService(cfg, plda, transform).submit_audio(
+                "x", signal, vad)
+
+    assert len(res_audio.labels1st) == len(segs) > 5
+    np.testing.assert_array_equal(res_audio.labels1st, res_xv.labels1st)
+    assert res_audio.rttm == res_xv.rttm
+    # timestamps came from the extractor's window semantics
+    assert res_audio.rttm.startswith("SPEAKER recA 1 ")
+
+
+def test_http_wav_request(tmp_path):
+    """POST /diarize with a server-local wav + lab file; a server without
+    an extractor answers 400."""
+    from vbx_tpu.cli.serve import make_handler
+    from vbx_tpu.io.wav import write_wav
+
+    ex, cfg, plda, transform, fs = _tiny_extractor_and_models()
+    rng = np.random.default_rng(12)
+    signal = rng.uniform(-0.5, 0.5, 6 * fs)
+    wav = str(tmp_path / "recW.wav")
+    write_wav(wav, signal, fs)
+    (tmp_path / "recW.lab").write_text("0.20 3.50 sp\n4.00 5.70 sp\n")
+
+    def start(svc):
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    def post(base, payload):
+        req = urllib.request.Request(
+            f"{base}/diarize", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    svc = DiarizationService(cfg, plda, transform, extractor=ex)
+    httpd, base = start(svc)
+    try:
+        code, out = post(base, {"wav_file": wav,
+                                "lab_file": str(tmp_path / "recW.lab")})
+        assert code == 200, out
+        assert out["recording"] == "recW"       # name from the wav path
+        assert out["rttm"].startswith("SPEAKER recW 1 ")
+        assert out["n_speakers"] >= 1
+        # inline VAD form agrees with the .lab form
+        code, out2 = post(base, {
+            "wav_file": wav, "vad": [[0.20, 3.50], [4.00, 5.70]]})
+        assert code == 200 and out2["rttm"] == out["rttm"]
+        # wrong sample rate is a 400
+        wav8 = str(tmp_path / "recW8.wav")
+        write_wav(wav8, signal[:8000], 8000)
+        code, err = post(base, {"wav_file": wav8, "vad": [[0.0, 0.5]]})
+        assert code == 400 and "sample rate" in err["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        svc.close()
+
+    svc2 = DiarizationService(cfg, plda, transform)   # no extractor
+    httpd2, base2 = start(svc2)
+    try:
+        code, err = post(base2, {"wav_file": wav,
+                                 "lab_file": str(tmp_path / "recW.lab")})
+        assert code == 400 and "x-vector model" in err["error"]
+    finally:
+        httpd2.shutdown()
+        httpd2.server_close()
+        svc2.close()
+
+
 @needs_assets
 def test_http_server_end_to_end(tmp_path):
     """Drive the HTTP surface: healthz, stats, inline diarize, server-local

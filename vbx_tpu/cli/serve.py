@@ -14,6 +14,9 @@ Endpoints (JSON unless noted):
             "batch_size"}
     {"xvec_ark_file": path, "segments_file": path}        (server-local)
         -> {"results": {recording: {...as above...}}, "failed": {...}}
+    {"wav_file": path, "lab_file": path | "vad": [[s,e],...]}
+        (server-local audio; requires --weights so the daemon holds the
+        x-vector model) -> same shape as the inline form
 
 Uses only the standard library (ThreadingHTTPServer): requests are parsed
 on socket threads and funneled into the service's single dispatch thread,
@@ -24,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -53,6 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-smoothing", type=float, default=None)
     p.add_argument("--fb-impl", type=str, default=None,
                    choices=["structured", "assoc", "pallas", "pallas_bf16"])
+    # x-vector extractor (optional: enables audio requests)
+    p.add_argument("--weights", type=str, default=None,
+                   help="x-vector model checkpoint (.pth/.onnx) — enables "
+                        "wav_file requests")
+    p.add_argument("--model-file", type=str, default=None,
+                   help="whole pickled torch model (takes precedence over "
+                        "--weights, like the reference predict.py:117-119)")
+    p.add_argument("--model", type=str, default="ResNet101")
+    p.add_argument("--ndim", type=int, default=64)
+    p.add_argument("--embed-dim", type=int, default=256)
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--extract-batch-size", type=int, default=64)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8300)
     p.add_argument("--batch-window-ms", type=float, default=20.0,
@@ -111,10 +127,13 @@ def make_handler(service: DiarizationService):
                     self._reply(200, _serve_inline(service, body))
                 elif "xvec_ark_file" in body:
                     self._reply(200, _serve_ark(service, body))
+                elif "wav_file" in body:
+                    self._reply(200, _serve_wav(service, body))
                 else:
                     self._reply(400, {
-                        "error": "need 'xvectors'+'timestamps' or "
-                                 "'xvec_ark_file'+'segments_file'"})
+                        "error": "need 'xvectors'+'timestamps', "
+                                 "'xvec_ark_file'+'segments_file', or "
+                                 "'wav_file'+('lab_file'|'vad')"})
             except (ValueError, KeyError, OSError) as exc:
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
             except Exception as exc:   # noqa: BLE001 — engine failure
@@ -134,6 +153,31 @@ def _serve_inline(service: DiarizationService, body: dict) -> dict:
     ts = np.asarray(body["timestamps"], np.float64)
     rec = str(body.get("recording", "recording"))
     return _result_json(service.diarize(rec, x, ts))
+
+
+def _serve_wav(service: DiarizationService, body: dict) -> dict:
+    """Server-local wav (+ VAD as a .lab path or inline [[s,e],...])."""
+    from vbx_tpu.io.vad import read_lab
+    from vbx_tpu.io.wav import read_wav
+
+    if service.extractor is None:
+        raise ValueError("this server has no x-vector model "
+                         "(start vbx-tpu-serve with --weights)")
+    wav = str(body["wav_file"])
+    signal, fs = read_wav(wav)
+    if fs != service.extractor.sample_rate:
+        raise ValueError(
+            f"{wav}: sample rate {fs} != extractor's "
+            f"{service.extractor.sample_rate}")
+    if "lab_file" in body:
+        vad = read_lab(str(body["lab_file"]))
+    elif "vad" in body:
+        vad = np.asarray(body["vad"], np.float64)
+    else:
+        raise ValueError("wav_file requests need 'lab_file' or 'vad'")
+    rec = str(body.get("recording",
+                       os.path.splitext(os.path.basename(wav))[0]))
+    return _result_json(service.diarize_audio(rec, signal, vad))
 
 
 def _serve_ark(service: DiarizationService, body: dict) -> dict:
@@ -162,11 +206,33 @@ def _serve_ark(service: DiarizationService, body: dict) -> dict:
     return out
 
 
+def _build_extractor(args):
+    """Mirror cli/extract.py's model loading (torch or ONNX checkpoint)."""
+    from vbx_tpu.config import ExtractorConfig
+    from vbx_tpu.engine.extractor import XVectorExtractor
+
+    if args.weights and args.weights.endswith(".onnx"):
+        from vbx_tpu.models.onnx_import import load_onnx_checkpoint
+        model, variables = load_onnx_checkpoint(args.weights,
+                                                feat_dim=args.ndim)
+    else:
+        from vbx_tpu.models.resnet import load_torch_checkpoint
+        model, variables = load_torch_checkpoint(
+            args.model_file or args.weights, feat_dim=args.ndim,
+            embed_dim=args.embed_dim, arch=args.model)
+    cfg = ExtractorConfig(feat_dim=args.ndim, embed_dim=args.embed_dim)
+    return XVectorExtractor(model, variables, args.sample_rate, config=cfg,
+                            batch_size=args.extract_batch_size)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    extractor = (_build_extractor(args)
+                 if args.weights or args.model_file else None)
     service = DiarizationService.from_files(
         cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
+        extractor=extractor,
         batch_window_ms=args.batch_window_ms,
         max_batch_frames=args.max_batch_frames)
     if not args.no_warmup:

@@ -27,7 +27,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from vbx_tpu.io.onnx import OnnxGraph, OnnxNode, read_onnx
+from vbx_tpu.io.onnx import OnnxGraph, read_onnx
 
 _BN_EPS = 1e-5
 

@@ -54,14 +54,18 @@ class ServeResult:
 
 
 class _Request:
-    __slots__ = ("recording", "x_raw", "timestamps", "future", "t_submit",
-                 "fea", "phi", "qinit", "labels")
+    __slots__ = ("recording", "x_raw", "timestamps", "signal", "vad",
+                 "future", "t_submit", "fea", "phi", "qinit", "labels")
 
-    def __init__(self, recording: str, x_raw: np.ndarray,
-                 timestamps: np.ndarray):
+    def __init__(self, recording: str, x_raw: Optional[np.ndarray],
+                 timestamps: Optional[np.ndarray],
+                 signal: Optional[np.ndarray] = None,
+                 vad: Optional[np.ndarray] = None):
         self.recording = recording
         self.x_raw = x_raw
         self.timestamps = timestamps
+        self.signal = signal
+        self.vad = vad
         self.future: Future = Future()
         self.t_submit = time.perf_counter()
         self.fea = self.phi = self.qinit = self.labels = None
@@ -81,6 +85,7 @@ class DiarizationService:
     """
 
     def __init__(self, config: DiarizationConfig, plda, transform, *,
+                 extractor=None,
                  fb_impl: Optional[str] = None,
                  batch_window_ms: float = 20.0,
                  max_batch_frames: int = 2_000_000,
@@ -91,6 +96,11 @@ class DiarizationService:
 
         _enable_cache()   # daemon restarts re-use compiled executables
         self._diar = Diarizer(config, plda, transform)
+        self.extractor = extractor    # engine.extractor.XVectorExtractor
+        # extract_file seeds the GLOBAL numpy RNG for reference-parity
+        # dither (predict.py:163-164); concurrent extractions would race
+        # it, so audio requests extract one at a time (device-bound anyway)
+        self._extract_lock = threading.Lock()
         self._fb_impl = fb_impl
         self._window_s = batch_window_ms / 1e3
         self._max_batch_frames = max_batch_frames
@@ -150,6 +160,34 @@ class DiarizationService:
                 timestamps: np.ndarray,
                 timeout: Optional[float] = None) -> ServeResult:
         return self.submit(recording, x_raw, timestamps).result(timeout)
+
+    def submit_audio(self, recording: str, signal: np.ndarray,
+                     vad_s: np.ndarray) -> Future:
+        """Enqueue raw audio: signal [N] float in [-1, 1) at the
+        extractor's sample rate + VAD speech regions [V, 2] (seconds).
+        X-vector extraction runs in the service (requires an `extractor`
+        at construction); the result diarizes like an x-vector request."""
+        if self.extractor is None:
+            raise RuntimeError(
+                "no extractor configured: pass extractor= (or --weights "
+                "to vbx-tpu-serve) to enable audio requests")
+        signal = np.asarray(signal)
+        vad_s = np.atleast_2d(np.asarray(vad_s, np.float64))
+        if signal.ndim != 1 or vad_s.ndim != 2 or vad_s.shape[1] != 2:
+            raise ValueError(
+                f"need signal [N] and vad [V, 2] seconds; got "
+                f"{signal.shape} and {vad_s.shape}")
+        req = _Request(recording, None, None, signal=signal, vad=vad_s)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put(req)
+        return req.future
+
+    def diarize_audio(self, recording: str, signal: np.ndarray,
+                      vad_s: np.ndarray,
+                      timeout: Optional[float] = None) -> ServeResult:
+        return self.submit_audio(recording, signal, vad_s).result(timeout)
 
     def warmup(self, n_xvectors: int = 256, n_raw_dim: Optional[int] = None,
                ) -> ServeResult:
@@ -230,6 +268,18 @@ class DiarizationService:
         # host init chain (f64 transform + AHC) across the pool; per-request
         # failure isolation mirrors the corpus pipeline's
         def init_one(req: _Request) -> None:
+            if req.x_raw is None:   # audio request: extract x-vectors first
+                with self._extract_lock:
+                    segs = self.extractor.extract_file(
+                        req.signal, req.vad, req.recording)
+                if not segs:
+                    raise ValueError(
+                        f"{req.recording}: no x-vectors (VAD empty or "
+                        f"all segments shorter than one window)")
+                req.x_raw = np.stack([s.xvector for s in segs])
+                req.timestamps = np.array(
+                    [[s.start, s.end] for s in segs], np.float64)
+                req.signal = req.vad = None
             # reference-parity NaN guard (predict.py:185-186 skips NaN
             # embeddings at extraction; a serving request made of them is
             # an input error, not a diarization)
