@@ -244,6 +244,56 @@ def test_http_wav_request(tmp_path):
 
 
 @needs_assets
+def test_serve_main_subprocess_sigterm(tmp_path):
+    """Boot the real daemon process (cli.serve.main), serve one request,
+    then SIGTERM it and require a graceful drain."""
+    import signal
+    import socket
+    import subprocess
+    import sys as _sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo:" + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "vbx_tpu.cli.serve",
+         "--plda-file", PLDA, "--xvec-transform", H5,
+         "--port", str(port), "--no-warmup"],
+        env=env, stderr=subprocess.PIPE, cwd="/root/repo")
+    try:
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(120):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz",
+                                            timeout=5) as r:
+                    assert json.loads(r.read())["status"] == "ok"
+                break
+            except OSError:
+                time.sleep(0.5)
+                assert proc.poll() is None, proc.stderr.read().decode()
+        else:
+            raise AssertionError("daemon never came up")
+        req = urllib.request.Request(
+            f"{base}/diarize",
+            data=json.dumps({
+                "xvec_ark_file": f"{REF}/exp/ES2005a.ark",
+                "segments_file": f"{REF}/exp/ES2005a.seg"}).encode())
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json.loads(r.read())
+        assert out["results"]["ES2005a"]["n_speakers"] == 5
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+        assert b"drained and stopped" in proc.stderr.read()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+@needs_assets
 def test_http_server_end_to_end(tmp_path):
     """Drive the HTTP surface: healthz, stats, inline diarize, server-local
     ark diarize, and malformed-request handling."""

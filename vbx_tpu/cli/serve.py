@@ -242,7 +242,18 @@ def main(argv=None) -> int:
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(service))
     print(f"vbx-tpu-serve listening on http://{args.host}:{args.port} "
-          f"(init={cfg.init}, preset={cfg.name})", file=sys.stderr)
+          f"(init={cfg.init}, preset={cfg.name}, "
+          f"audio={'yes' if extractor else 'no'})", file=sys.stderr)
+
+    # production deployments stop daemons with SIGTERM: shut the socket
+    # down gracefully so in-flight requests finish and queued work drains
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
@@ -250,6 +261,7 @@ def main(argv=None) -> int:
     finally:
         httpd.server_close()
         service.close()
+        print("vbx-tpu-serve: drained and stopped", file=sys.stderr)
     return 0
 
 
