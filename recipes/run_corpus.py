@@ -56,6 +56,9 @@ def build_parser():
     p.add_argument("--xvec-transform")
     p.add_argument("--ref-rttm-dir", help="reference RTTMs for scoring")
     p.add_argument("--force", action="store_true")
+    p.add_argument("--fb-impl", default=None,
+                   choices=["structured", "assoc", "pallas", "pallas_bf16"],
+                   help="forward-backward engine for the diarization stage")
     return p
 
 
@@ -102,7 +105,7 @@ def stage_diarization(args):
     diarize_ark(os.path.join(args.exp_dir, "xvectors.ark"),
                 os.path.join(args.exp_dir, "xvectors.seg"),
                 rttm_dir, cfg, args.plda_file, args.xvec_transform,
-                resume=True, shard_over_hosts=True,
+                resume=True, shard_over_hosts=True, fb_impl=args.fb_impl,
                 runlog_path=os.path.join(args.exp_dir, "diarization.jsonl"))
     if jax.process_count() > 1:
         # barrier: every host must have written its RTTM slice before

@@ -132,3 +132,119 @@ def test_vbx_accepts_numpy_integer_pi():
     g = jnp.asarray(rng.dirichlet(np.ones(3), size=20), jnp.float32)
     res = vbx(X, phi, pi=np.int64(3), gamma=g, max_iters=2)
     assert res.gamma.shape == (20, 3)
+
+
+def _checkpoint_problem(B=6, T=50, S=5, D=8, seed=7):
+    rng = np.random.default_rng(seed)
+    problems = [random_vb_problem(rng, T, S, D) for _ in range(B)]
+    phi = problems[0][1]
+    X = np.stack([p[0] for p in problems]).astype(np.float32)
+    G = np.stack([p[2] for p in problems]).astype(np.float32)
+    PI = np.stack([p[3] for p in problems]).astype(np.float32)
+    FM = np.ones((B, T), bool)
+    SM = np.ones((B, S), bool)
+    FM[1, 35:] = False
+    X[1, 35:] = 0
+    G[1, 35:] = 0
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=25, epsilon=1e-5)
+    args = (jnp.asarray(X), jnp.asarray(phi, jnp.float32), jnp.asarray(G),
+            jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM))
+    return args, kw
+
+
+@pytest.mark.parametrize("iters_per_slice", [3, 7])
+def test_checkpointed_slicing_is_exact(iters_per_slice):
+    """vbx_batched_checkpointed externalizes the loop state, so slicing the
+    EM into host-visible steps is BIT-EXACT vs one long run on the default
+    engine (same padded shape, same per-iteration program)."""
+    from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
+
+    args, kw = _checkpoint_problem()
+    ref = vbx_batched(*args, **kw)
+    out = vbx_batched_checkpointed(*args, **kw,
+                                   iters_per_slice=iters_per_slice)
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.gamma),
+                                  np.asarray(ref.gamma))
+    np.testing.assert_array_equal(np.asarray(out.pi), np.asarray(ref.pi))
+    np.testing.assert_array_equal(np.asarray(out.elbo),
+                                  np.asarray(ref.elbo))
+    # the wrapper recomputes the model from the final gamma (the pallas
+    # convention); the structured ref returns the crossing-iteration
+    # model — both are converged models, equal to convergence tolerance
+    np.testing.assert_allclose(np.asarray(out.alpha),
+                               np.asarray(ref.alpha), atol=2e-3)
+
+
+def test_checkpointed_resume_after_preemption(tmp_path, monkeypatch):
+    """Kill the run after its first slice; a rerun loads the checkpoint,
+    continues from the saved state, and reproduces the uninterrupted
+    result exactly. The checkpoint file is removed on completion."""
+    import os
+
+    import vbx_tpu.engine.vbhmm as vbhmm_mod
+    from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
+
+    args, kw = _checkpoint_problem()
+    ref = vbx_batched(*args, **kw)
+    ck = str(tmp_path / "vb_state.npz")
+
+    real = vbhmm_mod.vbx_batched
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated preemption")
+        return real(*a, **k)
+
+    monkeypatch.setattr(vbhmm_mod, "vbx_batched", dying)
+    with pytest.raises(KeyboardInterrupt):
+        vbx_batched_checkpointed(*args, **kw, iters_per_slice=5,
+                                 checkpoint_path=ck)
+    monkeypatch.setattr(vbhmm_mod, "vbx_batched", real)
+    assert os.path.exists(ck)           # slice 1 state survived
+
+    out = vbx_batched_checkpointed(*args, **kw, iters_per_slice=5,
+                                   checkpoint_path=ck)
+    assert not os.path.exists(ck)       # removed on success
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.gamma),
+                                  np.asarray(ref.gamma))
+    np.testing.assert_array_equal(np.asarray(out.elbo),
+                                  np.asarray(ref.elbo))
+
+    # resuming an already-complete checkpoint must also work (preempted
+    # between the final slice write and the cleanup)
+    def fake_ck():
+        np.savez(ck + ".tmp.npz", gamma=np.asarray(out.gamma),
+                 pi=np.asarray(out.pi),
+                 converged=np.ones(out.pi.shape[0], bool),
+                 last_elbo=np.nanmax(np.asarray(out.elbo), axis=1),
+                 elbo=np.asarray(out.elbo),
+                 it_done=int(np.asarray(out.n_iters).max()))
+        os.replace(ck + ".tmp.npz", ck)
+
+    fake_ck()
+    out2 = vbx_batched_checkpointed(*args, **kw, iters_per_slice=5,
+                                    checkpoint_path=ck)
+    np.testing.assert_array_equal(np.asarray(out2.gamma),
+                                  np.asarray(out.gamma))
+    np.testing.assert_allclose(np.asarray(out2.alpha),
+                               np.asarray(ref.alpha), atol=2e-3)
+
+
+def test_checkpointed_pallas_reaches_same_fixed_point():
+    """The pallas path slices exactly too (same padded shape per slice)."""
+    from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
+
+    args, kw = _checkpoint_problem(B=18)
+    ref = vbx_batched(*args, **kw, fb_impl="pallas")
+    out = vbx_batched_checkpointed(*args, **kw, fb_impl="pallas",
+                                   iters_per_slice=4)
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.gamma),
+                                  np.asarray(ref.gamma))

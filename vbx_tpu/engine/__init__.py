@@ -6,7 +6,8 @@ oracle (engine.debug, needs scipy.optimize) are NOT imported eagerly —
 diarization/scoring paths don't depend on them; import those modules
 directly."""
 
-from vbx_tpu.engine.vbhmm import VBxResult, vbx, vbx_batched  # noqa: F401
+from vbx_tpu.engine.vbhmm import (  # noqa: F401
+    VBxResult, vbx, vbx_batched, vbx_batched_checkpointed)
 from vbx_tpu.engine.ahc import (  # noqa: F401
     ahc_labels, random_labels, smooth_labels_to_gamma,
 )

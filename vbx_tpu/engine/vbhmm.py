@@ -69,7 +69,7 @@ class _State(NamedTuple):
     static_argnames=("max_iters", "fb_impl", "has_initial_model"))
 def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
              loop_prob, fa, fb, epsilon,
-             alpha0, invL0,
+             alpha0, invL0, converged0, last_elbo0,
              *, max_iters: int, fb_impl: str, has_initial_model: bool):
     dtype = X.dtype
     T, D = X.shape
@@ -83,9 +83,13 @@ def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     gamma = (gamma * frame_mask[:, None].astype(dtype)
              * speaker_mask[None, :].astype(dtype))
     pi = pi * speaker_mask.astype(dtype)
+    # a resumed run (finite last_elbo0, engine-state checkpointing) is
+    # mid-trajectory: its first slice iteration may trigger convergence
+    # against the carried ELBO, exactly as it would have mid-run
+    fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)
 
     def one_iteration(state: _State) -> _State:
-        first = state.it == 0
+        first = jnp.logical_and(state.it == 0, fresh)
         if has_initial_model:
             # use the provided model on iteration 0 (reference: VBx.py:94)
             est_invL, est_alpha = vb_m_step(state.gamma, rho, phi, fa_over_fb)
@@ -128,11 +132,11 @@ def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
 
     init = _State(
         it=jnp.zeros((), jnp.int32),
-        converged=jnp.zeros((), bool),
+        converged=converged0,
         gamma=gamma,
         pi=pi,
         elbo=jnp.full((max_iters,), jnp.nan, dtype=dtype),
-        last_elbo=jnp.asarray(NEG_INF, dtype),
+        last_elbo=last_elbo0,
         alpha=(alpha0 if has_initial_model
                else jnp.zeros((S, D), dtype)),
         invL=(invL0 if has_initial_model
@@ -212,6 +216,7 @@ def vbx(
         jnp.asarray(loop_prob, dtype), jnp.asarray(Fa, dtype),
         jnp.asarray(Fb, dtype), jnp.asarray(epsilon, dtype),
         alpha0, invL0,
+        jnp.zeros((), bool), jnp.asarray(NEG_INF, dtype),
         max_iters=max_iters, fb_impl=fb_impl,
         has_initial_model=has_model)
 
@@ -229,6 +234,7 @@ class _PState(NamedTuple):
     jax.jit, static_argnames=("max_iters", "interpret", "io_dtype"))
 def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
                                loop_prob, fa, fb, epsilon,
+                               converged0, last_elbo0,
                                *, max_iters: int, interpret: bool,
                                io_dtype: str = "float32"):
     """Batched EM around the speakers-on-sublanes fused kernel
@@ -275,6 +281,9 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
 
     vmapped_elbo_term = jax.vmap(vb_elbo_model_term, in_axes=(0, 0, None))
     vmapped_pi_update = jax.vmap(vb_pi_update, in_axes=(0, 0, 0, None))
+    # resumed recordings (finite last_elbo0) are mid-trajectory: their
+    # first slice iteration may converge against the carried ELBO
+    fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)          # [B]
 
     def m_step(g_tsb):
         # T-axis count accumulates in f32 (convert fuses into the reduce)
@@ -287,7 +296,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         return invL, alpha
 
     def one_iteration(state: _PState) -> _PState:
-        first = state.it == 0
+        first = jnp.logical_and(state.it == 0, fresh)          # [B]
         invL, alpha = m_step(state.gamma)
 
         cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
@@ -350,11 +359,11 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
 
     init = _PState(
         it=jnp.zeros((), jnp.int32),
-        converged=jnp.zeros((B,), bool),
+        converged=converged0,
         gamma=gamma_tsb,
         pi=pi,
         elbo=jnp.full((B, max_iters), jnp.nan, dtype),
-        last_elbo=jnp.full((B,), NEG_INF, dtype),
+        last_elbo=last_elbo0.astype(dtype),
     )
     final = jax.lax.while_loop(cond, one_iteration, init)
 
@@ -373,7 +382,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     jax.jit,
     static_argnames=("max_iters", "fb_impl"))
 def _vbx_batched_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
-                     loop_prob, fa, fb, epsilon,
+                     loop_prob, fa, fb, epsilon, converged0, last_elbo0,
                      *, max_iters: int, fb_impl: str):
     B, T, S = gamma.shape
     D = X.shape[-1]
@@ -383,9 +392,11 @@ def _vbx_batched_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         _vbx_jit.__wrapped__,  # call through vmap, jit applied outside
         max_iters=max_iters, fb_impl=fb_impl, has_initial_model=False)
     return jax.vmap(
-        lambda x, g, p, fm, sm, a0, l0: fn(
-            x, phi, g, p, fm, sm, loop_prob, fa, fb, epsilon, a0, l0)
-    )(X, gamma, pi, frame_mask, speaker_mask, zeros_a, ones_l)
+        lambda x, g, p, fm, sm, a0, l0, c0, le0: fn(
+            x, phi, g, p, fm, sm, loop_prob, fa, fb, epsilon, a0, l0,
+            c0, le0)
+    )(X, gamma, pi, frame_mask, speaker_mask, zeros_a, ones_l,
+      converged0, last_elbo0)
 
 
 def vbx_batched(
@@ -401,6 +412,8 @@ def vbx_batched(
     max_iters: int = 40,
     epsilon: float = 1e-6,
     fb_impl: Optional[str] = None,
+    converged0: Optional[jax.Array] = None,   # [B] resume: already-done mask
+    last_elbo0: Optional[jax.Array] = None,   # [B] resume: carried ELBO
 ) -> VBxResult:
     """Batched VB-HMM over padded recordings with per-recording convergence.
 
@@ -417,7 +430,18 @@ def vbx_batched(
     f32 accumulation throughout; lowest HBM traffic, tolerance-parity
     only — see _vbx_batched_pallas_sb_jit), or 'assoc' (work-parallel
     associative scan for very long recordings).
+
+    converged0/last_elbo0 resume a run from engine-state checkpointing
+    (vbx_batched_checkpointed): a resumed slice behaves exactly as the
+    continuation of the original run — its first iteration may converge
+    against the carried ELBO, and already-converged recordings stay
+    frozen from iteration 0.
     """
+    B = gamma.shape[0]
+    if converged0 is None:
+        converged0 = jnp.zeros((B,), bool)
+    if last_elbo0 is None:
+        last_elbo0 = jnp.full((B,), NEG_INF, jnp.float32)
     if fb_impl is None:
         fb_impl = "structured"
     if fb_impl in ("pallas", "pallas_bf16") and gamma.shape[-1] > 128:
@@ -433,7 +457,9 @@ def vbx_batched(
         return _vbx_batched_pallas_sb_jit(
             X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
             jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
-            jnp.float32(epsilon), max_iters=max_iters, interpret=interpret,
+            jnp.float32(epsilon), jnp.asarray(converged0, bool),
+            jnp.asarray(last_elbo0, jnp.float32),
+            max_iters=max_iters, interpret=interpret,
             io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
                       else "float32"))
     dtype = X.dtype
@@ -441,4 +467,115 @@ def vbx_batched(
         X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
         jnp.asarray(loop_prob, dtype), jnp.asarray(Fa, dtype),
         jnp.asarray(Fb, dtype), jnp.asarray(epsilon, dtype),
+        jnp.asarray(converged0, bool), jnp.asarray(last_elbo0, dtype),
         max_iters=max_iters, fb_impl=fb_impl)
+
+
+def vbx_batched_checkpointed(
+    X: jax.Array,
+    phi: jax.Array,
+    gamma: jax.Array,
+    pi: jax.Array,
+    frame_mask: jax.Array,
+    speaker_mask: jax.Array,
+    loop_prob: float,
+    Fa: float,
+    Fb: float,
+    max_iters: int = 40,
+    epsilon: float = 1e-6,
+    fb_impl: Optional[str] = None,
+    iters_per_slice: int = 10,
+    checkpoint_path: Optional[str] = None,
+) -> VBxResult:
+    """vbx_batched with mid-EM engine-state checkpointing (SURVEY.md §5:
+    the reference's only durability is whole files per recording; a
+    preempted long batch here resumes mid-recording).
+
+    The EM runs in host-visible slices of `iters_per_slice` iterations.
+    After each slice the full loop state — (gamma, pi, converged,
+    last_elbo, stitched ELBO trace) — is on the host and, if
+    `checkpoint_path` is given, written atomically (tmp + rename). A rerun
+    with the same arguments loads the file and continues from the last
+    completed slice; the file is removed on successful completion.
+
+    Slicing is EXACT, not approximate: the loop state is externalized
+    (vbx_batched's converged0/last_elbo0), so a sliced run follows the
+    same trajectory as one long run — bit-identical on the default
+    'structured' engine at a fixed padded shape (tests/test_engine.py).
+    """
+    import os
+
+    B, T, S = gamma.shape
+    it_done = 0
+    elbo_full = np.full((B, max_iters), np.nan, np.float32)
+    converged = np.zeros((B,), bool)
+    last_elbo = np.full((B,), NEG_INF, np.float32)
+    g_cur = jnp.asarray(gamma)
+    pi_cur = jnp.asarray(pi)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if ck["gamma"].shape != (B, T, S):
+            raise ValueError(
+                f"checkpoint {checkpoint_path} shape "
+                f"{ck['gamma'].shape} != batch {(B, T, S)}")
+        it_done = int(ck["it_done"])
+        elbo_full[:, :it_done] = ck["elbo"][:, :it_done]
+        converged = ck["converged"]
+        last_elbo = ck["last_elbo"].astype(np.float32)
+        g_cur = jnp.asarray(ck["gamma"])
+        pi_cur = jnp.asarray(ck["pi"])
+
+    res = None
+    while it_done < max_iters and not converged.all():
+        k = min(iters_per_slice, max_iters - it_done)
+        res = vbx_batched(
+            X, phi, g_cur, pi_cur, frame_mask, speaker_mask,
+            loop_prob, Fa, Fb, max_iters=k, epsilon=epsilon,
+            fb_impl=fb_impl, converged0=jnp.asarray(converged),
+            last_elbo0=jnp.asarray(last_elbo))
+        g_cur, pi_cur = res.gamma, res.pi
+        elbo_k = np.asarray(res.elbo, np.float32)          # [B, k]
+        n_k = np.sum(~np.isnan(elbo_k), axis=1)            # per-rec iters
+        elbo_full[:, it_done:it_done + k] = elbo_k
+        ran = n_k > 0
+        idx = np.arange(B)
+        new_last = elbo_k[idx, np.maximum(n_k - 1, 0)]
+        # the device freezes a recording on the iteration AFTER its
+        # crossing delta, so convergence exactly equals "the last recorded
+        # delta is below epsilon" — recompute it on host (same f32 values
+        # the device compared) because a recording that crosses on the
+        # slice's final iteration is otherwise indistinguishable from one
+        # still running (n_k == k either way)
+        prev_of_last = np.where(
+            n_k >= 2, elbo_k[idx, np.maximum(n_k - 2, 0)], last_elbo)
+        last_delta = new_last - prev_of_last               # f32 arithmetic
+        converged = converged | (ran & (n_k < k)) \
+            | (ran & (last_delta < np.float32(epsilon)))
+        last_elbo = np.where(ran, new_last, last_elbo)
+        it_done += k
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp.npz"   # .npz: savez won't rename
+            np.savez(tmp, gamma=np.asarray(res.gamma),
+                     pi=np.asarray(res.pi), converged=converged,
+                     last_elbo=last_elbo, elbo=elbo_full, it_done=it_done)
+            os.replace(tmp, checkpoint_path)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+
+    n_iters = np.sum(~np.isnan(elbo_full), axis=1).astype(np.int32)
+
+    # final speaker model recomputed from the FINAL responsibilities (the
+    # pallas engine's convention): a recording frozen in an earlier slice
+    # would otherwise surface that slice's — or no — model. Both this and
+    # the crossing-iteration model are valid converged models and agree to
+    # within the convergence tolerance (see _vbx_batched_pallas_sb_jit).
+    def final_model(x, g):
+        _, rho = vb_precompute(x, jnp.asarray(phi, x.dtype))
+        return vb_m_step(g, rho, jnp.asarray(phi, x.dtype),
+                         jnp.asarray(Fa / Fb, x.dtype))
+
+    invL_f, alpha_f = jax.vmap(final_model)(jnp.asarray(X), g_cur)
+    return VBxResult(g_cur, pi_cur, jnp.asarray(elbo_full),
+                     jnp.asarray(n_iters), alpha_f, invL_f)
