@@ -152,14 +152,21 @@ def _checkpoint_problem(B=6, T=50, S=5, D=8, seed=7):
     return args, kw
 
 
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
 @pytest.mark.parametrize("iters_per_slice", [3, 7])
-def test_checkpointed_slicing_is_exact(iters_per_slice):
+def test_checkpointed_slicing_is_exact(iters_per_slice, dtype):
     """vbx_batched_checkpointed externalizes the loop state, so slicing the
     EM into host-visible steps is BIT-EXACT vs one long run on the default
-    engine (same padded shape, same per-iteration program)."""
+    engine (same padded shape, same per-iteration program) — in f64 too,
+    where sub-f32 ELBO deltas must not be quantized by the host-side
+    convergence recompute."""
     from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
 
     args, kw = _checkpoint_problem()
+    args = tuple(jnp.asarray(a, dtype) if a.dtype == jnp.float32 else a
+                 for a in args)
+    if dtype == np.float64:
+        kw["epsilon"] = 1e-9   # exercise deltas below f32 resolution
     ref = vbx_batched(*args, **kw)
     out = vbx_batched_checkpointed(*args, **kw,
                                    iters_per_slice=iters_per_slice)
@@ -219,12 +226,17 @@ def test_checkpointed_resume_after_preemption(tmp_path, monkeypatch):
     # resuming an already-complete checkpoint must also work (preempted
     # between the final slice write and the cleanup)
     def fake_ck():
+        B = out.pi.shape[0]
         np.savez(ck + ".tmp.npz", gamma=np.asarray(out.gamma),
                  pi=np.asarray(out.pi),
-                 converged=np.ones(out.pi.shape[0], bool),
+                 converged=np.ones(B, bool),
                  last_elbo=np.nanmax(np.asarray(out.elbo), axis=1),
                  elbo=np.asarray(out.elbo),
-                 it_done=int(np.asarray(out.n_iters).max()))
+                 it_done=int(np.asarray(out.n_iters).max()),
+                 shape=np.array(out.gamma.shape),
+                 fb_impl=np.str_("structured"), dtype=np.str_("float32"),
+                 hp=np.array([kw["loop_prob"], kw["Fa"], kw["Fb"],
+                              kw["epsilon"], float(kw["max_iters"])]))
         os.replace(ck + ".tmp.npz", ck)
 
     fake_ck()
@@ -234,6 +246,17 @@ def test_checkpointed_resume_after_preemption(tmp_path, monkeypatch):
                                   np.asarray(out.gamma))
     np.testing.assert_allclose(np.asarray(out2.alpha),
                                np.asarray(ref.alpha), atol=2e-3)
+
+    # a checkpoint written by a differently-configured run must refuse to
+    # resume rather than silently mix trajectories
+    fake_ck()
+    with pytest.raises(ValueError, match="differently-configured"):
+        vbx_batched_checkpointed(*args, **{**kw, "epsilon": 3e-4},
+                                 iters_per_slice=5, checkpoint_path=ck)
+    os.remove(ck)
+
+    with pytest.raises(ValueError, match="iters_per_slice"):
+        vbx_batched_checkpointed(*args, **kw, iters_per_slice=0)
 
 
 def test_checkpointed_pallas_reaches_same_fixed_point():

@@ -441,7 +441,11 @@ def vbx_batched(
     if converged0 is None:
         converged0 = jnp.zeros((B,), bool)
     if last_elbo0 is None:
-        last_elbo0 = jnp.full((B,), NEG_INF, jnp.float32)
+        # the fresh-start sentinel must be created in the ENGINE dtype:
+        # NEG_INF is not float32-representable exactly, so an f32 default
+        # upcast into an f64 engine would no longer compare equal to
+        # jnp.asarray(NEG_INF, f64) and every lane would look "resumed"
+        last_elbo0 = jnp.full((B,), NEG_INF, X.dtype)
     if fb_impl is None:
         fb_impl = "structured"
     if fb_impl in ("pallas", "pallas_bf16") and gamma.shape[-1] > 128:
@@ -501,28 +505,50 @@ def vbx_batched_checkpointed(
     Slicing is EXACT, not approximate: the loop state is externalized
     (vbx_batched's converged0/last_elbo0), so a sliced run follows the
     same trajectory as one long run — bit-identical on the default
-    'structured' engine at a fixed padded shape (tests/test_engine.py).
+    'structured' engine (f32 and f64) at a fixed padded shape
+    (tests/test_engine.py).
     """
     import os
 
+    if iters_per_slice < 1:
+        raise ValueError(f"iters_per_slice must be >= 1, got "
+                         f"{iters_per_slice}")
     B, T, S = gamma.shape
+    # carry the loop state in the ENGINE dtype: the pallas paths run f32
+    # regardless of input, the structured path runs in X.dtype (f64 on
+    # CPU) — an f32 downcast there would quantize sub-f32 ELBO deltas to
+    # zero and flag convergence early
+    fb = fb_impl or "structured"
+    dt = np.dtype(np.float32 if fb.startswith("pallas")
+                  else np.asarray(X).dtype)
     it_done = 0
-    elbo_full = np.full((B, max_iters), np.nan, np.float32)
+    elbo_full = np.full((B, max_iters), np.nan, dt)
     converged = np.zeros((B,), bool)
-    last_elbo = np.full((B,), NEG_INF, np.float32)
+    last_elbo = np.full((B,), NEG_INF, dt)
     g_cur = jnp.asarray(gamma)
     pi_cur = jnp.asarray(pi)
 
+    # the hyperparameters that define the trajectory: a checkpoint from a
+    # differently-configured run must not silently resume
+    header = {"shape": np.array([B, T, S]), "fb_impl": np.str_(fb),
+              "dtype": np.str_(np.dtype(dt).name),
+              "hp": np.array([float(loop_prob), float(Fa), float(Fb),
+                              float(epsilon), float(max_iters)])}
+
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
-        if ck["gamma"].shape != (B, T, S):
-            raise ValueError(
-                f"checkpoint {checkpoint_path} shape "
-                f"{ck['gamma'].shape} != batch {(B, T, S)}")
+        for key, want in header.items():
+            got = ck[key] if key in ck.files else None
+            if got is None or np.asarray(got).shape != np.asarray(
+                    want).shape or not np.all(np.asarray(got) == want):
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was written by a "
+                    f"differently-configured run ({key}: {got!r} != "
+                    f"{want!r}); delete it or use a distinct path")
         it_done = int(ck["it_done"])
         elbo_full[:, :it_done] = ck["elbo"][:, :it_done]
         converged = ck["converged"]
-        last_elbo = ck["last_elbo"].astype(np.float32)
+        last_elbo = ck["last_elbo"].astype(dt)
         g_cur = jnp.asarray(ck["gamma"])
         pi_cur = jnp.asarray(ck["pi"])
 
@@ -535,7 +561,7 @@ def vbx_batched_checkpointed(
             fb_impl=fb_impl, converged0=jnp.asarray(converged),
             last_elbo0=jnp.asarray(last_elbo))
         g_cur, pi_cur = res.gamma, res.pi
-        elbo_k = np.asarray(res.elbo, np.float32)          # [B, k]
+        elbo_k = np.asarray(res.elbo).astype(dt, copy=False)  # [B, k]
         n_k = np.sum(~np.isnan(elbo_k), axis=1)            # per-rec iters
         elbo_full[:, it_done:it_done + k] = elbo_k
         ran = n_k > 0
@@ -543,22 +569,23 @@ def vbx_batched_checkpointed(
         new_last = elbo_k[idx, np.maximum(n_k - 1, 0)]
         # the device freezes a recording on the iteration AFTER its
         # crossing delta, so convergence exactly equals "the last recorded
-        # delta is below epsilon" — recompute it on host (same f32 values
-        # the device compared) because a recording that crosses on the
-        # slice's final iteration is otherwise indistinguishable from one
-        # still running (n_k == k either way)
+        # delta is below epsilon" — recompute it on host (same engine-dtype
+        # values the device compared) because a recording that crosses on
+        # the slice's final iteration is otherwise indistinguishable from
+        # one still running (n_k == k either way)
         prev_of_last = np.where(
             n_k >= 2, elbo_k[idx, np.maximum(n_k - 2, 0)], last_elbo)
-        last_delta = new_last - prev_of_last               # f32 arithmetic
+        last_delta = new_last - prev_of_last               # engine dtype
         converged = converged | (ran & (n_k < k)) \
-            | (ran & (last_delta < np.float32(epsilon)))
+            | (ran & (last_delta < dt.type(epsilon)))
         last_elbo = np.where(ran, new_last, last_elbo)
         it_done += k
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp.npz"   # .npz: savez won't rename
             np.savez(tmp, gamma=np.asarray(res.gamma),
                      pi=np.asarray(res.pi), converged=converged,
-                     last_elbo=last_elbo, elbo=elbo_full, it_done=it_done)
+                     last_elbo=last_elbo, elbo=elbo_full, it_done=it_done,
+                     **header)
             os.replace(tmp, checkpoint_path)
 
     if checkpoint_path and os.path.exists(checkpoint_path):
