@@ -46,9 +46,10 @@ def test_service_matches_offline_pipeline(tmp_path):
     offline = diarize_ark(ark, seg, off_dir, get_preset("example"),
                           PLDA, H5, verbose=False)
 
+    runlog = str(tmp_path / "serve.jsonl")
     with DiarizationService.from_files(
             get_preset("example"), PLDA, H5,
-            batch_window_ms=300.0) as svc:
+            batch_window_ms=300.0, runlog_path=runlog) as svc:
         futs = {rec: svc.submit(rec, x, ts)
                 for rec, (x, ts) in recs.items()}
         results = {rec: f.result(timeout=120) for rec, f in futs.items()}
@@ -67,6 +68,10 @@ def test_service_matches_offline_pipeline(tmp_path):
     assert stats["failed"] == 0
     assert stats["max_batch"] >= 2
     assert stats["batches"] < len(names) + 1
+    # one runlog record per request (production observability)
+    events = [json.loads(line) for line in open(runlog)]
+    assert sorted(e["recording"] for e in events
+                  if e["event"] == "request") == sorted(names)
 
 
 @needs_assets

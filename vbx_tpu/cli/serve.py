@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile of the common path")
+    p.add_argument("--runlog", type=str, default=None,
+                   help="append one JSON record per request to this file")
     # accepted for config_from_args compatibility; not used by the server
     p.add_argument("--output-2nd", action="store_true",
                    help=argparse.SUPPRESS)
@@ -234,7 +236,8 @@ def main(argv=None) -> int:
         cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
         extractor=extractor,
         batch_window_ms=args.batch_window_ms,
-        max_batch_frames=args.max_batch_frames)
+        max_batch_frames=args.max_batch_frames,
+        runlog_path=args.runlog)
     if not args.no_warmup:
         r = service.warmup()
         print(f"warmup: {r.wall_ms:.0f} ms (compile included)",

@@ -89,7 +89,8 @@ class DiarizationService:
                  fb_impl: Optional[str] = None,
                  batch_window_ms: float = 20.0,
                  max_batch_frames: int = 2_000_000,
-                 init_workers: int = 4):
+                 init_workers: int = 4,
+                 runlog_path: Optional[str] = None):
         import os
 
         from vbx_tpu.utils.compile_cache import enable as _enable_cache
@@ -117,6 +118,8 @@ class DiarizationService:
         self._init_pool = ThreadPoolExecutor(
             max_workers=init_workers,
             thread_name_prefix="vbx-serve-init")
+        from vbx_tpu.utils.runlog import RunLog
+        self._runlog = RunLog(runlog_path)   # written by the worker only
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "failed": 0, "batches": 0,
                        "batched_requests": 0, "max_batch": 0}
@@ -219,6 +222,7 @@ class DiarizationService:
             self._queue.put(_SHUTDOWN)
         self._worker.join()
         self._init_pool.shutdown(wait=False)
+        self._runlog.close()
 
     def __enter__(self) -> "DiarizationService":
         return self
@@ -358,6 +362,9 @@ class DiarizationService:
         with self._lock:
             self._stats["requests"] += 1
             self._stats["failed"] += 1
+        self._runlog.write({"event": "request_failed",
+                            "recording": req.recording,
+                            "error": f"{type(exc).__name__}: {exc}"})
         # a caller may have cancel()ed the pending future; the claim below
         # makes set_exception safe (and a cancelled request stays counted)
         if req.future.set_running_or_notify_cancel():
@@ -381,4 +388,8 @@ class DiarizationService:
             batch_size=batch_size)
         with self._lock:
             self._stats["requests"] += 1
+        self._runlog.write({
+            "event": "request", "recording": req.recording,
+            "n_speakers": result.n_speakers, "n_iters": result.n_iters,
+            "wall_ms": result.wall_ms, "batch_size": result.batch_size})
         req.future.set_result(result)
