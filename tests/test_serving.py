@@ -75,6 +75,57 @@ def test_service_matches_offline_pipeline(tmp_path):
 
 
 @needs_assets
+def test_mixed_length_requests_split_into_buckets(tmp_path):
+    """One micro-batch of requests with very different lengths must split
+    into the corpus pipeline's (T, S) buckets and still match offline
+    results (covers the multi-group dispatch path)."""
+    ark, seg, names, _ = _corpus_requests(tmp_path, n_rec=2)   # ~512 each
+    # rebuild with unequal lengths: 700 + 325 frames from the same ark
+    from vbx_tpu.io.ark import iter_vec_ark
+    from vbx_tpu.io.segments import read_xvector_timing_dict
+    vecs = [v for _, v in iter_vec_ark(ark)]
+    segs = read_xvector_timing_dict(seg)
+    times = np.concatenate([segs[n][1] for n in sorted(segs)])
+    x_all = np.stack(vecs)
+    reqs = {"long": (x_all[:700], times[:700]),
+            "short": (x_all[700:], times[700:])}
+
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            batch_window_ms=300.0) as svc:
+        futs = {r: svc.submit(r, x, ts) for r, (x, ts) in reqs.items()}
+        results = {r: f.result(timeout=120) for r, f in futs.items()}
+        stats = svc.stats()
+    assert stats["max_batch"] == 2         # one micro-batch...
+    # ...but two device bucket shapes (700 -> 1024-pad, 325 -> 512-pad)
+    for r, (x, ts) in reqs.items():
+        assert results[r].n_speakers >= 1
+        assert len(results[r].labels1st) == len(x)
+
+    # apples-to-apples offline comparison: the batched pipeline over an
+    # ark with the same two pseudo-recordings uses the same bucket shapes,
+    # so labels must match exactly. (A solo UNPADDED run can legitimately
+    # stop one EM iteration apart across pad shapes — the documented f32
+    # epsilon-quantization nuance — so it is not the oracle here.)
+    from vbx_tpu.io.ark import write_vec_ark
+    from vbx_tpu.io.segments import write_segments
+    ark2 = str(tmp_path / "mixed.ark")
+    seg2 = str(tmp_path / "mixed.seg")
+    out_vecs, out_rows = [], []
+    for r, (x, ts) in reqs.items():
+        for i, (v, (s, e)) in enumerate(zip(x, ts)):
+            out_vecs.append((f"{r}_{i:08d}", v))
+            out_rows.append((f"{r}_{i:08d}", r, float(s), float(e)))
+    write_vec_ark(ark2, out_vecs)
+    write_segments(seg2, out_rows)
+    offline = diarize_ark(ark2, seg2, str(tmp_path / "off2"),
+                          get_preset("example"), PLDA, H5, verbose=False)
+    for r in reqs:
+        np.testing.assert_array_equal(results[r].labels1st,
+                                      offline[r].labels1st)
+
+
+@needs_assets
 def test_service_failure_isolation(tmp_path):
     """A request whose init chain raises fails only its own future; the
     batch mates still succeed and the service keeps serving."""
