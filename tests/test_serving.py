@@ -126,6 +126,37 @@ def test_mixed_length_requests_split_into_buckets(tmp_path):
 
 
 @needs_assets
+def test_service_on_device_mesh_matches_offline(tmp_path):
+    """Pod-slice serving: a ('dp','sp') mesh routes buckets through the
+    sharded engine; results must equal the offline pipeline (the sharded
+    engine is bit-exact vs the sequential one), including when the batch
+    pads up to the 'dp' extent (3 requests on dp=4)."""
+    import jax
+
+    from vbx_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    ark, seg, names, recs = _corpus_requests(tmp_path, n_rec=3)
+    off_dir = str(tmp_path / "offline")
+    offline = diarize_ark(ark, seg, off_dir, get_preset("example"),
+                          PLDA, H5, verbose=False)
+
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5, mesh=make_mesh(4, 2),
+            batch_window_ms=300.0) as svc:
+        futs = {rec: svc.submit(rec, x, ts)
+                for rec, (x, ts) in recs.items()}
+        results = {rec: f.result(timeout=240) for rec, f in futs.items()}
+
+    for rec in names:
+        np.testing.assert_array_equal(results[rec].labels1st,
+                                      offline[rec].labels1st)
+        with open(os.path.join(off_dir, f"{rec}.rttm")) as fp:
+            assert results[rec].rttm == fp.read()
+
+
+@needs_assets
 def test_service_failure_isolation(tmp_path):
     """A request whose init chain raises fails only its own future; the
     batch mates still succeed and the service keeps serving."""

@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init-smoothing", type=float, default=None)
     p.add_argument("--fb-impl", type=str, default=None,
                    choices=["structured", "assoc", "pallas", "pallas_bf16"])
+    p.add_argument("--mesh", type=str, default=None, metavar="DPxSP",
+                   help="serve over a ('dp','sp') device mesh, e.g. 4x2: "
+                        "recordings data-parallel, frames sequence-"
+                        "parallel (fb-impl is ignored under a mesh)")
     # x-vector extractor (optional: enables audio requests)
     p.add_argument("--weights", type=str, default=None,
                    help="x-vector model checkpoint (.pth/.onnx) — enables "
@@ -232,9 +236,17 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     extractor = (_build_extractor(args)
                  if args.weights or args.model_file else None)
+    mesh = None
+    if args.mesh:
+        from vbx_tpu.parallel.mesh import make_mesh
+        try:
+            n_dp, n_sp = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh must look like 4x2, got {args.mesh!r}")
+        mesh = make_mesh(n_dp=n_dp, n_sp=n_sp)
     service = DiarizationService.from_files(
         cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
-        extractor=extractor,
+        extractor=extractor, mesh=mesh,
         batch_window_ms=args.batch_window_ms,
         max_batch_frames=args.max_batch_frames,
         runlog_path=args.runlog)

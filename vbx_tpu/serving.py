@@ -87,6 +87,7 @@ class DiarizationService:
     def __init__(self, config: DiarizationConfig, plda, transform, *,
                  extractor=None,
                  fb_impl: Optional[str] = None,
+                 mesh=None,
                  batch_window_ms: float = 20.0,
                  max_batch_frames: int = 2_000_000,
                  init_workers: int = 4,
@@ -103,6 +104,19 @@ class DiarizationService:
         # it, so audio requests extract one at a time (device-bound anyway)
         self._extract_lock = threading.Lock()
         self._fb_impl = fb_impl
+        # pod-slice serving: a ('dp', 'sp') jax.sharding.Mesh routes every
+        # bucket through the sharded engine (parallel.vbx_sharded) —
+        # recordings data-parallel, frames sequence-parallel over ICI.
+        # fb_impl is ignored under a mesh (the sharded engine is the
+        # structured smoother). T buckets are powers of two >= 256, so
+        # the 'sp' extent must divide 256.
+        self._mesh = mesh
+        if mesh is not None:
+            n_sp = mesh.shape.get("sp", 1)
+            if 256 % n_sp:
+                raise ValueError(
+                    f"mesh 'sp' extent {n_sp} must divide the smallest "
+                    f"frame bucket (256)")
         self._window_s = batch_window_ms / 1e3
         self._max_batch_frames = max_batch_frames
         self._queue: "queue.Queue" = queue.Queue()
@@ -339,12 +353,33 @@ class DiarizationService:
             FM[b, :T] = True
             SM[b, :S] = True
         try:
-            res = vbx_batched(
-                jnp.asarray(X), jnp.asarray(reqs[0].phi, diar.dtype),
-                jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
-                jnp.asarray(SM), loop_prob=cfg.vb.loop_prob,
-                Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, max_iters=cfg.vb.max_iters,
-                epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl)
+            if self._mesh is not None:
+                # pad B up to the 'dp' extent with copies of request 0
+                # (results discarded); the sharded engine requires even
+                # division along both mesh axes
+                n_dp = self._mesh.shape.get("dp", 1)
+                Bp = -(-B // n_dp) * n_dp
+                if Bp != B:
+                    reps = Bp - B
+                    X = np.concatenate([X, np.repeat(X[:1], reps, 0)])
+                    G = np.concatenate([G, np.repeat(G[:1], reps, 0)])
+                    PI = np.concatenate([PI, np.repeat(PI[:1], reps, 0)])
+                    FM = np.concatenate([FM, np.repeat(FM[:1], reps, 0)])
+                    SM = np.concatenate([SM, np.repeat(SM[:1], reps, 0)])
+                from vbx_tpu.parallel.engine import vbx_sharded
+                res = vbx_sharded(
+                    self._mesh, jnp.asarray(X),
+                    jnp.asarray(reqs[0].phi, diar.dtype), jnp.asarray(G),
+                    jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
+                    loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+                    max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+            else:
+                res = vbx_batched(
+                    jnp.asarray(X), jnp.asarray(reqs[0].phi, diar.dtype),
+                    jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
+                    jnp.asarray(SM), loop_prob=cfg.vb.loop_prob,
+                    Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, max_iters=cfg.vb.max_iters,
+                    epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl)
             q = np.asarray(res.gamma)
             iters = np.asarray(res.n_iters)
         except Exception as exc:   # noqa: BLE001 — fail the chunk, not the
