@@ -107,9 +107,13 @@ def make_handler(service: DiarizationService):
             if self.path == "/healthz":
                 import jax
                 d = jax.devices()[0]
-                self._reply(200, {"status": "ok",
-                                  "backend": jax.default_backend(),
-                                  "device": str(d)})
+                self._reply(200, {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "device": str(d),
+                    "audio": service.extractor is not None,
+                    "mesh": (dict(service.mesh.shape)
+                             if service.mesh is not None else None)})
             elif self.path == "/stats":
                 self._reply(200, service.stats())
             else:
@@ -269,8 +273,10 @@ def main(argv=None) -> int:
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
+    from vbx_tpu.utils.profiling import trace
     try:
-        httpd.serve_forever()
+        with trace():   # jax.profiler capture iff VBX_TPU_TRACE_DIR is set
+            httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:

@@ -110,7 +110,7 @@ class DiarizationService:
         # fb_impl is ignored under a mesh (the sharded engine is the
         # structured smoother). T buckets are powers of two >= 256, so
         # the 'sp' extent must divide 256.
-        self._mesh = mesh
+        self.mesh = mesh
         if mesh is not None:
             n_sp = mesh.shape.get("sp", 1)
             if 256 % n_sp:
@@ -353,11 +353,11 @@ class DiarizationService:
             FM[b, :T] = True
             SM[b, :S] = True
         try:
-            if self._mesh is not None:
+            if self.mesh is not None:
                 # pad B up to the 'dp' extent with copies of request 0
                 # (results discarded); the sharded engine requires even
                 # division along both mesh axes
-                n_dp = self._mesh.shape.get("dp", 1)
+                n_dp = self.mesh.shape.get("dp", 1)
                 Bp = -(-B // n_dp) * n_dp
                 if Bp != B:
                     reps = Bp - B
@@ -368,7 +368,7 @@ class DiarizationService:
                     SM = np.concatenate([SM, np.repeat(SM[:1], reps, 0)])
                 from vbx_tpu.parallel.engine import vbx_sharded
                 res = vbx_sharded(
-                    self._mesh, jnp.asarray(X),
+                    self.mesh, jnp.asarray(X),
                     jnp.asarray(reqs[0].phi, diar.dtype), jnp.asarray(G),
                     jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
                     loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
