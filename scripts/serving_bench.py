@@ -27,6 +27,20 @@ REF = "/root/reference"
 def main():
     from concurrent.futures import ThreadPoolExecutor
 
+    from bench import _device_preflight   # subprocess tiny-matmul probe
+
+    if not _device_preflight():
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            # dead/claimed tunnel chip: backend init would hang for hours
+            # (CLAUDE.md); fall back to an honest CPU run like bench.py
+            print("WARNING: accelerator preflight failed; re-running on "
+                  "CPU", file=sys.stderr, flush=True)
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)]
+                      + sys.argv[1:],
+                      {**os.environ, "PALLAS_AXON_POOL_IPS": "",
+                       "JAX_PLATFORMS": "cpu", "VBX_TPU_BENCH_CPU": "1"})
+
     import jax
 
     from vbx_tpu.config import get_preset
@@ -34,8 +48,11 @@ def main():
     from vbx_tpu.io.segments import read_xvector_timing_dict
     from vbx_tpu.serving import DiarizationService
 
-    fb = None if FB == "structured" and jax.default_backend() == "cpu" \
-        else FB
+    fb = FB
+    if jax.default_backend() == "cpu" and FB.startswith("pallas"):
+        # the pallas kernels only run interpreted on CPU — orders of
+        # magnitude slower; the structured engine is the CPU path
+        fb = "structured"
     print(f"device: {jax.devices()[0]}  N={N} clients={K} fb_impl={fb}",
           file=sys.stderr, flush=True)
     _, _, x_raw = next(group_by_recording(

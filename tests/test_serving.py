@@ -413,10 +413,17 @@ def test_http_server_end_to_end(tmp_path):
                 return r.status, json.loads(r.read())
         except urllib.error.HTTPError as e:
             return e.code, json.loads(e.read())
-        except (ConnectionError, http.client.RemoteDisconnected):
+        except (ConnectionError, http.client.RemoteDisconnected,
+                urllib.error.URLError) as exc:
             # ThreadingHTTPServer can drop a connection under heavy host
             # load (observed when a second test suite runs concurrently);
-            # one retry distinguishes that from a real server fault
+            # urllib wraps send-phase socket errors in URLError. One retry
+            # distinguishes load flakes from a real server fault.
+            if isinstance(exc, urllib.error.URLError) and not isinstance(
+                    getattr(exc, "reason", None), (ConnectionError,
+                                                   http.client.
+                                                   RemoteDisconnected)):
+                raise
             if _retried:
                 raise
             return post(path, payload, _retried=True)

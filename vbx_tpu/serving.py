@@ -38,7 +38,7 @@ from vbx_tpu.config import DiarizationConfig
 from vbx_tpu.engine.pipeline import Diarizer, _parse_init
 from vbx_tpu.engine.vbhmm import vbx_batched
 from vbx_tpu.io.rttm import merge_adjacent_labels, write_rttm
-from vbx_tpu.utils.bucketing import bucket_shape, chunk_cap
+from vbx_tpu.utils.bucketing import T_QUANTUM, bucket_shape, chunk_cap
 
 
 @dataclasses.dataclass
@@ -108,15 +108,15 @@ class DiarizationService:
         # bucket through the sharded engine (parallel.vbx_sharded) —
         # recordings data-parallel, frames sequence-parallel over ICI.
         # fb_impl is ignored under a mesh (the sharded engine is the
-        # structured smoother). T buckets are powers of two >= 256, so
-        # the 'sp' extent must divide 256.
+        # structured smoother). T buckets are powers of two >= T_QUANTUM,
+        # so the 'sp' extent must divide the smallest bucket.
         self.mesh = mesh
         if mesh is not None:
             n_sp = mesh.shape.get("sp", 1)
-            if 256 % n_sp:
+            if T_QUANTUM % n_sp:
                 raise ValueError(
                     f"mesh 'sp' extent {n_sp} must divide the smallest "
-                    f"frame bucket (256)")
+                    f"frame bucket ({T_QUANTUM})")
         self._window_s = batch_window_ms / 1e3
         self._max_batch_frames = max_batch_frames
         self._queue: "queue.Queue" = queue.Queue()
@@ -330,7 +330,13 @@ class DiarizationService:
         for req in alive:
             groups.setdefault(bucket_shape(*req.qinit.shape), []).append(req)
         for (t_pad, s_pad), reqs in sorted(groups.items()):
-            cap = chunk_cap(t_pad, self._max_batch_frames)
+            if self.mesh is not None:
+                # max_batch_frames is a PER-DEVICE budget; a dp x sp mesh
+                # splits a chunk's B x t_pad frames across all its devices
+                n_devs = int(np.prod(list(self.mesh.shape.values())))
+                cap = max(1, (self._max_batch_frames * n_devs) // t_pad)
+            else:
+                cap = chunk_cap(t_pad, self._max_batch_frames)
             for k in range(0, len(reqs), cap):
                 self._run_chunk(reqs[k:k + cap], t_pad, s_pad)
 
@@ -410,6 +416,8 @@ class DiarizationService:
         if not req.future.set_running_or_notify_cancel():
             with self._lock:      # cancelled while queued/in flight
                 self._stats["requests"] += 1
+            self._runlog.write({"event": "request_cancelled",
+                                "recording": req.recording})
             return
         start, end = req.timestamps.T
         starts, ends, out_labels = merge_adjacent_labels(start, end, labels)

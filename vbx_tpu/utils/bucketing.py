@@ -13,11 +13,14 @@ from __future__ import annotations
 from typing import Iterator, List, Sequence, Tuple
 
 
+T_QUANTUM = 256   # smallest frame bucket (bucket_shape's default quantum)
+
+
 def round_up(x: int, multiple: int) -> int:
     return -(-x // multiple) * multiple
 
 
-def bucket_shape(t: int, s: int, t_quantum: int = 256,
+def bucket_shape(t: int, s: int, t_quantum: int = T_QUANTUM,
                  s_quantum: int = 8) -> Tuple[int, int]:
     """Round T up to a power of two (floored at t_quantum), S to a multiple
     of s_quantum. Buckets are deliberately coarse — one per OCTAVE of T:
