@@ -211,6 +211,8 @@ def test_service_rejects_malformed_submissions(tmp_path):
             svc.submit("x", np.zeros((4,)), np.zeros((4, 2)))
         with pytest.raises(ValueError):
             svc.submit("x", np.zeros((4, 8)), np.zeros((3, 2)))
+        with pytest.raises(ValueError, match="empty"):
+            svc.submit("x", np.zeros((0, 8)), np.zeros((0, 2)))
     with pytest.raises(RuntimeError):
         svc.submit("x", np.zeros((4, 8)), np.zeros((4, 2)))
 

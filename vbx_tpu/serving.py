@@ -163,6 +163,8 @@ class DiarizationService:
             raise ValueError(
                 f"need x_raw [N, D] and timestamps [N, 2]; got "
                 f"{x_raw.shape} and {timestamps.shape}")
+        if len(x_raw) == 0:
+            raise ValueError("empty request: no x-vectors")
         req = _Request(recording, x_raw, timestamps)
         # the closed check and the enqueue are one atomic step so a request
         # can never land behind the shutdown sentinel (where it would never
