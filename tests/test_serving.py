@@ -158,6 +158,29 @@ def test_service_on_device_mesh_matches_offline(tmp_path):
 
 
 @needs_assets
+def test_service_output_2nd(tmp_path):
+    """A service configured with output_2nd returns the second-best
+    labeling (reference vbhmm.py:98 --output-2nd), matching the offline
+    pipeline's <dir>2nd RTTMs."""
+    ark, seg, names, recs = _corpus_requests(tmp_path, n_rec=2)
+    cfg = get_preset("example").replace(output_2nd=True)
+    off_dir = str(tmp_path / "off")
+    diarize_ark(ark, seg, off_dir, cfg, PLDA, H5, verbose=False)
+
+    with DiarizationService.from_files(cfg, PLDA, H5,
+                                       batch_window_ms=200.0) as svc:
+        futs = {r: svc.submit(r, x, ts) for r, (x, ts) in recs.items()}
+        results = {r: f.result(timeout=120) for r, f in futs.items()}
+
+    for rec in names:
+        assert results[rec].rttm_2nd is not None
+        with open(os.path.join(off_dir + "2nd", f"{rec}.rttm")) as fp:
+            assert results[rec].rttm_2nd == fp.read()
+        with open(os.path.join(off_dir, f"{rec}.rttm")) as fp:
+            assert results[rec].rttm == fp.read()
+
+
+@needs_assets
 def test_service_failure_isolation(tmp_path):
     """A request whose init chain raises fails only its own future; the
     batch mates still succeed and the service keeps serving."""

@@ -83,9 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the startup compile of the common path")
     p.add_argument("--runlog", type=str, default=None,
                    help="append one JSON record per request to this file")
-    # accepted for config_from_args compatibility; not used by the server
-    p.add_argument("--output-2nd", action="store_true",
-                   help=argparse.SUPPRESS)
+    p.add_argument("--output-2nd", action="store_true", default=False,
+                   help="include second-best speaker labels (rttm_2nd) in "
+                        "responses (reference vbhmm.py:98)")
     return p
 
 
@@ -153,9 +153,12 @@ def make_handler(service: DiarizationService):
 
 
 def _result_json(r) -> dict:
-    return {"recording": r.recording, "rttm": r.rttm,
-            "n_speakers": r.n_speakers, "n_iters": r.n_iters,
-            "wall_ms": r.wall_ms, "batch_size": r.batch_size}
+    out = {"recording": r.recording, "rttm": r.rttm,
+           "n_speakers": r.n_speakers, "n_iters": r.n_iters,
+           "wall_ms": r.wall_ms, "batch_size": r.batch_size}
+    if r.rttm_2nd is not None:      # --output-2nd servers
+        out["rttm_2nd"] = r.rttm_2nd
+    return out
 
 
 def _serve_inline(service: DiarizationService, body: dict) -> dict:

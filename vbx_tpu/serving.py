@@ -51,6 +51,8 @@ class ServeResult:
     n_iters: int                    # VB iterations (0 if init-only config)
     wall_ms: float                  # submit -> result wall time
     batch_size: int                 # device batch this request rode in
+    labels2nd: Optional[np.ndarray] = None   # config.output_2nd (vbhmm.py:98)
+    rttm_2nd: Optional[str] = None
 
 
 class _Request:
@@ -396,8 +398,12 @@ class DiarizationService:
             return
         for b, req in enumerate(reqs):
             T, S = req.qinit.shape
-            labels = np.argmax(q[b, :T, :S], axis=1).astype(np.int32)
-            self._finish(req, labels, n_iters=int(iters[b]), batch_size=B)
+            order = np.argsort(-q[b, :T, :S], axis=1)
+            labels = order[:, 0].astype(np.int32)
+            labels2 = (order[:, 1].astype(np.int32)
+                       if cfg.output_2nd and S > 1 else None)
+            self._finish(req, labels, labels2nd=labels2,
+                         n_iters=int(iters[b]), batch_size=B)
 
     # -- result assembly -------------------------------------------------------
 
@@ -414,7 +420,8 @@ class DiarizationService:
             req.future.set_exception(exc)
 
     def _finish(self, req: _Request, labels: np.ndarray, *, n_iters: int,
-                batch_size: int) -> None:
+                batch_size: int,
+                labels2nd: Optional[np.ndarray] = None) -> None:
         if not req.future.set_running_or_notify_cancel():
             with self._lock:      # cancelled while queued/in flight
                 self._stats["requests"] += 1
@@ -425,12 +432,18 @@ class DiarizationService:
         starts, ends, out_labels = merge_adjacent_labels(start, end, labels)
         buf = io.StringIO()
         write_rttm(buf, req.recording, starts, ends, out_labels)
+        rttm2 = None
+        if labels2nd is not None:
+            s2, e2, l2 = merge_adjacent_labels(start, end, labels2nd)
+            buf2 = io.StringIO()
+            write_rttm(buf2, req.recording, s2, e2, l2)
+            rttm2 = buf2.getvalue()
         result = ServeResult(
             recording=req.recording, rttm=buf.getvalue(),
             labels1st=labels, n_speakers=len(np.unique(labels)),
             n_iters=n_iters,
             wall_ms=round((time.perf_counter() - req.t_submit) * 1e3, 3),
-            batch_size=batch_size)
+            batch_size=batch_size, labels2nd=labels2nd, rttm_2nd=rttm2)
         with self._lock:
             self._stats["requests"] += 1
         self._runlog.write({
