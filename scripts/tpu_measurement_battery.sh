@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# One-shot measurement battery for when the tunnel chip is healthy:
+# preflight, kernel A/B (f32 vs bf16 streams), golden-on-TPU, bench.py,
+# serving load test. Each step under its own timeout; one TPU process at
+# a time (CLAUDE.md). Results land in $OUT (default /tmp/tpu_battery).
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_battery}
+mkdir -p "$OUT"
+log() { echo "== $* ==" | tee -a "$OUT/summary.log"; }
+
+log "preflight"
+timeout 120 python -c "
+import jax, numpy as np, jax.numpy as jnp
+print('preflight OK:', np.asarray(jax.jit(lambda a: a@a)(jnp.ones((512,512))))[0,0])
+" 2>&1 | tail -1 | tee -a "$OUT/summary.log" || { log "CHIP DEAD - abort"; exit 1; }
+
+log "chain_bench B=256 iters=10 (structured, pallas, pallas_bf16)"
+timeout 590 python scripts/chain_bench.py 256 10 \
+    2>"$OUT/chain_bench.err" | tee "$OUT/chain_bench.log" -a "$OUT/summary.log"
+
+log "golden ES2005a on TPU (default + pallas_bf16)"
+timeout 590 python - <<'EOF' 2>"$OUT/golden_tpu.err" | tee "$OUT/golden_tpu.log" -a "$OUT/summary.log"
+import tempfile, os
+from vbx_tpu.config import get_preset
+from vbx_tpu.engine.pipeline import diarize_ark
+from vbx_tpu.metrics.der import der_from_rttm_files
+REF = "/root/reference"
+for impl in (None, "pallas_bf16"):
+    with tempfile.TemporaryDirectory() as d:
+        diarize_ark(f"{REF}/exp/ES2005a.ark", f"{REF}/exp/ES2005a.seg", d,
+                    get_preset("example"), f"{REF}/VBx/models/ResNet101_16kHz/plda",
+                    f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+                    verbose=False, fb_impl=impl)
+        _, tot = der_from_rttm_files(f"{REF}/example/rttm/ES2005a.rttm",
+                                     os.path.join(d, "ES2005a.rttm"),
+                                     collar=0.25, ignore_overlaps=True)
+        print(f"TPU golden fb_impl={impl}: DER={tot.der:.2f}")
+EOF
+
+log "bench.py (headline, same-process f32/bf16 A/B)"
+timeout 590 python bench.py 2>"$OUT/bench.err" | tee "$OUT/bench.json" -a "$OUT/summary.log"
+tail -8 "$OUT/bench.err" >> "$OUT/summary.log"
+
+log "serving_bench 256 requests / 16 clients (pallas)"
+timeout 590 python scripts/serving_bench.py 256 16 pallas \
+    2>"$OUT/serving_bench.err" | tee -a "$OUT/summary.log"
+
+log "serving_bench 256 requests / 16 clients (pallas_bf16)"
+timeout 590 python scripts/serving_bench.py 256 16 pallas_bf16 \
+    2>>"$OUT/serving_bench.err" | tee -a "$OUT/summary.log"
+
+log "done - see $OUT"
