@@ -48,7 +48,8 @@ def test_diarization_and_score_stages(tmp_path, capsys):
                    "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
                    "--xvec-transform",
                    f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"]
-    assert run_corpus.main(["diarization"] + argv_common) == 0
+    assert run_corpus.main(["diarization", "--fb-impl", "structured"]
+                           + argv_common) == 0
     all_rttm = exp / "all.rttm"
     assert all_rttm.exists()
     body = all_rttm.read_text()
