@@ -57,7 +57,8 @@ class ServeResult:
 
 class _Request:
     __slots__ = ("recording", "x_raw", "timestamps", "signal", "vad",
-                 "future", "t_submit", "fea", "phi", "qinit", "labels")
+                 "future", "init_future", "t_submit", "fea", "phi", "qinit",
+                 "labels")
 
     def __init__(self, recording: str, x_raw: Optional[np.ndarray],
                  timestamps: Optional[np.ndarray],
@@ -69,6 +70,7 @@ class _Request:
         self.signal = signal
         self.vad = vad
         self.future: Future = Future()
+        self.init_future: Optional[Future] = None
         self.t_submit = time.perf_counter()
         self.fea = self.phi = self.qinit = self.labels = None
 
@@ -174,6 +176,11 @@ class DiarizationService:
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
+            # host init (f64 transform + AHC) starts NOW, not when the
+            # dispatcher picks the batch up: it overlaps the batching
+            # window and any in-flight device batch, so under sustained
+            # load the init pool never idles behind device dispatch
+            req.init_future = self._init_pool.submit(self._init_one, req)
             self._queue.put(req)
         return req.future
 
@@ -202,6 +209,7 @@ class DiarizationService:
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
+            req.init_future = self._init_pool.submit(self._init_one, req)
             self._queue.put(req)
         return req.future
 
@@ -279,6 +287,36 @@ class DiarizationService:
             if stop:
                 return
 
+    def _init_one(self, req: _Request) -> None:
+        """Host init chain (f64 transform + AHC) for one request; runs on
+        the init pool, launched at submit time. Per-request failure
+        isolation mirrors the corpus pipeline's (exceptions surface when
+        the dispatcher collects the init future)."""
+        _, _, run_vb = _parse_init(self._diar.config.init)
+        if req.x_raw is None:   # audio request: extract x-vectors first
+            with self._extract_lock:
+                segs = self.extractor.extract_file(
+                    req.signal, req.vad, req.recording)
+            if not segs:
+                raise ValueError(
+                    f"{req.recording}: no x-vectors (VAD empty or "
+                    f"all segments shorter than one window)")
+            req.x_raw = np.stack([s.xvector for s in segs])
+            req.timestamps = np.array(
+                [[s.start, s.end] for s in segs], np.float64)
+            req.signal = req.vad = None
+        # reference-parity NaN guard (predict.py:185-186 skips NaN
+        # embeddings at extraction; a serving request made of them is
+        # an input error, not a diarization)
+        if not np.all(np.isfinite(req.x_raw)):
+            raise ValueError(
+                f"{req.recording}: non-finite values in x_raw")
+        x = self._diar.transform_xvectors(req.x_raw)
+        req.labels = self._diar.initial_labels(x)
+        if run_vb:
+            req.fea, req.phi, req.qinit = self._diar.vb_inputs(
+                x, req.labels)
+
     def _process(self, batch: List[_Request]) -> None:
         _, _, run_vb = _parse_init(self._diar.config.init)
         with self._lock:
@@ -287,38 +325,10 @@ class DiarizationService:
             self._stats["max_batch"] = max(self._stats["max_batch"],
                                            len(batch))
 
-        # host init chain (f64 transform + AHC) across the pool; per-request
-        # failure isolation mirrors the corpus pipeline's
-        def init_one(req: _Request) -> None:
-            if req.x_raw is None:   # audio request: extract x-vectors first
-                with self._extract_lock:
-                    segs = self.extractor.extract_file(
-                        req.signal, req.vad, req.recording)
-                if not segs:
-                    raise ValueError(
-                        f"{req.recording}: no x-vectors (VAD empty or "
-                        f"all segments shorter than one window)")
-                req.x_raw = np.stack([s.xvector for s in segs])
-                req.timestamps = np.array(
-                    [[s.start, s.end] for s in segs], np.float64)
-                req.signal = req.vad = None
-            # reference-parity NaN guard (predict.py:185-186 skips NaN
-            # embeddings at extraction; a serving request made of them is
-            # an input error, not a diarization)
-            if not np.all(np.isfinite(req.x_raw)):
-                raise ValueError(
-                    f"{req.recording}: non-finite values in x_raw")
-            x = self._diar.transform_xvectors(req.x_raw)
-            req.labels = self._diar.initial_labels(x)
-            if run_vb:
-                req.fea, req.phi, req.qinit = self._diar.vb_inputs(
-                    x, req.labels)
-
         alive: List[_Request] = []
-        for req, fut in [(r, self._init_pool.submit(init_one, r))
-                         for r in batch]:
+        for req in batch:
             try:
-                fut.result()
+                req.init_future.result()
                 alive.append(req)
             except Exception as exc:   # noqa: BLE001
                 self._fail(req, exc)
