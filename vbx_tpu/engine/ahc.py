@@ -87,8 +87,7 @@ def ahc_labels(
 
 
 # Blocked path cutoff: below this the full N x N materialization is cheap
-# and the exact (unbinned) calibration applies anyway (calibration.py
-# falls back to exact EM for N^2 <= 2^22, i.e. N <= 2048).
+# (the calibration over it is histogram-EM for N^2 > 2^18, exact below).
 _BLOCKED_MIN_N = 4096
 _COSINE_BINS = 1 << 20
 
