@@ -137,6 +137,21 @@ def test_binned_calibration_matches_exact():
     assert abs(binned - exact_big) < 1e-7, (binned, exact_big)
 
 
+def test_binned_calibration_serving_size():
+    """Serving-size score sets (N ~ 1000, N^2 just above the 2^18 exact-EM
+    cutoff) take the adaptive-bin histogram path and agree with the exact
+    EM ~1e-9 — five orders below AHC merge-decision sensitivity."""
+    from vbx_tpu.ops.calibration import adaptive_bins, two_gmm_calib_lin_binned
+    rng = np.random.default_rng(9)
+    s = np.concatenate([rng.normal(-0.1, 0.2, 600_000),
+                        rng.normal(0.6, 0.15, 450_625)])   # ~1025^2 scores
+    assert abs(two_gmm_calib_lin_binned(s) - two_gmm_calib_lin_np(s)) < 1e-9
+    # the shared bin rule: floored, ~n/16 in between, capped
+    assert adaptive_bins(1 << 18) == 1 << 17
+    assert adaptive_bins(3 << 21) == 1 << 19
+    assert adaptive_bins(1 << 40) == 1 << 20
+
+
 def test_blocked_cosine_path_matches_full():
     """The long-recording blocked cosine sweep (streamed histogram moments
     + condensed build, engine.ahc._blocked_cosine_condensed_and_thr) must
