@@ -359,12 +359,25 @@ class DiarizationService:
         diar = self._diar
         cfg = diar.config
         B = len(reqs)
+        # pad the batch axis to a power of two with copies of request 0
+        # (results discarded): XLA compiles one executable per shape, and
+        # a fresh compile costs seconds — far more than the padded lanes'
+        # compute. All request counts in (2^(k-1), 2^k] share one
+        # executable; padding lanes replicate real data (all-False masks
+        # would put zero counts through the M-step divisions) and converge
+        # identically to lane 0, so they add no EM iterations.
+        Bp = 1 << max(B - 1, 1).bit_length() if B > 1 else 1
+        if self.mesh is not None:
+            # the sharded engine additionally requires even division by
+            # the 'dp' mesh extent
+            n_dp = self.mesh.shape.get("dp", 1)
+            Bp = max(Bp, -(-B // n_dp) * n_dp)
         D = reqs[0].fea.shape[1]
-        X = np.zeros((B, t_pad, D), dtype=diar.dtype)
-        G = np.zeros((B, t_pad, s_pad), dtype=diar.dtype)
-        PI = np.zeros((B, s_pad), dtype=diar.dtype)
-        FM = np.zeros((B, t_pad), dtype=bool)
-        SM = np.zeros((B, s_pad), dtype=bool)
+        X = np.zeros((Bp, t_pad, D), dtype=diar.dtype)
+        G = np.zeros((Bp, t_pad, s_pad), dtype=diar.dtype)
+        PI = np.zeros((Bp, s_pad), dtype=diar.dtype)
+        FM = np.zeros((Bp, t_pad), dtype=bool)
+        SM = np.zeros((Bp, s_pad), dtype=bool)
         for b, req in enumerate(reqs):
             T, S = req.qinit.shape
             X[b, :T] = req.fea
@@ -372,20 +385,10 @@ class DiarizationService:
             PI[b, :S] = 1.0 / S
             FM[b, :T] = True
             SM[b, :S] = True
+        for b in range(B, Bp):
+            X[b], G[b], PI[b], FM[b], SM[b] = X[0], G[0], PI[0], FM[0], SM[0]
         try:
             if self.mesh is not None:
-                # pad B up to the 'dp' extent with copies of request 0
-                # (results discarded); the sharded engine requires even
-                # division along both mesh axes
-                n_dp = self.mesh.shape.get("dp", 1)
-                Bp = -(-B // n_dp) * n_dp
-                if Bp != B:
-                    reps = Bp - B
-                    X = np.concatenate([X, np.repeat(X[:1], reps, 0)])
-                    G = np.concatenate([G, np.repeat(G[:1], reps, 0)])
-                    PI = np.concatenate([PI, np.repeat(PI[:1], reps, 0)])
-                    FM = np.concatenate([FM, np.repeat(FM[:1], reps, 0)])
-                    SM = np.concatenate([SM, np.repeat(SM[:1], reps, 0)])
                 from vbx_tpu.parallel.engine import vbx_sharded
                 res = vbx_sharded(
                     self.mesh, jnp.asarray(X),
