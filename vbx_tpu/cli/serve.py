@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile of the common path")
+    p.add_argument("--warmup-batches", type=str, default="1",
+                   help="comma-separated batch sizes to pre-compile at "
+                        "startup (power-of-two buckets, e.g. 1,8,16); "
+                        "each novel bucket otherwise compiles on first "
+                        "use")
     p.add_argument("--runlog", type=str, default=None,
                    help="append one JSON record per request to this file")
     p.add_argument("--output-2nd", action="store_true", default=False,
@@ -258,8 +263,9 @@ def main(argv=None) -> int:
         max_batch_frames=args.max_batch_frames,
         runlog_path=args.runlog)
     if not args.no_warmup:
-        r = service.warmup()
-        print(f"warmup: {r.wall_ms:.0f} ms (compile included)",
+        sizes = tuple(int(k) for k in args.warmup_batches.split(",") if k)
+        r = service.warmup(batch_sizes=sizes)
+        print(f"warmup{list(sizes)}: {r.wall_ms:.0f} ms (compile included)",
               file=sys.stderr)
     httpd = ThreadingHTTPServer((args.host, args.port),
                                 make_handler(service))

@@ -219,17 +219,25 @@ class DiarizationService:
         return self.submit_audio(recording, signal, vad_s).result(timeout)
 
     def warmup(self, n_xvectors: int = 256, n_raw_dim: Optional[int] = None,
-               ) -> ServeResult:
-        """Compile the common path before taking traffic: run one synthetic
-        recording end-to-end (host init chain + a device batch at the
-        smallest bucket shape). Further shapes compile on demand and stay
-        in the persistent compile cache."""
+               batch_sizes: Tuple[int, ...] = (1,)) -> ServeResult:
+        """Compile the common path before taking traffic: run synthetic
+        recordings end-to-end (host init chain + a device batch at the
+        smallest bucket shape). `batch_sizes` pre-compiles the
+        power-of-two batch buckets concurrent traffic will ride in (e.g.
+        (1, 8, 16)) — each novel bucket otherwise compiles on first use,
+        seconds of latency for the requests that hit it. Further shapes
+        compile on demand and stay in the persistent compile cache."""
         d = n_raw_dim or self._diar.mean1.shape[0]
         rng = np.random.default_rng(0)
         x = rng.normal(size=(n_xvectors, d)).astype(np.float32)
         ts = np.stack([np.arange(n_xvectors) * 0.24,
                        np.arange(n_xvectors) * 0.24 + 1.44], axis=1)
-        return self.diarize("__warmup__", x, ts)
+        res = None
+        for k in batch_sizes:
+            futs = [self.submit(f"__warmup_{k}_{i}__", x, ts)
+                    for i in range(k)]
+            res = [f.result() for f in futs][-1]
+        return res
 
     def stats(self) -> Dict[str, object]:
         with self._lock:
