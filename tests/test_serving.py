@@ -240,6 +240,52 @@ def test_service_rejects_malformed_submissions(tmp_path):
         svc.submit("x", np.zeros((4, 8)), np.zeros((4, 2)))
 
 
+def test_warmup_rejects_bad_batch_sizes(tmp_path):
+    """Empty or non-positive warmup batch lists must fail loudly at
+    validation, not crash the daemon mid-warmup (ADVICE round 1)."""
+    with DiarizationService.from_files(get_preset("example"), PLDA, H5) \
+            as svc:
+        with pytest.raises(ValueError, match="batch_sizes"):
+            svc.warmup(batch_sizes=())
+        with pytest.raises(ValueError, match="batch_sizes"):
+            svc.warmup(batch_sizes=(4, 0))
+
+
+def test_batch_padding_policy():
+    """_padded_batch must honor the sharded engine's 'B divides by dp'
+    contract for ANY dp extent (not just powers of two), and _chunk_cap
+    must never admit a chunk whose PADDED batch exceeds the frames budget
+    (ADVICE round 1: dp=3, B=5 used to pad to 8 and fail the chunk)."""
+    from types import SimpleNamespace
+
+    pb = DiarizationService._padded_batch
+    cc = DiarizationService._chunk_cap
+
+    def fake_service(mesh, frames):
+        ns = SimpleNamespace(mesh=mesh, _max_batch_frames=frames)
+        ns._padded_batch = pb.__get__(ns)
+        return ns
+
+    for n_dp in (1, 2, 3, 4, 5, 7):
+        fake = fake_service(
+            SimpleNamespace(shape={"dp": n_dp, "sp": 2}), 2_000_000)
+        for B in range(1, 33):
+            Bp = pb(fake, B)
+            assert Bp >= B and Bp % n_dp == 0, (n_dp, B, Bp)
+    solo = fake_service(None, 4096)
+    assert pb(solo, 1) == 1 and pb(solo, 5) == 8 and pb(solo, 8) == 8
+    # frames budget 4096, t_pad 512 -> raw cap 8; padded cap must be <= 8
+    # and a full chunk of cap requests must pad within the budget
+    for t_pad in (256, 512, 1024, 4096, 8192):
+        cap = cc(solo, t_pad)
+        assert cap >= 1
+        raw = max(1, solo._max_batch_frames // t_pad)
+        assert pb(solo, cap) <= max(raw, 1)
+    meshy = fake_service(SimpleNamespace(shape={"dp": 3, "sp": 2}), 4096)
+    cap = cc(meshy, 512)
+    assert cap >= 1 and pb(meshy, cap) <= (4096 * 6) // 512
+
+
 def _tiny_extractor_and_models(seed=5):
     """Random tiny flax x-vector model + matching synthetic 32-d transform
     and 16-d PLDA so the full audio path runs without reference weights."""

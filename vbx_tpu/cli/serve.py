@@ -263,7 +263,17 @@ def main(argv=None) -> int:
         max_batch_frames=args.max_batch_frames,
         runlog_path=args.runlog)
     if not args.no_warmup:
-        sizes = tuple(int(k) for k in args.warmup_batches.split(",") if k)
+        try:
+            sizes = tuple(int(k) for k in args.warmup_batches.split(",")
+                          if k.strip())
+        except ValueError:
+            raise SystemExit(
+                f"--warmup-batches must be comma-separated ints, got "
+                f"{args.warmup_batches!r}")
+        if not sizes or any(k < 1 for k in sizes):
+            raise SystemExit(
+                f"--warmup-batches needs at least one size >= 1, got "
+                f"{args.warmup_batches!r} (use --no-warmup to skip warmup)")
         r = service.warmup(batch_sizes=sizes)
         print(f"warmup{list(sizes)}: {r.wall_ms:.0f} ms (compile included)",
               file=sys.stderr)

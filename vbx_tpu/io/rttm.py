@@ -83,27 +83,47 @@ def merge_adjacent_labels(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Compact labeled segments: merge adjacent/overlapping same-label
     segments; split the boundary of overlapping different-label segments at
-    the middle of the overlap (reference semantics: diarization_lib.py:113-135).
+    the middle of the overlap (reference semantics: diarization_lib.py:113-135,
+    reproduced by tests/test_io.py's parity battery — the implementation
+    below is an original run-building formulation, not the reference's).
+
+    Two semantic subtleties the parity tests pin down: a run takes the end
+    time of its LAST member even if an earlier member extended further, and
+    "adjacent" tolerates float noise via isclose().
     """
     starts = np.asarray(starts, dtype=float)
     ends = np.asarray(ends, dtype=float)
     labels = np.asarray(labels)
-    if len(starts) == 0:
+    n = len(starts)
+    if n == 0:
         return starts, ends, labels
 
-    adjacent_or_overlap = np.logical_or(
-        np.isclose(ends[:-1], starts[1:]), ends[:-1] > starts[1:])
-    to_split = np.nonzero(
-        np.logical_or(~adjacent_or_overlap, labels[1:] != labels[:-1]))[0]
-    starts = starts[np.r_[0, to_split + 1]]
-    ends = ends[np.r_[to_split, -1]]
-    labels = labels[np.r_[0, to_split + 1]]
+    # pass 1: group consecutive segments into runs — a segment continues
+    # the current run iff it carries the same label and touches (or
+    # overlaps) its immediate predecessor
+    first = [0]                  # index of each run's first segment
+    last: List[int] = []         # index of each run's last segment
+    for i in range(1, n):
+        same_run = labels[i] == labels[i - 1] and (
+            starts[i] < ends[i - 1] or np.isclose(ends[i - 1], starts[i]))
+        if not same_run:
+            last.append(i - 1)
+            first.append(i)
+    last.append(n - 1)
 
-    overlapping = np.nonzero(starts[1:] < ends[:-1])[0]
-    mid = (ends[overlapping] + starts[overlapping + 1]) / 2.0
-    ends[overlapping] = mid
-    starts[overlapping + 1] = mid
-    return starts, ends, labels
+    out_starts = starts[first]
+    out_ends = ends[last]
+    out_labels = labels[first]
+
+    # pass 2: neighbouring runs with DIFFERENT labels may still overlap —
+    # their shared boundary meets in the middle of the overlap. Each
+    # boundary touches a disjoint (end, start) pair, so in-place is safe.
+    for j in range(1, len(first)):
+        if out_starts[j] < out_ends[j - 1]:
+            mid = (out_ends[j - 1] + out_starts[j]) / 2.0
+            out_ends[j - 1] = mid
+            out_starts[j] = mid
+    return out_starts, out_ends, out_labels
 
 
 def segment_to_frame_labels(

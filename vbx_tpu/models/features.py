@@ -67,14 +67,21 @@ def mel_filterbank(winlen_nfft: int, fs: float, numchans: int = 20,
     fbin_mel = mel(np.arange(nfft // 2 + 1, dtype=float) * fs / nfft)
     cbin_mel = np.linspace(mel(lofreq), mel(hifreq), numchans + 2)
     cind = np.floor(mel_inv(cbin_mel) / fs * nfft).astype(int) + 1
-    mfb = np.zeros((len(fbin_mel), numchans))
-    for i in range(numchans):
-        mfb[cind[i]:cind[i + 1], i] = (
-            (cbin_mel[i] - fbin_mel[cind[i]:cind[i + 1]])
-            / (cbin_mel[i] - cbin_mel[i + 1]))
-        mfb[cind[i + 1]:cind[i + 2], i] = (
-            (cbin_mel[i + 2] - fbin_mel[cind[i + 1]:cind[i + 2]])
-            / (cbin_mel[i + 2] - cbin_mel[i + 1]))
+
+    # Broadcast formulation (vs the reference's per-channel slice loop):
+    # each channel c is a triangle whose rising edge spans FFT bins
+    # [cind[c], cind[c+1]) and falling edge [cind[c+1], cind[c+2]), with
+    # the slope evaluated in MEL space at each bin's mel frequency. The
+    # slope ratios below are sign-flipped rewrites of HTK's and divide two
+    # exact IEEE negations, so they are bit-identical to the reference.
+    bins = np.arange(len(fbin_mel))[:, None]             # [F, 1]
+    lo, mid, hi = cind[:-2], cind[1:-1], cind[2:]        # [numchans] each
+    rise = ((fbin_mel[:, None] - cbin_mel[:-2])
+            / (cbin_mel[1:-1] - cbin_mel[:-2]))          # [F, numchans]
+    fall = ((cbin_mel[2:] - fbin_mel[:, None])
+            / (cbin_mel[2:] - cbin_mel[1:-1]))
+    mfb = (np.where((bins >= lo) & (bins < mid), rise, 0.0)
+           + np.where((bins >= mid) & (bins < hi), fall, 0.0))
     if lofreq > 0.0 and float(lofreq) / fs * nfft + 0.5 > cind[0] and htk_bug:
         mfb[cind[0], :] = 0.0
     return mfb

@@ -227,6 +227,11 @@ class DiarizationService:
         (1, 8, 16)) — each novel bucket otherwise compiles on first use,
         seconds of latency for the requests that hit it. Further shapes
         compile on demand and stay in the persistent compile cache."""
+        batch_sizes = tuple(batch_sizes)
+        if not batch_sizes or any(k < 1 for k in batch_sizes):
+            raise ValueError(
+                f"warmup batch_sizes must be a non-empty sequence of "
+                f"positive ints, got {batch_sizes!r}")
         d = n_raw_dim or self._diar.mean1.shape[0]
         rng = np.random.default_rng(0)
         x = rng.normal(size=(n_xvectors, d)).astype(np.float32)
@@ -352,15 +357,41 @@ class DiarizationService:
         for req in alive:
             groups.setdefault(bucket_shape(*req.qinit.shape), []).append(req)
         for (t_pad, s_pad), reqs in sorted(groups.items()):
-            if self.mesh is not None:
-                # max_batch_frames is a PER-DEVICE budget; a dp x sp mesh
-                # splits a chunk's B x t_pad frames across all its devices
-                n_devs = int(np.prod(list(self.mesh.shape.values())))
-                cap = max(1, (self._max_batch_frames * n_devs) // t_pad)
-            else:
-                cap = chunk_cap(t_pad, self._max_batch_frames)
+            cap = self._chunk_cap(t_pad)
             for k in range(0, len(reqs), cap):
                 self._run_chunk(reqs[k:k + cap], t_pad, s_pad)
+
+    def _chunk_cap(self, t_pad: int) -> int:
+        """Requests per device chunk for a bucket of padded length t_pad.
+
+        The raw frames-budget cap (chunk_cap) must be PADDING-aware:
+        _run_chunk pads B up to a power-of-two (x dp-multiple) bucket, so
+        chunk_cap alone would let the padded device batch exceed the
+        budget by up to ~2x. Floor to the largest chunk size whose PADDED
+        batch still fits (floor at 1 — a single over-budget request must
+        still run)."""
+        if self.mesh is not None:
+            # max_batch_frames is a PER-DEVICE budget; a dp x sp mesh
+            # splits a chunk's B x t_pad frames across all its devices
+            n_devs = int(np.prod(list(self.mesh.shape.values())))
+            cap = max(1, (self._max_batch_frames * n_devs) // t_pad)
+        else:
+            cap = chunk_cap(t_pad, self._max_batch_frames)
+        c = 1 << (cap.bit_length() - 1)
+        while c > 1 and self._padded_batch(c) > cap:
+            c >>= 1
+        return c
+
+    def _padded_batch(self, B: int) -> int:
+        """Device batch size for B live requests: the power-of-two bucket,
+        then (under a mesh) rounded UP to a multiple of the 'dp' extent —
+        taking max() instead would leave e.g. dp=3, B=5 -> pow2 8, which
+        violates vbx_sharded's divisibility contract (parallel/engine.py)."""
+        Bp = 1 << max(B - 1, 1).bit_length() if B > 1 else 1
+        if self.mesh is not None:
+            n_dp = self.mesh.shape.get("dp", 1)
+            Bp = -(-Bp // n_dp) * n_dp
+        return Bp
 
     def _run_chunk(self, reqs: List[_Request], t_pad: int,
                    s_pad: int) -> None:
@@ -374,12 +405,7 @@ class DiarizationService:
         # executable; padding lanes replicate real data (all-False masks
         # would put zero counts through the M-step divisions) and converge
         # identically to lane 0, so they add no EM iterations.
-        Bp = 1 << max(B - 1, 1).bit_length() if B > 1 else 1
-        if self.mesh is not None:
-            # the sharded engine additionally requires even division by
-            # the 'dp' mesh extent
-            n_dp = self.mesh.shape.get("dp", 1)
-            Bp = max(Bp, -(-B // n_dp) * n_dp)
+        Bp = self._padded_batch(B)
         D = reqs[0].fea.shape[1]
         X = np.zeros((Bp, t_pad, D), dtype=diar.dtype)
         G = np.zeros((Bp, t_pad, s_pad), dtype=diar.dtype)
