@@ -59,6 +59,11 @@ def build_parser():
     p.add_argument("--fb-impl", default=None,
                    choices=["structured", "assoc", "pallas", "pallas_bf16"],
                    help="forward-backward engine for the diarization stage")
+    p.add_argument("--mesh", default=None, metavar="DPxSP",
+                   help="shard the diarization stage over a ('dp','sp') "
+                        "device mesh, e.g. 4x2: recordings data-parallel, "
+                        "frames sequence-parallel (the long-recording "
+                        "path). Overrides --fb-impl.")
     return p
 
 
@@ -102,10 +107,15 @@ def stage_diarization(args):
     if os.path.exists(out_all) and not args.force:
         print(f"skip: {out_all} exists", file=sys.stderr)
         return
+    mesh = None
+    if args.mesh:
+        from vbx_tpu.parallel.mesh import parse_mesh
+        mesh = parse_mesh(args.mesh)
     diarize_ark(os.path.join(args.exp_dir, "xvectors.ark"),
                 os.path.join(args.exp_dir, "xvectors.seg"),
                 rttm_dir, cfg, args.plda_file, args.xvec_transform,
                 resume=True, shard_over_hosts=True, fb_impl=args.fb_impl,
+                mesh=mesh,
                 runlog_path=os.path.join(args.exp_dir, "diarization.jsonl"))
     if jax.process_count() > 1:
         # barrier: every host must have written its RTTM slice before

@@ -39,6 +39,38 @@ def test_diarize_then_score_cli(tmp_path, capsys):
     assert der == pytest.approx(7.06, abs=0.02)
 
 
+@needs_assets
+def test_diarize_cli_mesh_matches_default(tmp_path):
+    """--mesh DPxSP routes VB through the sharded engine; the golden
+    recording's RTTM must match the default engine's byte-for-byte."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU backend")
+    argv_common = [
+        "--init", "AHC+VB",
+        "--xvec-ark-file", f"{REF}/exp/ES2005a.ark",
+        "--segments-file", f"{REF}/exp/ES2005a.seg",
+        "--xvec-transform", f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+        "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
+        "--threshold", "-0.015", "--lda-dim", "128",
+        "--Fa", "0.3", "--Fb", "17", "--loopP", "0.99"]
+    for tag, extra in (("mesh", ["--mesh", "4x2"]), ("solo", [])):
+        rc = diarize_main(
+            ["--out-rttm-dir", str(tmp_path / tag)] + argv_common + extra)
+        assert rc == 0
+    assert ((tmp_path / "mesh" / "ES2005a.rttm").read_text()
+            == (tmp_path / "solo" / "ES2005a.rttm").read_text())
+
+
+def test_diarize_rejects_bad_mesh_spec(tmp_path):
+    with pytest.raises(SystemExit, match="mesh"):
+        diarize_main([
+            "--init", "AHC+VB", "--out-rttm-dir", str(tmp_path),
+            "--xvec-ark-file", "x", "--segments-file", "x",
+            "--xvec-transform", "x", "--plda-file", "x",
+            "--mesh", "4by2"])
+
+
 def test_diarize_rejects_bad_loopP(tmp_path):
     with pytest.raises(SystemExit):
         diarize_main([

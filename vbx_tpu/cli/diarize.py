@@ -18,6 +18,16 @@ from vbx_tpu.config import DATASET_PRESETS, DiarizationConfig, get_preset
 from vbx_tpu.engine.pipeline import diarize_ark
 
 
+def parse_mesh(spec):
+    if not spec:
+        return None
+    from vbx_tpu.parallel.mesh import parse_mesh as _parse
+    try:
+        return _parse(spec)
+    except ValueError as exc:
+        raise SystemExit(f"--mesh: {exc}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="vbx-tpu-diarize",
@@ -56,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "same kernel with bfloat16 streams (fastest, "
                         "tolerance-parity), 'assoc' = work-parallel scan "
                         "for very long recordings)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DPxSP",
+                   help="route VB through the sharded engine over a "
+                        "('dp','sp') device mesh, e.g. 4x2: recordings "
+                        "data-parallel, frames sequence-parallel — the "
+                        "long-recording path (hour-plus meetings spread "
+                        "their frames over the 'sp' chips). Overrides "
+                        "--fb-impl.")
     p.add_argument("--resume", action="store_true",
                    help="skip recordings whose RTTM already exists "
                         "(per-recording checkpointing)")
@@ -96,6 +113,7 @@ def config_from_args(args) -> DiarizationConfig:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    mesh = parse_mesh(args.mesh)
     from vbx_tpu.utils.profiling import trace
     failures = {}
     with trace():   # jax.profiler capture iff VBX_TPU_TRACE_DIR is set
@@ -104,7 +122,7 @@ def main(argv=None) -> int:
             args.plda_file, args.xvec_transform,
             batch=not args.no_batch, max_batch_frames=args.max_batch_frames,
             resume=args.resume, runlog_path=args.runlog,
-            fb_impl=args.fb_impl, failures=failures)
+            fb_impl=args.fb_impl, failures=failures, mesh=mesh)
     for rec, out in outputs.items():
         print(f"{rec}: {out.n_speakers} speakers, {out.n_iters} VB "
               f"iterations", file=sys.stderr)

@@ -250,12 +250,11 @@ def main(argv=None) -> int:
                  if args.weights or args.model_file else None)
     mesh = None
     if args.mesh:
-        from vbx_tpu.parallel.mesh import make_mesh
+        from vbx_tpu.parallel.mesh import parse_mesh
         try:
-            n_dp, n_sp = (int(v) for v in args.mesh.lower().split("x"))
-        except ValueError:
-            raise SystemExit(f"--mesh must look like 4x2, got {args.mesh!r}")
-        mesh = make_mesh(n_dp=n_dp, n_sp=n_sp)
+            mesh = parse_mesh(args.mesh)
+        except ValueError as exc:
+            raise SystemExit(f"--mesh: {exc}")
     service = DiarizationService.from_files(
         cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
         extractor=extractor, mesh=mesh,

@@ -183,6 +183,7 @@ def diarize_ark(
     shard_over_hosts: bool = False,
     fb_impl: Optional[str] = None,
     failures: Optional[Dict[str, str]] = None,
+    mesh=None,
 ) -> Dict[str, DiarizationOutput]:
     """Diarize every recording in an ark file and write per-recording RTTMs
     (CLI parity: vbhmm.py:115-179). `batch=True` pads recordings into
@@ -200,6 +201,18 @@ def diarize_ark(
     runlog) unless the CALLER asked for exactly one recording — that run
     fails visibly. If EVERY recording fails, a RuntimeError is raised so
     an all-broken corpus can't masquerade as an empty-but-successful one.
+
+    `mesh`: a ('dp', 'sp') jax.sharding.Mesh routes every VB bucket through
+    the sharded engine (parallel.vbx_sharded) — recordings data-parallel
+    over 'dp', frames sequence-parallel over 'sp' (ICI). This is the
+    long-recording path the reference lacks (its forward-backward is a
+    strict T-step host loop, VBx/VBx.py:167-171, and README.md:24 calls
+    >30-min files out as its weakness): an hour-long meeting's frames
+    spread over the 'sp' chips. Under a mesh, `fb_impl` is ignored (the
+    sharded engine is the structured blockwise smoother) and single
+    recordings run as a dp-padded batch of one. Results are bit-comparable
+    to the unsharded engine at the same padded shape
+    (tests/test_parallel.py).
     """
     import time as _time
 
@@ -242,8 +255,15 @@ def diarize_ark(
     outputs: Dict[str, DiarizationOutput] = {}
     try:
         _, _, run_vb = _parse_init(config.init)
+        if mesh is not None and run_vb:
+            from vbx_tpu.utils.bucketing import T_QUANTUM
+            n_sp = mesh.shape.get("sp", 1)
+            if T_QUANTUM % n_sp:
+                raise ValueError(
+                    f"mesh 'sp' extent {n_sp} must divide the smallest "
+                    f"frame bucket ({T_QUANTUM})")
 
-        if not batch or not run_vb or len(recs) == 1:
+        if not run_vb or (mesh is None and (not batch or len(recs) == 1)):
             for rec, seg_names, x_raw in recs:
                 if verbose:
                     print(rec)
@@ -258,7 +278,8 @@ def diarize_ark(
             stage_log: Dict[str, Any] = {}
             outputs = _diarize_batched(diar, recs, max_batch_frames, verbose,
                                        fb_impl=fb_impl, stage_log=stage_log,
-                                       runlog=runlog, failures=failures)
+                                       runlog=runlog, failures=failures,
+                                       mesh=mesh)
             runlog.write({"event": "stages", **stage_log})
 
         if not outputs and not n_resumed:
@@ -323,6 +344,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                      stage_log: Optional[Dict[str, Any]] = None,
                      runlog=None,
                      failures: Optional[Dict[str, str]] = None,
+                     mesh=None,
                      ) -> Dict[str, DiarizationOutput]:
     """Bucketed-padded batched VB over all recordings, pipelined against the
     host init chain. The init chain (f64 transform + cosine + calibration +
@@ -401,23 +423,42 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
 
     def launch(idxs: List[int], T_pad: int, S_pad: int) -> None:
         B = len(idxs)
-        X = jnp.stack([prepped[i][3] for i in idxs])
-        G = jnp.stack([prepped[i][4] for i in idxs])
-        PI = np.zeros((B, S_pad), dtype=diar.dtype)
-        FM = np.zeros((B, T_pad), dtype=bool)
-        SM = np.zeros((B, S_pad), dtype=bool)
-        for bi, i in enumerate(idxs):
+        # under a mesh the sharded engine needs B divisible by the 'dp'
+        # extent: pad with REPLICAS of lane 0 (results discarded; an
+        # all-masked lane would put zero counts through the M-step
+        # divisions, and a replica converges in lockstep with lane 0 so
+        # padding adds no EM iterations)
+        stack_idxs = idxs
+        if mesh is not None:
+            n_dp = mesh.shape.get("dp", 1)
+            Bp = -(-B // n_dp) * n_dp
+            stack_idxs = idxs + [idxs[0]] * (Bp - B)
+        X = jnp.stack([prepped[i][3] for i in stack_idxs])
+        G = jnp.stack([prepped[i][4] for i in stack_idxs])
+        PI = np.zeros((len(stack_idxs), S_pad), dtype=diar.dtype)
+        FM = np.zeros((len(stack_idxs), T_pad), dtype=bool)
+        SM = np.zeros((len(stack_idxs), S_pad), dtype=bool)
+        for bi, i in enumerate(stack_idxs):
             _, T, S, _, _ = prepped[i]
             PI[bi, :S] = 1.0 / S
             FM[bi, :T] = True
             SM[bi, :S] = True
+        for i in idxs:
             prepped[i][3] = prepped[i][4] = None
-        res = vbx_batched(
-            X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
-            G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
-            loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-            max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
-            fb_impl=fb_impl)
+        if mesh is not None:
+            from vbx_tpu.parallel.engine import vbx_sharded
+            res = vbx_sharded(
+                mesh, X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
+                G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
+                loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+        else:
+            res = vbx_batched(
+                X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
+                G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
+                loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
+                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                fb_impl=fb_impl)
         entry = {"idxs": idxs, "T_pad": T_pad, "S_pad": S_pad, "res": res}
         launched.append(entry)
         unawaited.append(entry)
@@ -461,6 +502,10 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                     phi = p
                 pending.setdefault(key, []).append(i)
                 per_batch = chunk_cap(key[0], max_batch_frames)
+                if mesh is not None:
+                    # max_batch_frames is a PER-DEVICE budget; the mesh
+                    # splits each chunk's frames across all its devices
+                    per_batch *= int(np.prod(list(mesh.shape.values())))
                 want = min(next_chunk.get(key, 1), per_batch)
                 if len(pending[key]) >= want:
                     # dispatch now, under the remaining init; double the

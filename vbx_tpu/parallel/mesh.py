@@ -36,3 +36,15 @@ def make_mesh(n_dp: Optional[int] = None, n_sp: int = 1,
         raise ValueError(f"need {need} devices, have {len(devices)}")
     arr = np.asarray(devices[:need]).reshape(n_dp, n_sp)
     return Mesh(arr, ("dp", "sp"))
+
+
+def parse_mesh(spec: Optional[str]) -> Optional[Mesh]:
+    """CLI mesh spec 'DPxSP' (e.g. '4x2') -> Mesh, or None for None/''.
+    Shared by the diarize and serve CLIs."""
+    if not spec:
+        return None
+    try:
+        n_dp, n_sp = (int(v) for v in spec.lower().split("x"))
+    except ValueError:
+        raise ValueError(f"mesh spec must look like 4x2, got {spec!r}")
+    return make_mesh(n_dp=n_dp, n_sp=n_sp)
