@@ -351,3 +351,23 @@ def test_fused_sb_recip_normalization_matches():
     # backward pass has its own recip branch to cover)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-6)
+
+
+def test_pallas_s_over_128_falls_back_with_warning():
+    """VERDICT r1 #5: the fused kernel holds speakers on the 128-lane
+    axis; S>128 must fall back to the structured engine WITH a warning
+    (was silent), and the result must equal the structured run exactly."""
+    rng = np.random.default_rng(129)
+    T, S, D = 48, 129, 6
+    X, phi, gamma, pi = random_vb_problem(rng, T, S, D)
+    args = (jnp.asarray(X, jnp.float32), jnp.asarray(phi, jnp.float32),
+            jnp.asarray(gamma, jnp.float32)[None],
+            jnp.asarray(pi, jnp.float32)[None],
+            jnp.ones((1, T), bool), jnp.ones((1, S), bool))
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=4, epsilon=1e-6)
+    with pytest.warns(UserWarning, match="128 speakers"):
+        res = vbx_batched(args[0][None], *args[1:], fb_impl="pallas", **kw)
+    ref = vbx_batched(args[0][None], *args[1:], fb_impl="structured", **kw)
+    np.testing.assert_array_equal(np.asarray(res.gamma),
+                                  np.asarray(ref.gamma))
+    assert int(res.n_iters[0]) == int(ref.n_iters[0])

@@ -429,7 +429,9 @@ def vbx_batched(
     kernel path with the large per-iteration streams stored in bfloat16 —
     f32 accumulation throughout; lowest HBM traffic, tolerance-parity
     only — see _vbx_batched_pallas_sb_jit), or 'assoc' (work-parallel
-    associative scan for very long recordings).
+    associative scan for very long recordings). The pallas kernels hold
+    speakers on the 128-lane axis: S>128 falls back to 'structured' with
+    a UserWarning (the reference NumPy loop has no S limit, VBx.py:97-98).
 
     converged0/last_elbo0 resume a run from engine-state checkpointing
     (vbx_batched_checkpointed): a resumed slice behaves exactly as the
@@ -449,7 +451,16 @@ def vbx_batched(
     if fb_impl is None:
         fb_impl = "structured"
     if fb_impl in ("pallas", "pallas_bf16") and gamma.shape[-1] > 128:
-        # the fused kernel holds speakers on the 128-lane axis
+        # the fused kernel holds speakers on the 128-lane axis; fall back
+        # to the structured engine — LOUDLY, so a user benchmarking
+        # "pallas*" on a many-speaker corpus knows a different engine ran
+        # (the reference NumPy loop has no S limit, VBx/VBx.py:97-98)
+        import warnings
+        warnings.warn(
+            f"fb_impl={fb_impl!r} supports at most 128 speakers (the "
+            f"kernel holds speakers on the 128-lane axis); got "
+            f"S={gamma.shape[-1]} — falling back to fb_impl='structured'",
+            stacklevel=2)
         fb_impl = "structured"
     if fb_impl in ("pallas", "pallas_bf16"):
         interpret = jax.default_backend() == "cpu"
