@@ -178,3 +178,14 @@ def test_wrong_feat_dim_rejected(tmp_path):
     path = _export(tmp_path, tm, 32, "dim.onnx")
     with pytest.raises(ValueError, match="feat_dim"):
         load_onnx_checkpoint(path, feat_dim=64)
+
+
+@needs_ref
+def test_full_depth_resnet101_onnx_roundtrip(tmp_path):
+    """VERDICT r1 #2: the shipped architecture at FULL depth — Bottleneck
+    [3,4,23,3], m_channels 32, embed 256 (reference resnet.py:148-149) —
+    through torch.onnx.export and the first-party importer. Depth-dependent
+    import bugs (e.g. a transposed kernel deep in layer3) pass toy-depth
+    tests; this pins all 101 layers. Tolerance recorded in PARITY.md."""
+    _roundtrip(tmp_path, "Bottleneck", [3, 4, 23, 3], 32, 64, 256,
+               seed=7, name="resnet101_full.onnx")

@@ -200,3 +200,40 @@ def test_se_resnet_import_and_masking():
 
     big = se_resnet34(feat_dim=64, embed_dim=256)
     assert big.se_reduction == 16
+
+
+@needs_ref
+def test_convert_rejects_depth_mismatch():
+    """The conversion must refuse a checkpoint whose depth disagrees with
+    num_blocks in EITHER direction (silently dropping layer3 blocks 3..22
+    of a ResNet101 checkpoint would only surface as bad embeddings)."""
+    ref = _ref_resnet()
+    torch.manual_seed(5)
+    tm = ref.ResNet(ref.Bottleneck, [2, 2, 2, 2], m_channels=8,
+                    feat_dim=32, embed_dim=64)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_torch_state_dict(sd, num_blocks=(1, 1, 1, 1))
+    with pytest.raises(ValueError, match="shallower"):
+        convert_torch_state_dict(sd, num_blocks=(3, 3, 3, 3))
+
+
+@needs_ref
+def test_full_depth_conversion_covers_all_layers():
+    """All 101 layers of the real architecture map: 33 blocks x 3 convs +
+    stem + embedding, with every torch tensor consumed (conversion raises
+    otherwise) and every flax block subtree populated."""
+    ref = _ref_resnet()
+    torch.manual_seed(6)
+    tm = ref.ResNet101(feat_dim=64, embed_dim=256)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_torch_state_dict(sd, num_blocks=(3, 4, 23, 3))
+    p = params["params"]
+    n_convs = sum(1 for blk in p.values() if isinstance(blk, dict)
+                  for k in blk if k.startswith("conv"))
+    assert n_convs == 3 * (3 + 4 + 23 + 3)   # 99 block convs
+    assert "conv1" in p and "embedding" in p   # + stem + head = 101 layers
+    for li, n in enumerate((3, 4, 23, 3), start=1):
+        for bi in range(n):
+            assert p[f"layer{li}_{bi}"], f"layer{li}_{bi} empty"
+            assert stats["batch_stats"][f"layer{li}_{bi}"]

@@ -261,19 +261,30 @@ def convert_torch_state_dict(sd: Dict[str, Any], num_blocks=(3, 4, 23, 3)
                              ) -> Tuple[Dict, Dict]:
     """Map a reference-format torch state dict (resnet.py module names,
     possibly prefixed — AMI_run.sh checkpoints) to flax (params,
-    batch_stats) trees."""
+    batch_stats) trees.
+
+    Every tensor in the state dict must be CONSUMED by the mapping
+    (torch's bookkeeping `num_batches_tracked` counters aside): a
+    depth-mismatched conversion — e.g. a ResNet101 checkpoint converted
+    with ResNet34 block counts — would otherwise silently drop layers and
+    surface only as bad embeddings."""
     sd = {k.split("module.", 1)[-1]: np.asarray(v) for k, v in sd.items()}
+    unused = {k for k in sd if not k.endswith("num_batches_tracked")}
+
+    def take(key):
+        unused.discard(key)
+        return sd[key]
 
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
     def put_bn(dst, src):
-        params[dst] = {"scale": sd[f"{src}.weight"],
-                       "bias": sd[f"{src}.bias"]}
-        stats[dst] = {"mean": sd[f"{src}.running_mean"],
-                      "var": sd[f"{src}.running_var"]}
+        params[dst] = {"scale": take(f"{src}.weight"),
+                       "bias": take(f"{src}.bias")}
+        stats[dst] = {"mean": take(f"{src}.running_mean"),
+                      "var": take(f"{src}.running_var")}
 
-    params["conv1"] = {"kernel": _conv_w(sd["conv1.weight"])}
+    params["conv1"] = {"kernel": _conv_w(take("conv1.weight"))}
     put_bn("bn1", "bn1")
     for li, n in enumerate(num_blocks, start=1):
         for bi in range(n):
@@ -283,37 +294,47 @@ def convert_torch_state_dict(sd: Dict[str, Any], num_blocks=(3, 4, 23, 3)
             blk_s: Dict[str, Any] = {}
             convs = [k for k in ("conv1", "conv2", "conv3")
                      if f"{src}.{k}.weight" in sd]
+            if not convs:
+                raise ValueError(
+                    f"state dict has no weights for block {src!r}: the "
+                    f"checkpoint is shallower than num_blocks={num_blocks} "
+                    f"(wrong arch?)")
             for c in convs:
-                blk_p[c] = {"kernel": _conv_w(sd[f"{src}.{c}.weight"])}
+                blk_p[c] = {"kernel": _conv_w(take(f"{src}.{c}.weight"))}
                 bn = c.replace("conv", "bn")
-                blk_p[bn] = {"scale": sd[f"{src}.{bn}.weight"],
-                             "bias": sd[f"{src}.{bn}.bias"]}
-                blk_s[bn] = {"mean": sd[f"{src}.{bn}.running_mean"],
-                             "var": sd[f"{src}.{bn}.running_var"]}
+                blk_p[bn] = {"scale": take(f"{src}.{bn}.weight"),
+                             "bias": take(f"{src}.{bn}.bias")}
+                blk_s[bn] = {"mean": take(f"{src}.{bn}.running_mean"),
+                             "var": take(f"{src}.{bn}.running_var")}
             if f"{src}.se.fc.0.weight" in sd:
                 # torch SELayer (resnet.py:74-89): fc = Sequential(Linear,
                 # ReLU, Linear, Sigmoid) -> indices 0 and 2, no biases
                 blk_p["se"] = {
                     "fc1": {"kernel": np.asarray(
-                        sd[f"{src}.se.fc.0.weight"]).T},
+                        take(f"{src}.se.fc.0.weight")).T},
                     "fc2": {"kernel": np.asarray(
-                        sd[f"{src}.se.fc.2.weight"]).T}}
+                        take(f"{src}.se.fc.2.weight")).T}}
             if f"{src}.shortcut.0.weight" in sd:
                 blk_p["shortcut_conv"] = {
-                    "kernel": _conv_w(sd[f"{src}.shortcut.0.weight"])}
+                    "kernel": _conv_w(take(f"{src}.shortcut.0.weight"))}
                 blk_p["shortcut_bn"] = {
-                    "scale": sd[f"{src}.shortcut.1.weight"],
-                    "bias": sd[f"{src}.shortcut.1.bias"]}
+                    "scale": take(f"{src}.shortcut.1.weight"),
+                    "bias": take(f"{src}.shortcut.1.bias")}
                 blk_s["shortcut_bn"] = {
-                    "mean": sd[f"{src}.shortcut.1.running_mean"],
-                    "var": sd[f"{src}.shortcut.1.running_var"]}
+                    "mean": take(f"{src}.shortcut.1.running_mean"),
+                    "var": take(f"{src}.shortcut.1.running_var")}
             params[dst] = blk_p
             stats[dst] = blk_s
 
     # torch Linear [out, in] -> flax Dense [in, out]; the input ordering
     # (channels-major flatten of mean||std) matches __call__ above
-    params["embedding"] = {"kernel": np.asarray(sd["embedding.weight"]).T,
-                           "bias": np.asarray(sd["embedding.bias"])}
+    params["embedding"] = {"kernel": np.asarray(take("embedding.weight")).T,
+                           "bias": np.asarray(take("embedding.bias"))}
+    if unused:
+        raise ValueError(
+            f"{len(unused)} state-dict tensor(s) not consumed by the "
+            f"conversion (checkpoint deeper than num_blocks={num_blocks}, "
+            f"or unknown modules): {sorted(unused)[:6]}")
     return {"params": params}, {"batch_stats": stats}
 
 
