@@ -179,3 +179,121 @@ def test_frame_metrics_pool_silent_uem_recordings():
     assert with_b["mi"] != pytest.approx(without_b["mi"])
     # silence frames agree: confusion-free, so NMI stays defined and finite
     assert np.isfinite(with_b["nmi"])
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r1 #3: md-eval edge-case battery — event-exact vs 10 ms-rasterized
+# DER cross-checked on the boundary configurations md-eval is quirky about.
+# Divergences are enumerated in PARITY.md ("Rasterized scoring mode").
+# ---------------------------------------------------------------------------
+
+def _der(ref, sys_, **kw):
+    return score_recording(ref, sys_, **kw).der
+
+
+def _both(ref, sys_, **kw):
+    return (_der(ref, sys_, **kw),
+            _der(ref, sys_, rasterize=0.01, **kw))
+
+
+def test_rasterized_equals_exact_on_grid_aligned_inputs():
+    """Inputs already on the 10 ms grid must score IDENTICALLY in both
+    modes (snapping is then the identity)."""
+    ref = [Turn(0.00, 1.50, "a"), Turn(1.50, 3.20, "b"),
+           Turn(2.70, 4.00, "a")]
+    sys_ = [Turn(0.00, 1.60, "1"), Turn(1.60, 4.00, "2")]
+    for kw in (dict(), dict(collar=0.25), dict(collar=0.25,
+                                               ignore_overlaps=True)):
+        e, r = _both(ref, sys_, **kw)
+        assert e == pytest.approx(r, abs=1e-9), kw
+
+
+def test_rasterized_collar_at_adjacent_same_speaker_boundary():
+    """Adjacent same-speaker ref turns keep their (collared) boundary in
+    both modes — the knife-edge behind the golden 7.06 (see
+    _merge_same_speaker). Off-grid boundaries snap before collars cut."""
+    # boundary at 1.495 snaps to 1.50 (half-up); collar .25 cuts
+    # [1.245,1.745] exact vs [1.25,1.75] rasterized
+    ref = [Turn(0.0, 1.495, "a"), Turn(1.495, 3.0, "a")]
+    sys_ = [Turn(0.0, 1.495, "1"), Turn(1.495, 3.0, "2")]
+    e, r = _both(ref, sys_, collar=0.25)
+    # boundaries at 0.0/1.495/3.0 -> cuts [-.25,.25],[1.245,1.745],[2.75,3.25]
+    # scored regions [0.25,1.245] (0.995 s) + [1.745,2.75] (1.005 s); the
+    # Hungarian maps the LARGER sys overlap ("2", 1.005 s) to "a", so the
+    # 0.995 s of sys "1" is the confusion: DER = 100*0.995/2.0
+    assert e == pytest.approx(100 * 0.995 / 2.0)
+    assert r == pytest.approx(e, abs=1.0)           # 1 quantum per boundary
+    # same-speaker ADJACENCY itself must not be merged away by snapping:
+    # a system boundary inside the collar is forgiven in both modes
+    sys_ok = [Turn(0.0, 1.3, "1"), Turn(1.3, 3.0, "1")]
+    e2, r2 = _both(ref, sys_ok, collar=0.25)
+    assert e2 == 0.0 and r2 == 0.0
+
+
+def test_rasterized_overlap_crossing_uem_edge():
+    """Overlapping ref turns crossing a UEM edge: overlap exclusion and
+    UEM clipping must compose identically in both modes."""
+    ref = [Turn(0.0, 2.004, "a"), Turn(1.496, 4.0, "b")]
+    sys_ = [Turn(0.0, 2.0, "1"), Turn(2.0, 4.0, "2")]
+    for uem in [(1.0, 3.0), (0.5, 2.002), [(0.0, 1.5), (2.5, 4.0)]]:
+        e, r = _both(ref, sys_, ignore_overlaps=True, uem=uem)
+        assert r == pytest.approx(e, abs=1.5), uem
+        e2, r2 = _both(ref, sys_, uem=uem)
+        assert r2 == pytest.approx(e2, abs=1.5), uem
+
+
+def test_rasterized_zero_and_subquantum_turns():
+    """Zero-duration turns never score; sub-half-quantum turns VANISH in
+    the rasterized mode (md-eval cannot see events shorter than its time
+    resolution) — an enumerated divergence."""
+    ref = [Turn(0.0, 2.0, "a"), Turn(1.0, 1.0, "b"),      # zero-duration
+           Turn(2.0, 2.004, "c")]                          # 4 ms turn
+    sys_ = [Turn(0.0, 2.0, "1")]
+    e = score_recording(ref, sys_)
+    r = score_recording(ref, sys_, rasterize=0.01)
+    # zero-duration b never scores in EITHER mode (clipping drops empty
+    # intervals); exact: speaker c misses its 0.004 s; rasterized: c's
+    # sub-half-quantum turn vanishes entirely
+    assert e.missed == pytest.approx(0.004)
+    assert r.missed == 0.0
+    assert e.n_ref_speakers == 2 and r.n_ref_speakers == 1
+    assert e.scored_time == pytest.approx(2.004)
+    assert r.scored_time == pytest.approx(2.0)
+
+
+def test_rasterized_multiple_uem_regions():
+    ref = [Turn(0.0, 5.0, "a"), Turn(5.0, 10.0, "b")]
+    sys_ = [Turn(0.0, 5.003, "1"), Turn(5.003, 10.0, "2")]
+    uem = [(0.0, 2.0), (3.0, 6.997), (8.0, 10.0)]
+    e, r = _both(ref, sys_, uem=uem)
+    assert r == pytest.approx(e, abs=0.5)
+    # and with collars on top
+    e2, r2 = _both(ref, sys_, uem=uem, collar=0.25)
+    assert r2 == pytest.approx(e2, abs=0.5)
+
+
+def test_rasterized_randomized_battery():
+    """Fuzz: random off-grid turn sets; |exact − rasterized| error TIME is
+    bounded by one quantum per boundary event, and rasterize=1e-4 (finer
+    than the jitter) converges to the exact score."""
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        def turns(n, labels):
+            ts = []
+            for _ in range(n):
+                s = rng.uniform(0, 20)
+                ts.append(Turn(round(s, 4), round(s + rng.uniform(0.05, 4), 4),
+                               str(rng.integers(labels))))
+            return ts
+        ref = turns(8, 3)
+        sys_ = turns(8, 4)
+        kw = dict(collar=float(rng.choice([0.0, 0.25])),
+                  ignore_overlaps=bool(rng.integers(2)))
+        ex = score_recording(ref, sys_, **kw)
+        ra = score_recording(ref, sys_, rasterize=0.01, **kw)
+        fine = score_recording(ref, sys_, rasterize=1e-4, **kw)
+        # ~2 boundaries/turn + 2 collar cuts/ref boundary, 1 quantum each
+        budget = 0.01 * (2 * len(ref) * 3 + 2 * len(sys_))
+        assert abs(ex.error_time - ra.error_time) <= budget, trial
+        assert abs(ex.scored_time - ra.scored_time) <= budget, trial
+        assert fine.der == pytest.approx(ex.der, abs=0.2), trial

@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "unaffected)")
     p.add_argument("--collar", type=float, default=0.0)
     p.add_argument("--ignore_overlaps", action="store_true")
+    p.add_argument("--rasterize", type=float, nargs="?", const=0.01,
+                   default=None, metavar="STEP",
+                   help="snap turn/UEM boundaries to a STEP-second grid "
+                        "before DER/JER scoring (md-eval stores event "
+                        "times at 10 ms; default STEP when the flag is "
+                        "given: 0.01). Without it, scoring is exact on "
+                        "the boundary events.")
     p.add_argument("--per-recording", action="store_true",
                    help="also print one row per recording")
     return p
@@ -76,7 +83,7 @@ def main(argv=None) -> int:
             return 1
     per, total = score_corpus(ref, sys_, collar=args.collar,
                               ignore_overlaps=args.ignore_overlaps,
-                              uems=uems)
+                              uems=uems, rasterize=args.rasterize)
     cm = frame_clustering_metrics(ref, sys_, step=args.step, uems=uems)
 
     cols = ["DER", "JER", "B3-Precision", "B3-Recall", "B3-F1",

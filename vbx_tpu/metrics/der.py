@@ -125,14 +125,51 @@ def _clip_turns(turns: Sequence[Turn],
     return out
 
 
+def _snap(t: float, step: float) -> float:
+    """Snap a time to the `step` grid, round-half-up (md-eval stores event
+    times to hundredths of a second; half-up matches its sprintf-style
+    rounding and is robust to 0.249999... float noise)."""
+    import math
+    return math.floor(t / step + 0.5) * step
+
+
+def _snap_turns(turns: Sequence[Turn], step: float) -> List[Turn]:
+    out = []
+    for t in turns:
+        s, e = _snap(t.start, step), _snap(t.end, step)
+        if e > s:      # a turn shorter than half a frame vanishes
+            out.append(Turn(s, e, t.speaker))
+    return out
+
+
 def score_recording(
     ref_turns: Sequence[Turn],
     sys_turns: Sequence[Turn],
     collar: float = 0.0,
     ignore_overlaps: bool = False,
     uem: Optional[Tuple[float, float]] = None,
+    rasterize: Optional[float] = None,
 ) -> RecordingScore:
-    """Score one recording. See module docstring for semantics."""
+    """Score one recording. See module docstring for semantics.
+
+    `rasterize`: optional time quantum (seconds; md-eval's storage
+    resolution is 0.01). Turn and UEM boundaries are snapped to this grid
+    BEFORE scoring — the md-eval-comparable mode: md-eval.pl reads event
+    times at 10 ms resolution, so its DER equals exact-event scoring of
+    10 ms-snapped inputs. Collar and overlap cuts are then derived from
+    the snapped events with exact arithmetic, exactly as md-eval does.
+    Divergence from the exact mode is bounded by one quantum of error
+    time per boundary event (measured battery: tests/test_metrics.py;
+    documented divergences in PARITY.md)."""
+    if rasterize:
+        ref_turns = _snap_turns(ref_turns, rasterize)
+        sys_turns = _snap_turns(sys_turns, rasterize)
+        if uem is not None:
+            if uem and isinstance(uem[0], (tuple, list)):
+                uem = [(_snap(a, rasterize), _snap(b, rasterize))
+                       for a, b in uem]
+            else:
+                uem = (_snap(uem[0], rasterize), _snap(uem[1], rasterize))
     if uem is None:
         all_turns = list(ref_turns) + list(sys_turns)
         if not all_turns:
@@ -323,6 +360,7 @@ def score_corpus(
     collar: float = 0.0,
     ignore_overlaps: bool = False,
     uems: Optional[Mapping[str, Tuple[float, float]]] = None,
+    rasterize: Optional[float] = None,
 ) -> Tuple[Dict[str, RecordingScore], RecordingScore]:
     """Score a corpus; returns (per-recording, overall). Overall DER pools
     error/scored time across recordings (md-eval aggregate behavior);
@@ -333,7 +371,8 @@ def score_corpus(
         per[rec] = score_recording(
             ref.get(rec, ()), sys.get(rec, ()), collar=collar,
             ignore_overlaps=ignore_overlaps,
-            uem=None if uems is None else uems.get(rec))
+            uem=None if uems is None else uems.get(rec),
+            rasterize=rasterize)
     tot = RecordingScore(
         scored_time=sum(s.scored_time for s in per.values()),
         missed=sum(s.missed for s in per.values()),
@@ -361,7 +400,9 @@ def _turns_from_rttm(path: str) -> Dict[str, List[Turn]]:
 
 
 def der_from_rttm_files(ref_rttm: str, sys_rttm: str, collar: float = 0.0,
-                        ignore_overlaps: bool = False):
+                        ignore_overlaps: bool = False,
+                        rasterize: Optional[float] = None):
     """Score system RTTM against reference RTTM (dscore CLI parity)."""
     return score_corpus(_turns_from_rttm(ref_rttm), _turns_from_rttm(sys_rttm),
-                        collar=collar, ignore_overlaps=ignore_overlaps)
+                        collar=collar, ignore_overlaps=ignore_overlaps,
+                        rasterize=rasterize)
