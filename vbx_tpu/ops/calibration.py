@@ -95,8 +95,20 @@ def _weighted_em_threshold(cnt, ssum, s2sum, sc, niters: int) -> float:
     twoGMMcalib_lin:13-31). Atoms are (count, sum, sum-of-squares,
     mean-score) — individual scores are atoms with cnt == 1, histogram bins
     carry their exact moments; both the exact and the binned public entry
-    points run THIS loop so they cannot diverge."""
+    points run THIS loop so they cannot diverge.
+
+    A GIL-free native twin (clustering.two_gmm_weighted_em_native, same
+    init/updates/guards; agreement pinned at ~1e-12 by
+    tests/test_clustering.py) runs when available — the EM is the serving
+    init chain's hottest stage, and holding the GIL through 20 sigmoid
+    sweeps serialized the whole init pool. This numpy loop remains the
+    reference implementation and the fallback."""
     import numpy as np
+
+    from vbx_tpu.clustering import two_gmm_weighted_em_native
+    thr = two_gmm_weighted_em_native(cnt, ssum, s2sum, sc, niters)
+    if thr is not None:
+        return thr
 
     total = cnt.sum()
     sum_s = ssum.sum()
@@ -173,19 +185,23 @@ def two_gmm_calib_from_moments(cnt, ssum, s2sum, niters: int = 20) -> float:
     return _weighted_em_threshold(cnt, ssum, s2sum, ssum / cnt, niters)
 
 
-def adaptive_bins(n: int, n_bins: int = 1 << 20) -> int:
+def adaptive_bins(n: int, n_bins: int = 1 << 16) -> int:
     """Bin count for the histogram EM, scaled with the score count so the
     EM pass (niters x nonzero bins) stays well below the O(N^2) binning
-    pass: ~n/16 bins (floored at 2^16) keeps the moment error
-    second-order-negligible (threshold agreement ~2e-10 vs exact at the
-    floor on the golden ES2005a scores — six orders below the ~1e-4 scale
-    of an AHC merge decision) while cutting the serving-size (N ~ 1000)
-    calibration ~20x. The floor deliberately sits where the EM's working
-    set (3 moment arrays + temporaries) still fits in a core's L2: 2^17
-    bins measured 6x SLOWER than 2^16 from cache spill alone. Every
-    caller that histograms scores for `two_gmm_calib_from_moments` should
-    use THIS rule so streamed and materialized paths bin comparably."""
-    return int(min(n_bins, max(1 << 16, 1 << (max(n // 16, 1)).bit_length())))
+    pass: ~n/64 bins, clamped to [2^12, 2^16]. Measured on the golden
+    ES2005a scores (N=1025, n=N^2~1.05e6): the threshold error vs the
+    exact EM is second-order in the bin width — 1.5e-10 at 2^16 bins,
+    3.5e-9 at 2^14, 5.8e-8 at 2^12 — all 4-6 orders below the ~1e-4 scale
+    of an AHC merge decision, while the serving-size EM drops 16 -> 2.7 ms
+    from 2^17 to 2^14 bins. The 2^16 cap keeps the EM's working set (3
+    moment arrays + temporaries) inside a core's L2: 2^17 bins measured
+    6x SLOWER than 2^16 from cache spill alone (the previous rule's
+    round-UP to 2^17 at ES2005a size violated exactly that). Every caller
+    that histograms scores for `two_gmm_calib_from_moments` should use
+    THIS rule so streamed and materialized paths bin comparably."""
+    target = max(n // 64, 1)
+    return int(min(n_bins, 1 << 16,
+                   max(1 << 12, 1 << (target - 1).bit_length())))
 
 
 def two_gmm_calib_lin_binned(scores, niters: int = 20,

@@ -126,13 +126,22 @@ class DiarizationService:
         self._queue: "queue.Queue" = queue.Queue()
         init_workers = max(1, init_workers)
         if init_workers > 1:
-            # the native linkage spawns an OpenMP team per call; the same
-            # discipline as the corpus pipeline's init pool (pipeline.py:
-            # pool workers x per-call teams oversubscribe the host), but
-            # set once for the service lifetime: share the cores
+            # the native linkage/EM spawns an OpenMP team per call and
+            # NumPy's dgemm a BLAS team; the same discipline as the corpus
+            # pipeline's init pool (pipeline.py: pool workers x per-call
+            # teams oversubscribe the host), but set once for the service
+            # lifetime: share the cores
             from vbx_tpu.clustering import set_native_threads
             set_native_threads(
                 max(1, (os.cpu_count() or init_workers) // init_workers))
+            try:
+                from threadpoolctl import threadpool_limits
+                self._blas_limit = threadpool_limits(
+                    limits=max(1, (os.cpu_count() or init_workers)
+                               // init_workers),
+                    user_api="blas")
+            except ImportError:
+                self._blas_limit = None
         self._init_pool = ThreadPoolExecutor(
             max_workers=init_workers,
             thread_name_prefix="vbx-serve-init")
