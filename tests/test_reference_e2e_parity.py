@@ -115,3 +115,104 @@ def test_full_flow_matches_reference(seed, T, K, preset_name):
                      for a, b in zip(ref_labels, out.labels1st)])
     assert agree > 0.995, (agree, preset_name)
     assert out.n_speakers == len(np.unique(ref_labels))
+
+
+def _synth_recording_with_truth(rng, T, K, D=256):
+    """Like _synth_recording but also returns the true speaker sequence."""
+    centers = rng.standard_normal((K, D)) * 0.4
+    z = np.zeros(T, int)
+    cur = 0
+    for t in range(T):
+        if rng.random() < 0.02:
+            cur = rng.integers(0, K)
+        z[t] = cur
+    x = centers[z] + 0.6 * rng.standard_normal((T, D))
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32), z
+
+
+@needs_ref
+def test_multirecording_corpus_matches_reference(tmp_path):
+    """VERDICT r1 #10: a multi-recording, MULTI-BUCKET synthetic corpus
+    (five recordings spanning four (T, S) pad buckets) through the real
+    batched corpus pipeline (diarize_ark -> RTTM files), scored end-to-end
+    against the reference flow run per recording on the same data:
+
+    - per-recording label partitions agree up to renaming (>= 99.5%),
+    - the corpus DER of ours-vs-reference is ~0,
+    - both pipelines score (event-exact AND 10 ms-rasterized) within 0.15
+      DER of each other against the synthesis ground truth."""
+    from vbx_tpu.config import get_preset
+    from vbx_tpu.engine.pipeline import diarize_ark
+    from vbx_tpu.io.ark import write_vec_ark
+    from vbx_tpu.io.rttm import merge_adjacent_labels, write_rttm
+    from vbx_tpu.io.segments import write_segments
+    from vbx_tpu.metrics.der import Turn, score_corpus
+
+    plda_file = f"{REF}/VBx/models/ResNet101_16kHz/plda"
+    h5_file = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
+    cfg = get_preset("example")
+    rng = np.random.default_rng(42)
+    specs = [("r256", 220, 2), ("r512", 420, 3), ("r1k", 800, 4),
+             ("r1k2", 1000, 3), ("r2k", 1700, 5)]   # buckets 256..2048
+
+    vecs, rows, truth, ref_sys = [], [], {}, {}
+    corpus = {}
+    for rec, T, K in specs:
+        x_raw, z = _synth_recording_with_truth(rng, T, K)
+        corpus[rec] = x_raw
+        ts = np.stack([np.arange(T) * 0.24, np.arange(T) * 0.24 + 1.44], 1)
+        for i in range(T):
+            vecs.append((f"{rec}_{i:08d}", x_raw[i]))
+            rows.append((f"{rec}_{i:08d}", rec, ts[i, 0], ts[i, 1]))
+        s, e, lab = merge_adjacent_labels(ts[:, 0], ts[:, 1], z)
+        truth[rec] = [Turn(a, b, str(v)) for a, b, v in zip(s, e, lab)]
+        # reference flow on the same recording
+        ref_labels, _ = _reference_diarize(
+            x_raw.astype(np.float64), plda_file, h5_file,
+            Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, loopP=cfg.vb.loop_prob,
+            threshold=cfg.ahc.threshold, smoothing=cfg.ahc.init_smoothing)
+        s, e, lab = merge_adjacent_labels(ts[:, 0], ts[:, 1], ref_labels)
+        ref_sys[rec] = ([Turn(a, b, str(v)) for a, b, v in zip(s, e, lab)],
+                        ref_labels)
+
+    ark = str(tmp_path / "corpus.ark")
+    seg = str(tmp_path / "corpus.seg")
+    write_vec_ark(ark, vecs)
+    write_segments(seg, rows)
+    out_dir = str(tmp_path / "rttms")
+    outputs = diarize_ark(ark, seg, out_dir, cfg, plda_file, h5_file,
+                          batch=True, verbose=False)
+    assert set(outputs) == {rec for rec, _, _ in specs}
+
+    from collections import Counter
+    ours_sys = {}
+    for rec, T, K in specs:
+        ts = np.stack([np.arange(T) * 0.24, np.arange(T) * 0.24 + 1.44], 1)
+        labels = outputs[rec].labels1st
+        ref_turns, ref_labels = ref_sys[rec]
+        pairs = Counter(zip(ref_labels.tolist(), labels.tolist()))
+        mapping = {}
+        for (a, b), _ in pairs.most_common():
+            if a not in mapping and b not in mapping.values():
+                mapping[a] = b
+        agree = np.mean([mapping.get(a) == b
+                         for a, b in zip(ref_labels, labels)])
+        assert agree > 0.995, (rec, agree)
+        s, e, lab = merge_adjacent_labels(ts[:, 0], ts[:, 1], labels)
+        ours_sys[rec] = [Turn(a, b, str(v)) for a, b, v in zip(s, e, lab)]
+
+    # corpus-level: ours scored against the reference output is ~0 DER
+    _, vs_ref = score_corpus(
+        {r: t for r, (t, _) in ref_sys.items()}, ours_sys, collar=0.25,
+        ignore_overlaps=True)
+    assert vs_ref.der < 0.5, vs_ref.der
+
+    # and both sit within 0.15 DER of each other against the TRUTH, under
+    # the exact and the 10 ms-rasterized scoring modes
+    for ras in (None, 0.01):
+        _, ours = score_corpus(truth, ours_sys, collar=0.25,
+                               ignore_overlaps=True, rasterize=ras)
+        _, refs = score_corpus(
+            truth, {r: t for r, (t, _) in ref_sys.items()}, collar=0.25,
+            ignore_overlaps=True, rasterize=ras)
+        assert abs(ours.der - refs.der) < 0.15, (ras, ours.der, refs.der)
