@@ -78,3 +78,38 @@ def test_bucketing_respects_frame_budget():
             assert t <= T_pad and s <= S_pad
         assert len(idxs) * T_pad <= 1_000_000 or len(idxs) == 1
     assert seen == set(range(len(shapes)))
+
+def test_ahc_fallback_to_random_for_long_recordings(capsys):
+    """AHCConfig.fallback_n: recordings longer than the threshold skip the
+    O(N^2) AHC front half for random_<K> (reference README.md:24 advice);
+    shorter recordings still run AHC."""
+    import dataclasses
+    import os
+
+    import numpy as np
+    import pytest
+
+    from vbx_tpu.config import get_preset
+    from vbx_tpu.engine.ahc import random_labels
+    from vbx_tpu.engine.pipeline import Diarizer
+
+    REF = "/root/reference"
+    if not os.path.exists(f"{REF}/VBx/models/ResNet101_16kHz/plda"):
+        pytest.skip("reference assets not mounted")
+    cfg = get_preset("example")
+    cfg = cfg.replace(ahc=dataclasses.replace(
+        cfg.ahc, fallback_n=100, fallback_speakers=4))
+    diar = Diarizer.from_files(
+        cfg, f"{REF}/VBx/models/ResNet101_16kHz/plda",
+        f"{REF}/VBx/models/ResNet101_16kHz/transform.h5")
+    rng = np.random.default_rng(0)
+    x_long = rng.normal(size=(150, 256)).astype(np.float32)
+    x_short = rng.normal(size=(60, 256)).astype(np.float32)
+
+    labels_long = diar.initial_labels(diar.transform_xvectors(x_long))
+    np.testing.assert_array_equal(labels_long, random_labels(150, 4, seed=0))
+    assert "AHC fallback" in capsys.readouterr().err
+
+    labels_short = diar.initial_labels(diar.transform_xvectors(x_short))
+    # short recording went through real AHC (random_labels would differ)
+    assert not np.array_equal(labels_short, random_labels(60, 4, seed=0))

@@ -35,6 +35,16 @@ class AHCConfig:
     # (reference: diarization_lib.kaldi_ivector_plda_scoring_dense)
     similarity: str = "cosine"
     target_energy: float = 1.0
+    # Long-recording AHC fallback (the reference README's own advice for
+    # >30-min files, README.md:24): recordings with more than `fallback_n`
+    # x-vectors skip AHC and initialize with `random_<fallback_speakers>`
+    # instead. 0 disables. Measured crossover (BENCHMARKS.md, 4-core
+    # host): the AHC front half costs ~11 s at N=10k, ~20 s at N=20k,
+    # ~183 s at N=50k (NN-chain linkage dominates beyond N~20k, condensed
+    # matrix 10 GB at 50k) while the random+VB init is O(N); ~30k is
+    # where multi-hour files should switch.
+    fallback_n: int = 0
+    fallback_speakers: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

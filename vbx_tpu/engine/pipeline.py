@@ -105,12 +105,24 @@ class Diarizer:
 
     def initial_labels(self, x: np.ndarray, seed: int = 0) -> np.ndarray:
         kind, n_rand, _ = _parse_init(self.config.init)
+        ahc_cfg = self.config.ahc
         if kind == "AHC":
+            if 0 < ahc_cfg.fallback_n < len(x):
+                # preset-level long-recording fallback (AHCConfig
+                # docstring has the measured crossover): the O(N^2) AHC
+                # front half is skipped for random_<K>+VB, the reference
+                # README's own advice for such files (README.md:24)
+                import sys
+                print(f"AHC fallback: N={len(x)} > {ahc_cfg.fallback_n}, "
+                      f"using random_{ahc_cfg.fallback_speakers} init",
+                      file=sys.stderr)
+                return random_labels(len(x), ahc_cfg.fallback_speakers,
+                                     seed=seed)
             return ahc_labels(
-                x, self.config.ahc.threshold,
-                similarity=self.config.ahc.similarity,
+                x, ahc_cfg.threshold,
+                similarity=ahc_cfg.similarity,
                 plda=self.raw_plda,
-                target_energy=self.config.ahc.target_energy)
+                target_energy=ahc_cfg.target_energy)
         return random_labels(len(x), n_rand, seed=seed)
 
     def vb_inputs(self, x: np.ndarray, labels: np.ndarray):
