@@ -254,7 +254,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     ELBO, and pi updates never leave f32. Fixed-point accuracy is bounded
     by tests (gamma within ~2e-2 of the f32 path, identical labels on the
     golden recording); it is an opt-in throughput mode, not the default."""
-    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb
+    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb_logp
 
     dtype = jnp.float32
     io_dt = jnp.dtype(io_dtype)
@@ -307,18 +307,17 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
                       + G_tb[:, None, :])
         log_p = masked_fill(log_p, speaker_mask.T[None].astype(bool))
 
-        # w is computed OUTSIDE the kernel on purpose: moving the
-        # max/exp into the kernel's sequential walk was measured 10%
-        # slower end-to-end (chained, B=256/T=1025: 1.00 -> 1.11 ms/iter)
-        # — the walk is latency-bound and the extra in-step transcendental
-        # work costs more than the saved w-materialization bandwidth
-        m = jnp.max(log_p, axis=1)                    # [T, B]
-        w = (jnp.exp(log_p - m[:, None, :]) * smask_sb[None]).astype(io_dt)
+        # w is computed OUTSIDE the kernel's sequential walk on purpose
+        # (moving the max/exp into the walk was measured 10% slower — the
+        # walk is latency-bound), but INSIDE the kernel wrapper's jit so
+        # max/exp/masking/padding fuse into ONE producer of the padded
+        # stream (the unpadded w materialization + separate pad copy were
+        # ~17% of the while-body; see fb_scan_pallas_sb_logp)
         col = (1.0 - loop_prob) * state.pi + eps      # [B, S]
         pinit = state.pi + eps
-        ahat, bhat, cfw = fb_scan_pallas_sb(
-            w, valid_tb, col.T, pinit.T, loop_prob, interpret=interpret,
-            io_dtype=io_dtype)
+        ahat, bhat, cfw, m, w = fb_scan_pallas_sb_logp(
+            log_p, smask_sb, valid_tb, col.T, pinit.T, loop_prob,
+            interpret=interpret, io_dtype=io_dtype)
 
         ab = ahat.astype(dtype) * bhat.astype(dtype)
         denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)

@@ -281,6 +281,21 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     """
     T, S, B = w.shape
     io_dtype = jnp.dtype(io_dtype)
+    Sp, Bp, Tp, t_chunk, nt = _sb_geometry(T, S, B, io_dtype)
+
+    vmask = valid.astype(jnp.float32)                     # [T, B]
+    wu = (w.astype(jnp.float32) * vmask[:, None, :]
+          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)  # [T, S, B]
+    wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
+    ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
+                                   Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
+                                   interpret=interpret, recip=recip,
+                                   io_dtype=io_dtype)
+    return ahat[:T, :S, :B], bhat[:T, :S, :B], cfw_b[:T, 0, :B]
+
+
+def _sb_geometry(T: int, S: int, B: int, io_dtype):
+    """(Sp, Bp, Tp, t_chunk, nt) for the sb kernel's padded streams."""
     if S > S_PAD:
         raise ValueError(f"S={S} > {S_PAD}; shard speakers first")
     # bf16 tiles pack sublane pairs: the second-minor axis tiles at 16
@@ -306,19 +321,35 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
             f"frame slots): split the batch (smaller max_batch_frames) or "
             f"use fb_impl='structured'")
     Tp = _round_up(T, t_chunk)
-    nt = Tp // t_chunk
+    return Sp, Bp, Tp, t_chunk, Tp // t_chunk
 
-    vmask = valid.astype(jnp.float32)                     # [T, B]
-    wu = (w.astype(jnp.float32) * vmask[:, None, :]
-          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)  # [T, S, B]
-    wp = jnp.full((Tp, Sp, Bp), 1.0 / Sp, io_dtype)
-    wp = wp.at[:T, :, :].set(
-        jnp.zeros((T, Sp, Bp), io_dtype).at[:, :S, :B].set(wu))
+
+def _sb_pad_w(wu, Sp: int, Bp: int, Tp: int, io_dtype):
+    """[T, S, B] valid-masked weights -> the kernel's padded [Tp, Sp, Bp]
+    stream: padded speaker/batch lanes 0, padded frame rows uniform 1/Sp
+    (see module docstring). One pad + one where — XLA fuses both into the
+    w producer, writing the padded stream directly (the previous
+    two-step .at[].set form materialized an extra full-size copy per EM
+    iteration, measured ~9% of the while-body)."""
+    T, S, B = wu.shape
+    wp = jnp.pad(wu, ((0, Tp - T), (0, Sp - S), (0, Bp - B)))
+    if Tp > T:
+        tmask = (jnp.arange(Tp) < T)[:, None, None]
+        wp = jnp.where(tmask, wp, jnp.asarray(1.0 / Sp, io_dtype))
+    return wp
+
+
+def _sb_pallas(wp, col, pinit, loop_prob, *, Sp, Bp, nt, t_chunk,
+               interpret, recip, io_dtype):
+    """Invoke the fused sb kernel on a pre-padded [Tp, Sp, Bp] stream.
+    col/pinit are the UNPADDED [S, B] operands."""
+    S, B = col.shape
     colp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
         col.astype(jnp.float32))
     pinitp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
         pinit.astype(jnp.float32))
     lp = jnp.asarray(loop_prob, jnp.float32).reshape(1, 1)
+    Tp = nt * t_chunk
 
     def chunk3(kk):
         return (kk, 0, 0)
@@ -329,7 +360,7 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     def bcast2(kk):
         return (0, 0)
 
-    ahat, bhat, cfw_b = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fused_kernel_sb, recip=recip),
         grid=(nt,),
         in_specs=[
@@ -360,10 +391,40 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
         interpret=interpret,
     )(wp, wp, colp, pinitp, lp)
 
-    ahat_s = ahat[:T, :S, :B]
-    bhat_s = bhat[:T, :S, :B]
-    cfw = cfw_b[:T, 0, :B]
-    return ahat_s, bhat_s, cfw
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "recip", "io_dtype"))
+def fb_scan_pallas_sb_logp(log_p, smask_sb, valid, col, pinit, loop_prob,
+                           interpret: bool = False, recip: bool = False,
+                           io_dtype=jnp.float32):
+    """fb_scan_pallas_sb that BUILDS w from the log-likelihoods in one
+    fused producer: m = max_s(log_p), w = exp(log_p - m) * smask, valid
+    masking, and the kernel's frame/speaker/batch padding all land in a
+    single XLA loop fusion writing the padded stream directly — the engine
+    previously materialized w unpadded (one full write + read) and a
+    separate padded copy per EM iteration.
+
+    log_p:    [T, S, B] float32 (padded speakers already masked to -inf).
+    smask_sb: [S, B] speaker validity.
+    Returns (ahat, bhat, cfw [T, B], m [T, B], w [T, S, B] io_dtype) —
+    m and w are the byproducts the engine's ELBO/pi_stat consume.
+    """
+    T, S, B = log_p.shape
+    io_dtype = jnp.dtype(io_dtype)
+    Sp, Bp, Tp, t_chunk, nt = _sb_geometry(T, S, B, io_dtype)
+
+    vmask = valid.astype(jnp.float32)                     # [T, B]
+    m = jnp.max(log_p, axis=1)                            # [T, B]
+    w_core = jnp.exp(log_p - m[:, None, :]) * smask_sb[None]
+    wu = (w_core * vmask[:, None, :]
+          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
+    wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
+    ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
+                                   Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
+                                   interpret=interpret, recip=recip,
+                                   io_dtype=io_dtype)
+    return (ahat[:T, :S, :B], bhat[:T, :S, :B], cfw_b[:T, 0, :B],
+            m, wp[:T, :S, :B])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "fused"))
