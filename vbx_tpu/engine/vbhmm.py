@@ -225,6 +225,9 @@ class _PState(NamedTuple):
     it: jax.Array
     converged: jax.Array      # [B]
     gamma: jax.Array          # [T, S, B] (time-major, speakers-on-sublanes)
+    counts: jax.Array         # [S, B] f32 sum_t gamma (combine-kernel
+    #                           accumulated; carried so the M-step never
+    #                           re-reads the gamma stream for its reduce)
     pi: jax.Array             # [B, S]
     elbo: jax.Array           # [B, max_iters]
     last_elbo: jax.Array      # [B]
@@ -285,19 +288,21 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     # first slice iteration may converge against the carried ELBO
     fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)          # [B]
 
-    def m_step(g_tsb):
-        # T-axis count accumulates in f32 (convert fuses into the reduce)
-        counts = jnp.sum(g_tsb.astype(dtype), axis=0)             # [S, B]
-        invL = 1.0 / (1.0 + fa_over_fb
-                      * counts.T[:, :, None] * phi[None, None, :])  # [B,S,D]
+    def m_step(g_tsb, counts_sb):
+        # counts come pre-accumulated (f32) from the combine kernel; only
+        # the cross-stats einsum still reads the gamma stream
+        invL = 1.0 / (1.0 + fa_over_fb * counts_sb.T[:, :, None]
+                      * phi[None, None, :])                       # [B,S,D]
         stats = jnp.einsum("tsb,btd->bsd", g_tsb, rho,
                            preferred_element_type=dtype)
         alpha = fa_over_fb * invL * stats.astype(dtype)
         return invL, alpha
 
+    counts0 = jnp.sum(gamma_tsb.astype(dtype), axis=0)            # [S, B]
+
     def one_iteration(state: _PState) -> _PState:
         first = jnp.logical_and(state.it == 0, fresh)          # [B]
-        invL, alpha = m_step(state.gamma)
+        invL, alpha = m_step(state.gamma, state.counts)
 
         cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
                            preferred_element_type=dtype)
@@ -311,27 +316,32 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # (moving the max/exp into the walk was measured 10% slower — the
         # walk is latency-bound), but INSIDE the kernel wrapper's jit so
         # max/exp/masking/padding fuse into ONE producer of the padded
-        # stream (the unpadded w materialization + separate pad copy were
-        # ~17% of the while-body; see fb_scan_pallas_sb_logp)
+        # stream (fb_scan_pallas_sb_logp). gamma/denominator/counts/
+        # pi_stat stay XLA fusions: a pallas combine kernel doing the
+        # same single pass over (ahat, bhat, w) measured 4% SLOWER
+        # same-process (46.8k vs 48.7k rec/s — grid + slab-loop overhead
+        # exceeded the saved re-reads; negative result in BENCHMARKS.md)
         col = (1.0 - loop_prob) * state.pi + eps      # [B, S]
         pinit = state.pi + eps
         ahat, bhat, cfw, m, w = fb_scan_pallas_sb_logp(
             log_p, smask_sb, valid_tb, col.T, pinit.T, loop_prob,
             interpret=interpret, io_dtype=io_dtype)
-
         ab = ahat.astype(dtype) * bhat.astype(dtype)
         denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)
         new_gamma = ((ab / denom) * valid_tb[:, None, :]).astype(io_dt)
-        log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)   # [B]
-
-        not_first_frame = valid_tb.at[0].set(0.0)     # exclude global t=0
+        # counts reduce here, where the gamma producer can fuse it — the
+        # M-step then never re-reads the gamma stream (counts are carried)
+        new_counts = jnp.sum(new_gamma.astype(dtype), axis=0)
+        log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)
+        not_first = valid_tb.at[0].set(0.0)
         terms = (w.astype(dtype) * bhat.astype(dtype)
                  / (denom * cfw[:, None, :]))
-        pi_stat = jnp.sum(terms * not_first_frame[:, None, :], axis=0).T
-        gamma0 = new_gamma[0].astype(dtype).T         # [B, S]
+        pi_stat_sb = jnp.sum(terms * not_first[:, None, :], axis=0)
+        gamma0_sb = new_gamma[0].astype(dtype)
 
         elbo_val = log_px + vmapped_elbo_term(invL, alpha, fb)    # [B]
-        new_pi = vmapped_pi_update(gamma0, state.pi, pi_stat, loop_prob)
+        new_pi = vmapped_pi_update(gamma0_sb.T, state.pi, pi_stat_sb.T,
+                                   loop_prob)
 
         now_conv = jnp.logical_and(jnp.logical_not(first),
                                    elbo_val - state.last_elbo < epsilon)
@@ -346,6 +356,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
             it=state.it + 1,
             converged=jnp.logical_or(keep, now_conv),
             gamma=sel(state.gamma, new_gamma, 2),
+            counts=sel(state.counts, new_counts, 1),
             pi=sel(state.pi, new_pi, 0),
             elbo=sel(state.elbo,
                      state.elbo.at[:, state.it].set(elbo_val), 0),
@@ -360,6 +371,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         it=jnp.zeros((), jnp.int32),
         converged=converged0,
         gamma=gamma_tsb,
+        counts=counts0,
         pi=pi,
         elbo=jnp.full((B, max_iters), jnp.nan, dtype),
         last_elbo=last_elbo0.astype(dtype),
@@ -373,7 +385,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     # M-step): the scan paths return the model of the crossing iteration
     # (computed from the previous gamma); both are valid converged models
     # and agree to within the convergence tolerance
-    invL_f, alpha_f = m_step(final.gamma)
+    invL_f, alpha_f = m_step(final.gamma, final.counts)
     return VBxResult(g_out, final.pi, final.elbo, n_iters, alpha_f, invL_f)
 
 
