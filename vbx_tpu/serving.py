@@ -347,28 +347,41 @@ class DiarizationService:
             self._stats["max_batch"] = max(self._stats["max_batch"],
                                            len(batch))
 
-        alive: List[_Request] = []
-        for req in batch:
+        # stream dispatch: as init futures complete, fill (T, S)-bucket
+        # groups and LAUNCH full chunks immediately — XLA dispatch is
+        # asynchronous, so a chunk's device EM runs under the remaining
+        # requests' host init instead of after it (the corpus pipeline's
+        # pipelined-dispatcher discipline; before this, a 64-request
+        # cohort serialized all 64 inits, then one device batch). Results
+        # are fetched after everything is launched.
+        from concurrent.futures import as_completed
+
+        groups: Dict[Tuple[int, int], List[_Request]] = {}
+        launched: List[Optional[dict]] = []
+        fut_to_req = {req.init_future: req for req in batch}
+        for fut in as_completed(fut_to_req):
+            req = fut_to_req[fut]
             try:
-                req.init_future.result()
-                alive.append(req)
+                fut.result()
             except Exception as exc:   # noqa: BLE001
                 self._fail(req, exc)
-
-        if not run_vb:
-            for req in alive:
+                continue
+            if not run_vb:
                 self._finish(req, req.labels, n_iters=0,
-                             batch_size=len(alive))
-            return
-
-        # bucket-pad surviving requests and run the batched engine per group
-        groups: Dict[Tuple[int, int], List[_Request]] = {}
-        for req in alive:
-            groups.setdefault(bucket_shape(*req.qinit.shape), []).append(req)
+                             batch_size=len(batch))
+                continue
+            key = bucket_shape(*req.qinit.shape)
+            groups.setdefault(key, []).append(req)
+            if len(groups[key]) >= self._chunk_cap(key[0]):
+                launched.append(self._launch_chunk(groups.pop(key), *key))
         for (t_pad, s_pad), reqs in sorted(groups.items()):
             cap = self._chunk_cap(t_pad)
             for k in range(0, len(reqs), cap):
-                self._run_chunk(reqs[k:k + cap], t_pad, s_pad)
+                launched.append(
+                    self._launch_chunk(reqs[k:k + cap], t_pad, s_pad))
+        for entry in launched:
+            if entry is not None:
+                self._finish_chunk(entry)
 
     def _chunk_cap(self, t_pad: int) -> int:
         """Requests per device chunk for a bucket of padded length t_pad.
@@ -402,8 +415,11 @@ class DiarizationService:
             Bp = -(-Bp // n_dp) * n_dp
         return Bp
 
-    def _run_chunk(self, reqs: List[_Request], t_pad: int,
-                   s_pad: int) -> None:
+    def _launch_chunk(self, reqs: List[_Request], t_pad: int,
+                      s_pad: int) -> Optional[dict]:
+        """Pad + dispatch one device chunk (asynchronous); returns an
+        entry for _finish_chunk, or None if the dispatch itself failed
+        (those requests are already failed)."""
         diar = self._diar
         cfg = diar.config
         B = len(reqs)
@@ -446,10 +462,20 @@ class DiarizationService:
                     jnp.asarray(SM), loop_prob=cfg.vb.loop_prob,
                     Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, max_iters=cfg.vb.max_iters,
                     epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl)
-            q = np.asarray(res.gamma)
-            iters = np.asarray(res.n_iters)
         except Exception as exc:   # noqa: BLE001 — fail the chunk, not the
             for req in reqs:       # service
+                self._fail(req, exc)
+            return None
+        return {"reqs": reqs, "res": res, "B": B}
+
+    def _finish_chunk(self, entry: dict) -> None:
+        cfg = self._diar.config
+        reqs, B = entry["reqs"], entry["B"]
+        try:
+            q = np.asarray(entry["res"].gamma)
+            iters = np.asarray(entry["res"].n_iters)
+        except Exception as exc:   # noqa: BLE001 — fetch failed: fail the
+            for req in reqs:       # chunk, not the service
                 self._fail(req, exc)
             return
         for b, req in enumerate(reqs):
