@@ -304,3 +304,36 @@ def test_truncated_ark_key_is_a_typed_truncation_error(tmp_path):
     p.write_bytes(blob + b"rec_00")
     with pytest.raises(ValueError, match="truncated ark: EOF inside"):
         list(iter_vec_ark(str(p)))
+
+
+def test_8khz_model_assets_load_and_diarize():
+    """The 8 kHz backend's shipped PLDA + transform (the CALLHOME model,
+    CALLHOME_run.sh:18-23) must parse and drive the pipeline end-to-end —
+    round 1 only ever exercised the 16 kHz assets."""
+    import numpy as np
+
+    from vbx_tpu.config import get_preset
+    from vbx_tpu.engine.pipeline import Diarizer
+    from vbx_tpu.io.plda import read_plda
+    from vbx_tpu.io.transform import read_xvec_transform
+
+    base = f"{REF}/VBx/models/ResNet101_8kHz"
+    if not os.path.exists(f"{base}/plda"):
+        pytest.skip("reference assets not mounted")
+    mu, tr, psi = read_plda(f"{base}/plda")
+    assert mu.shape == (128,) and tr.shape == (128, 128) \
+        and psi.shape == (128,)
+    mean1, lda, mean2 = read_xvec_transform(f"{base}/transform.h5")
+    assert mean1.shape == (256,) and lda.shape == (256, 128) \
+        and mean2.shape == (128,)
+
+    diar = Diarizer.from_files(get_preset("callhome"), f"{base}/plda",
+                               f"{base}/transform.h5")
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((3, 256))
+    x_raw = (centers[rng.integers(0, 3, 400)]
+             + 0.5 * rng.standard_normal((400, 256))).astype(np.float32)
+    out = diar.diarize_xvectors(x_raw)
+    assert len(out.labels1st) == 400
+    assert 1 <= out.n_speakers <= 10
+    assert out.n_iters >= 1
