@@ -110,7 +110,10 @@ def stage_diarization(args):
     mesh = None
     if args.mesh:
         from vbx_tpu.parallel.mesh import parse_mesh
-        mesh = parse_mesh(args.mesh)
+        try:
+            mesh = parse_mesh(args.mesh)
+        except ValueError as exc:
+            raise SystemExit(f"--mesh: {exc}")
     diarize_ark(os.path.join(args.exp_dir, "xvectors.ark"),
                 os.path.join(args.exp_dir, "xvectors.seg"),
                 rttm_dir, cfg, args.plda_file, args.xvec_transform,

@@ -250,3 +250,12 @@ def test_ahc_device_similarity_backend():
             break
     else:
         raise AssertionError("device backend changed the partition")
+
+
+def test_adaptive_bins_explicit_override_honored():
+    """An explicit n_bins overrides the 2^16 L2 cap instead of being
+    silently clamped (review finding, round 2)."""
+    from vbx_tpu.ops.calibration import adaptive_bins
+    assert adaptive_bins(1 << 30, n_bins=1 << 18) == 1 << 18
+    assert adaptive_bins(1 << 30, n_bins=1 << 14) == 1 << 14
+    assert adaptive_bins(1 << 30) == 1 << 16

@@ -288,6 +288,17 @@ def diarize_ark(
                 raise ValueError(
                     f"mesh 'sp' extent {n_sp} must divide the smallest "
                     f"frame bucket ({T_QUANTUM})")
+            if not batch or fb_impl is not None:
+                # a mesh implies the sharded batched engine; say so
+                # loudly rather than silently ignoring the arguments
+                # (same policy as the S>128 pallas fallback)
+                import warnings
+                warnings.warn(
+                    "mesh routing overrides "
+                    + ("batch=False" if not batch else f"fb_impl="
+                       f"{fb_impl!r}")
+                    + ": the sharded engine is batched and uses the "
+                      "structured blockwise smoother", stacklevel=2)
 
         if not run_vb or (mesh is None and (not batch or len(recs) == 1)):
             for rec, seg_names, x_raw in recs:

@@ -17,7 +17,7 @@ for oracle validation.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -185,7 +185,7 @@ def two_gmm_calib_from_moments(cnt, ssum, s2sum, niters: int = 20) -> float:
     return _weighted_em_threshold(cnt, ssum, s2sum, ssum / cnt, niters)
 
 
-def adaptive_bins(n: int, n_bins: int = 1 << 16) -> int:
+def adaptive_bins(n: int, n_bins: Optional[int] = None) -> int:
     """Bin count for the histogram EM, scaled with the score count so the
     EM pass (niters x nonzero bins) stays well below the O(N^2) binning
     pass: ~n/64 bins, clamped to [2^12, 2^16]. Measured on the golden
@@ -198,14 +198,18 @@ def adaptive_bins(n: int, n_bins: int = 1 << 16) -> int:
     6x SLOWER than 2^16 from cache spill alone (the previous rule's
     round-UP to 2^17 at ES2005a size violated exactly that). Every caller
     that histograms scores for `two_gmm_calib_from_moments` should use
-    THIS rule so streamed and materialized paths bin comparably."""
+    THIS rule so streamed and materialized paths bin comparably.
+
+    `n_bins`, when given, OVERRIDES the 2^16 L2 cap (honored exactly as
+    the new cap — a caller asking for 2^18 bins gets up to 2^18 and
+    accepts the cache spill); None means the measured default."""
+    cap = (1 << 16) if n_bins is None else n_bins
     target = max(n // 64, 1)
-    return int(min(n_bins, 1 << 16,
-                   max(1 << 12, 1 << (target - 1).bit_length())))
+    return int(min(cap, max(1 << 12, 1 << (target - 1).bit_length())))
 
 
 def two_gmm_calib_lin_binned(scores, niters: int = 20,
-                             n_bins: int = 1 << 20) -> float:
+                             n_bins: Optional[int] = None) -> float:
     """Histogram-accelerated host f64 calibration for long recordings.
 
     The exact EM touches all N^2 scores every iteration — ~60 s of host

@@ -136,12 +136,17 @@ class DiarizationService:
                 max(1, (os.cpu_count() or init_workers) // init_workers))
             try:
                 from threadpoolctl import threadpool_limits
+                # process-global; close() restores the original limits so
+                # later same-process work (corpus pipeline, tests) gets
+                # its BLAS threads back
                 self._blas_limit = threadpool_limits(
                     limits=max(1, (os.cpu_count() or init_workers)
                                // init_workers),
                     user_api="blas")
             except ImportError:
                 self._blas_limit = None
+        else:
+            self._blas_limit = None
         self._init_pool = ThreadPoolExecutor(
             max_workers=init_workers,
             thread_name_prefix="vbx-serve-init")
@@ -270,6 +275,9 @@ class DiarizationService:
             self._queue.put(_SHUTDOWN)
         self._worker.join()
         self._init_pool.shutdown(wait=False)
+        if self._blas_limit is not None:
+            self._blas_limit.restore_original_limits()
+            self._blas_limit = None
         self._runlog.close()
 
     def __enter__(self) -> "DiarizationService":
@@ -356,8 +364,23 @@ class DiarizationService:
         # are fetched after everything is launched.
         from concurrent.futures import as_completed
 
+        from collections import deque
+
         groups: Dict[Tuple[int, int], List[_Request]] = {}
-        launched: List[Optional[dict]] = []
+        in_flight: deque = deque()
+        # bounds HBM: a launched chunk's inputs and results stay resident
+        # until fetched (same discipline as the corpus pipeline's
+        # max_unawaited — without it a cohort of long recordings could
+        # hold every chunk's gamma on the device at once)
+        max_in_flight = 2
+
+        def launch(reqs, t_pad, s_pad):
+            entry = self._launch_chunk(reqs, t_pad, s_pad)
+            if entry is not None:
+                in_flight.append(entry)
+            while len(in_flight) > max_in_flight:
+                self._finish_chunk(in_flight.popleft())
+
         fut_to_req = {req.init_future: req for req in batch}
         for fut in as_completed(fut_to_req):
             req = fut_to_req[fut]
@@ -373,15 +396,13 @@ class DiarizationService:
             key = bucket_shape(*req.qinit.shape)
             groups.setdefault(key, []).append(req)
             if len(groups[key]) >= self._chunk_cap(key[0]):
-                launched.append(self._launch_chunk(groups.pop(key), *key))
+                launch(groups.pop(key), *key)
         for (t_pad, s_pad), reqs in sorted(groups.items()):
             cap = self._chunk_cap(t_pad)
             for k in range(0, len(reqs), cap):
-                launched.append(
-                    self._launch_chunk(reqs[k:k + cap], t_pad, s_pad))
-        for entry in launched:
-            if entry is not None:
-                self._finish_chunk(entry)
+                launch(reqs[k:k + cap], t_pad, s_pad)
+        while in_flight:
+            self._finish_chunk(in_flight.popleft())
 
     def _chunk_cap(self, t_pad: int) -> int:
         """Requests per device chunk for a bucket of padded length t_pad.
