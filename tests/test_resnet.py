@@ -237,3 +237,21 @@ def test_full_depth_conversion_covers_all_layers():
         for bi in range(n):
             assert p[f"layer{li}_{bi}"], f"layer{li}_{bi} empty"
             assert stats["batch_stats"][f"layer{li}_{bi}"]
+
+
+@needs_ref
+def test_convert_tolerates_training_time_extras():
+    """Released checkpoints can carry non-extractor tensors (training
+    heads); the reference loads them strict=False (predict.py:124). The
+    conversion must warn and proceed — only EXTRACTOR-module leftovers
+    (depth mismatch) abort."""
+    ref = _ref_resnet()
+    torch.manual_seed(7)
+    tm = ref.ResNet(ref.Bottleneck, [1, 1, 1, 1], m_channels=8,
+                    feat_dim=32, embed_dim=64)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    sd["cls_head.weight"] = np.zeros((4, 64), np.float32)
+    sd["cls_head.bias"] = np.zeros(4, np.float32)
+    with pytest.warns(UserWarning, match="non-extractor"):
+        params, stats = convert_torch_state_dict(sd, num_blocks=(1, 1, 1, 1))
+    assert "embedding" in params["params"]
