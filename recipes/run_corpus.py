@@ -73,9 +73,13 @@ def _names(path):
 
 
 def stage_xvectors(args):
+    import jax
+
     from vbx_tpu.engine.extractor import XVectorExtractor, extract_to_ark
     from vbx_tpu.models.resnet import load_torch_checkpoint
+    from vbx_tpu.parallel.distributed import initialize, local_recording_slice
 
+    initialize()          # multi-host: no-op unless COORDINATOR_ADDRESS set
     cfg = get_preset(args.preset)
     ark = os.path.join(args.exp_dir, "xvectors.ark")
     seg = os.path.join(args.exp_dir, "xvectors.seg")
@@ -88,10 +92,33 @@ def stage_xvectors(args):
     ex = XVectorExtractor(model, variables, cfg.sample_rate,
                           config=cfg.extractor)
     names = _names(args.list_file)
+    os.makedirs(args.exp_dir, exist_ok=True)
+    multi = jax.process_count() > 1
+    if multi:
+        # recordings shard over hosts ('dp' over DCN, like the
+        # diarization stage); each host writes its own ark/seg shard,
+        # then host 0 concatenates after the barrier (ark and segments
+        # are plain record streams, so concatenation is exact)
+        names = names[local_recording_slice(len(names))]
+        ark_out = f"{ark}.{jax.process_index()}"
+        seg_out = f"{seg}.{jax.process_index()}"
+    else:
+        ark_out, seg_out = ark, seg
     wavs = [os.path.join(args.wav_dir, f"{n}.wav") for n in names]
     labs = [os.path.join(args.lab_dir, f"{n}.lab") for n in names]
-    os.makedirs(args.exp_dir, exist_ok=True)
-    extract_to_ark(wavs, labs, names, ark, seg, ex)
+    extract_to_ark(wavs, labs, names, ark_out, seg_out, ex)
+    if multi:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("xvector_shards_written")
+        if jax.process_index() != 0:
+            return
+        for path in (ark, seg):
+            with open(path, "wb") as out:
+                for p in range(jax.process_count()):
+                    shard = f"{path}.{p}"
+                    if os.path.exists(shard):
+                        with open(shard, "rb") as f:
+                            out.write(f.read())
 
 
 def stage_diarization(args):

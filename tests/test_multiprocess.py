@@ -116,3 +116,99 @@ def test_two_process_corpus_matches_single_process(tmp_path):
         single = (exp2 / "rttms" / f"{rec}.rttm").read_text()
         assert single == multi[rec], (
             f"{rec}: 2-process RTTM differs from single-process")
+
+
+CHILD_XV = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    # deterministic tiny extractor in place of the ResNet101 checkpoint
+    # loader: both processes (and the single-process oracle) build the
+    # SAME flax model from PRNGKey(0), so ark bytes must agree exactly
+    import vbx_tpu.models.resnet as resnet_mod
+    from vbx_tpu.models.resnet import BasicBlock, ResNetXVector
+    def _tiny_loader(path, **kw):
+        # built lazily: model init touches the XLA backend, which must
+        # not happen before jax.distributed.initialize in the stage
+        import jax.numpy as jnp
+        fm = ResNetXVector(block=BasicBlock, num_blocks=(1, 1, 1, 1),
+                           feat_dim=64, embed_dim=32)
+        variables = fm.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 144), jnp.float32),
+                            lengths=jnp.array([144]))
+        return fm, variables
+    resnet_mod.load_torch_checkpoint = _tiny_loader
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "run_corpus", os.path.join({repo!r}, "recipes", "run_corpus.py"))
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+    raise SystemExit(rc.main(sys.argv[1:]))
+""")
+
+
+def test_two_process_xvector_extraction_matches_single(tmp_path):
+    """The xvectors stage shards recordings over hosts like diarization:
+    two gloo processes each extract their slice into ark/seg shards, host
+    0 concatenates after the barrier, and the result is bit-identical to
+    a single-process run."""
+    import numpy as np
+
+    from vbx_tpu.io.wav import write_wav
+
+    wav_dir = tmp_path / "wav"
+    lab_dir = tmp_path / "lab"
+    wav_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    names = ["recA", "recB", "recC"]
+    for rec in names:
+        write_wav(str(wav_dir / f"{rec}.wav"),
+                  0.1 * rng.standard_normal(2 * 16000), 16000)
+        (lab_dir / f"{rec}.lab").write_text("0.10 1.90 sp\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text("".join(f"{n}\n" for n in names))
+
+    def argv(exp):
+        return ["xvectors", "--preset", "example",
+                "--list-file", str(lst), "--exp-dir", str(exp),
+                "--wav-dir", str(wav_dir), "--lab-dir", str(lab_dir),
+                "--weights", "unused.pth"]
+
+    child = tmp_path / "child_xv.py"
+    child.write_text(CHILD_XV.format(repo=REPO))
+    port = _free_port()
+    env_base = {**os.environ,
+                "PALLAS_AXON_POOL_IPS": "",
+                "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "NUM_PROCESSES": "2"}
+    env_base.pop("JAX_PLATFORMS", None)
+    exp2p = tmp_path / "exp2p"
+    procs = [subprocess.Popen(
+        [sys.executable, str(child)] + argv(exp2p),
+        env={**env_base, "PROCESS_ID": str(pid)},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+    # single-process oracle through the same child (no coordinator envs)
+    exp1p = tmp_path / "exp1p"
+    env1 = {**os.environ, "PALLAS_AXON_POOL_IPS": ""}
+    env1.pop("JAX_PLATFORMS", None)
+    p = subprocess.run([sys.executable, str(child)] + argv(exp1p),
+                       env=env1, capture_output=True, text=True,
+                       timeout=480)
+    assert p.returncode == 0, p.stdout + p.stderr
+
+    for fname in ("xvectors.ark", "xvectors.seg"):
+        two = (exp2p / fname).read_bytes()
+        one = (exp1p / fname).read_bytes()
+        assert two == one, f"{fname}: 2-process differs from single"
+    from vbx_tpu.io.ark import iter_vec_ark
+    recs = {key.rsplit("_", 1)[0] for key, _ in
+            iter_vec_ark(str(exp2p / "xvectors.ark"))}
+    assert recs == set(names)
