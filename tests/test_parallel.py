@@ -195,3 +195,71 @@ def test_run_corpus_mesh_long_recording(tmp_path):
         rttms[tag] = open(os.path.join(exp, "all.rttm")).read()
     assert rttms["mesh"] == rttms["solo"]
     assert rttms["mesh"].count("SPEAKER") > n_spk   # non-degenerate output
+
+
+def test_sharded_checkpointed_slicing_is_exact(tmp_path):
+    """Mid-EM engine-state checkpointing over the mesh: slicing the
+    SHARDED EM into host-visible steps is bit-exact vs one long sharded
+    run (converged0/last_elbo0 resume semantics match the unsharded
+    engine), and a preemption resume from the checkpoint file continues
+    the same trajectory."""
+    import os
+
+    from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
+
+    B, T, S, D = 4, 96, 5, 12
+    rng = np.random.default_rng(17)
+    problems = [random_vb_problem(rng, T, S, D) for _ in range(B)]
+    phi = problems[0][1]
+    X = jnp.asarray(np.stack([p[0] for p in problems]), jnp.float32)
+    G = jnp.asarray(np.stack([p[2] for p in problems]), jnp.float32)
+    PI = jnp.asarray(np.stack([p[3] for p in problems]), jnp.float32)
+    FM = jnp.ones((B, T), bool)
+    SM = jnp.ones((B, S), bool)
+    phi32 = jnp.asarray(phi, jnp.float32)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=20, epsilon=1e-6)
+    mesh = make_mesh(n_dp=2, n_sp=4)
+
+    ref = vbx_sharded(mesh, X, phi32, G, PI, FM, SM, **kw)
+    out = vbx_batched_checkpointed(X, phi32, G, PI, FM, SM, **kw,
+                                   iters_per_slice=3, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.gamma),
+                                  np.asarray(ref.gamma))
+    np.testing.assert_array_equal(np.asarray(out.pi), np.asarray(ref.pi))
+
+    # preemption: run one slice with a checkpoint file, then resume
+    ck = str(tmp_path / "state.npz")
+
+    class _Stop(Exception):
+        pass
+
+    import vbx_tpu.parallel.engine as pe
+    real = pe.vbx_sharded
+    calls = {"n": 0}
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _Stop()
+        return real(*a, **k)
+
+    pe.vbx_sharded = bomb
+    try:
+        import pytest as _pytest
+        with _pytest.raises(_Stop):
+            vbx_batched_checkpointed(X, phi32, G, PI, FM, SM, **kw,
+                                     iters_per_slice=3, mesh=mesh,
+                                     checkpoint_path=ck)
+    finally:
+        pe.vbx_sharded = real
+    assert os.path.exists(ck)     # first slice was checkpointed
+    resumed = vbx_batched_checkpointed(X, phi32, G, PI, FM, SM, **kw,
+                                       iters_per_slice=3, mesh=mesh,
+                                       checkpoint_path=ck)
+    np.testing.assert_array_equal(np.asarray(resumed.gamma),
+                                  np.asarray(ref.gamma))
+    np.testing.assert_array_equal(np.asarray(resumed.n_iters),
+                                  np.asarray(ref.n_iters))
+    assert not os.path.exists(ck)  # removed on success

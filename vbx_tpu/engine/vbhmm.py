@@ -512,10 +512,17 @@ def vbx_batched_checkpointed(
     fb_impl: Optional[str] = None,
     iters_per_slice: int = 10,
     checkpoint_path: Optional[str] = None,
+    mesh=None,
 ) -> VBxResult:
     """vbx_batched with mid-EM engine-state checkpointing (SURVEY.md §5:
     the reference's only durability is whole files per recording; a
     preempted long batch here resumes mid-recording).
+
+    `mesh`: a ('dp', 'sp') jax.sharding.Mesh runs every slice through
+    the SHARDED engine (parallel.vbx_sharded) — the pod-scale variant: a
+    preempted slice of hour-long frame-sharded meetings resumes exactly.
+    fb_impl is ignored under a mesh (the sharded engine is the
+    structured blockwise smoother).
 
     The EM runs in host-visible slices of `iters_per_slice` iterations.
     After each slice the full loop state — (gamma, pi, converged,
@@ -541,8 +548,12 @@ def vbx_batched_checkpointed(
     # CPU) — an f32 downcast there would quantize sub-f32 ELBO deltas to
     # zero and flag convergence early
     fb = fb_impl or "structured"
-    dt = np.dtype(np.float32 if fb.startswith("pallas")
-                  else np.asarray(X).dtype)
+    if mesh is not None:
+        fb = f"sharded[{','.join(f'{k}={v}' for k, v in mesh.shape.items())}]"
+        dt = np.dtype(np.asarray(X).dtype)
+    else:
+        dt = np.dtype(np.float32 if fb.startswith("pallas")
+                      else np.asarray(X).dtype)
     it_done = 0
     elbo_full = np.full((B, max_iters), np.nan, dt)
     converged = np.zeros((B,), bool)
@@ -577,11 +588,20 @@ def vbx_batched_checkpointed(
     res = None
     while it_done < max_iters and not converged.all():
         k = min(iters_per_slice, max_iters - it_done)
-        res = vbx_batched(
-            X, phi, g_cur, pi_cur, frame_mask, speaker_mask,
-            loop_prob, Fa, Fb, max_iters=k, epsilon=epsilon,
-            fb_impl=fb_impl, converged0=jnp.asarray(converged),
-            last_elbo0=jnp.asarray(last_elbo))
+        if mesh is not None:
+            from vbx_tpu.parallel.engine import vbx_sharded
+            res = vbx_sharded(
+                mesh, jnp.asarray(X), jnp.asarray(phi), g_cur, pi_cur,
+                jnp.asarray(frame_mask), jnp.asarray(speaker_mask),
+                loop_prob=loop_prob, Fa=Fa, Fb=Fb, max_iters=k,
+                epsilon=epsilon, converged0=jnp.asarray(converged),
+                last_elbo0=jnp.asarray(last_elbo))
+        else:
+            res = vbx_batched(
+                X, phi, g_cur, pi_cur, frame_mask, speaker_mask,
+                loop_prob, Fa, Fb, max_iters=k, epsilon=epsilon,
+                fb_impl=fb_impl, converged0=jnp.asarray(converged),
+                last_elbo0=jnp.asarray(last_elbo))
         g_cur, pi_cur = res.gamma, res.pi
         elbo_k = np.asarray(res.elbo).astype(dt, copy=False)  # [B, k]
         n_k = np.sum(~np.isnan(elbo_k), axis=1)            # per-rec iters

@@ -43,10 +43,14 @@ class _State(NamedTuple):
 
 
 def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
-                          loop_prob, fa, fb, epsilon, *,
+                          loop_prob, fa, fb, epsilon, converged0,
+                          last_elbo0, *,
                           max_iters: int, axis_name: str):
     """One recording, local frame block [Tl, ...]; runs inside
-    vmap(recordings) inside shard_map(mesh)."""
+    vmap(recordings) inside shard_map(mesh). converged0/last_elbo0
+    resume a run mid-EM (engine-state checkpointing, same semantics as
+    the unsharded engine: a fresh lane carries NEG_INF and may not
+    converge on its first iteration)."""
     dtype = X.dtype
     G, rho = vb_precompute(X, phi)
     fa_over_fb = fa / fb
@@ -54,9 +58,10 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
     gamma = (gamma * frame_mask[:, None].astype(dtype)
              * speaker_mask[None, :].astype(dtype))
     pi = pi * speaker_mask.astype(dtype)
+    fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)
 
     def one_iteration(state: _State) -> _State:
-        first = state.it == 0
+        first = jnp.logical_and(state.it == 0, fresh)
         # M-step with cross-chip frame reductions (VBx.py:95-96 -> psum)
         counts = jax.lax.psum(jnp.sum(state.gamma, axis=0), axis_name)
         stats = jax.lax.psum(
@@ -96,11 +101,11 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
 
     init = _State(
         it=jnp.zeros((), jnp.int32),
-        converged=jnp.zeros((), bool),
+        converged=converged0,
         gamma=gamma,
         pi=pi,
         elbo=jnp.full((max_iters,), jnp.nan, dtype=dtype),
-        last_elbo=jnp.asarray(NEG_INF, dtype),
+        last_elbo=last_elbo0.astype(dtype),
     )
     final = jax.lax.while_loop(cond, one_iteration, init)
     return final.gamma, final.pi, final.elbo, final.it
@@ -119,30 +124,40 @@ def vbx_sharded(
     Fb: float,
     max_iters: int = 40,
     epsilon: float = 1e-6,
+    converged0=None,
+    last_elbo0=None,
 ) -> ShardedVBxResult:
     """Batched VB-HMM over a ('dp', 'sp') mesh.
 
     B must divide by |'dp'| and T by |'sp'|. Semantics identical to
-    engine.vbhmm.vbx_batched (validated in tests/test_parallel.py).
-    """
+    engine.vbhmm.vbx_batched (validated in tests/test_parallel.py),
+    including converged0/last_elbo0 mid-EM resume (engine-state
+    checkpointing — vbx_batched_checkpointed(mesh=...))."""
     dtype = X.dtype
+    B = gamma.shape[0]
     loop_prob = jnp.asarray(loop_prob, dtype)
     fa = jnp.asarray(Fa, dtype)
     fb = jnp.asarray(Fb, dtype)
     epsilon = jnp.asarray(epsilon, dtype)
+    if converged0 is None:
+        converged0 = jnp.zeros((B,), bool)
+    if last_elbo0 is None:
+        last_elbo0 = jnp.full((B,), NEG_INF, dtype)
 
-    def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, lp, fa_, fb_, eps_):
+    def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l,
+                 lp, fa_, fb_, eps_):
         run = functools.partial(
             _vb_em_sharded_single, max_iters=max_iters, axis_name="sp")
         return jax.vmap(
-            lambda x, g, p, f, s: run(x, phi_r, g, p, f, s,
-                                      lp, fa_, fb_, eps_)
-        )(X_l, gamma_l, pi_l, fm_l, sm_l)
+            lambda x, g, p, f, s, c0, le0: run(x, phi_r, g, p, f, s,
+                                               lp, fa_, fb_, eps_, c0, le0)
+        )(X_l, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l)
 
     shmapped = jax.shard_map(
         block_fn, mesh=mesh,
         in_specs=(P("dp", "sp", None), P(), P("dp", "sp", None),
                   P("dp", None), P("dp", "sp"), P("dp", None),
+                  P("dp"), P("dp"),
                   P(), P(), P(), P()),
         out_specs=(P("dp", "sp", None), P("dp", None), P("dp", None),
                    P("dp")),
@@ -150,5 +165,6 @@ def vbx_sharded(
 
     g, p_out, elbo, iters = jax.jit(shmapped)(
         X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
+        jnp.asarray(converged0, bool), jnp.asarray(last_elbo0, dtype),
         loop_prob, fa, fb, epsilon)
     return ShardedVBxResult(g, p_out, elbo, iters)
