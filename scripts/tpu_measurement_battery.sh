@@ -50,4 +50,13 @@ log "serving_bench 256 requests / 16 clients (pallas_bf16)"
 timeout 590 python scripts/serving_bench.py 256 16 pallas_bf16 \
     2>>"$OUT/serving_bench.err" | tee -a "$OUT/summary.log"
 
+log "profiler trace of the headline workload (measured HBM/op times)"
+VBX_TPU_TRACE_DIR="$OUT/trace" timeout 590 python scripts/trace_headline.py \
+    2>"$OUT/trace.err" | tee -a "$OUT/summary.log"
+
+log "long-recording AHC front half N=10k/20k (host; 50k takes ~3 min more)"
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 590 \
+    python scripts/linkage_scale_bench.py 10000 20000 \
+    2>"$OUT/linkage.err" | tee -a "$OUT/summary.log"
+
 log "done - see $OUT"
