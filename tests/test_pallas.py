@@ -371,3 +371,55 @@ def test_pallas_s_over_128_falls_back_with_warning():
     np.testing.assert_array_equal(np.asarray(res.gamma),
                                   np.asarray(ref.gamma))
     assert int(res.n_iters[0]) == int(ref.n_iters[0])
+
+
+@pytest.mark.parametrize("io_dtype", [jnp.float32, jnp.bfloat16])
+def test_fb_sb_logp_wrapper_matches_two_step(io_dtype):
+    """fb_scan_pallas_sb_logp (fused w-producer) must reproduce the
+    two-step form — w computed outside, then fb_scan_pallas_sb — exactly,
+    including masked speakers, a short recording's padding suffix, and
+    the returned m/w byproducts on valid positions."""
+    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb, fb_scan_pallas_sb_logp
+
+    rng = np.random.default_rng(33)
+    T, S, B = 70, 6, 3
+    loop_prob = 0.92
+    log_p = rng.normal(size=(T, S, B)).astype(np.float32) * 3.0
+    smask = np.ones((S, B), np.float32)
+    smask[-1, 2] = 0.0                          # one masked speaker
+    log_p[:, -1, 2] = -1e30
+    valid = np.ones((T, B), np.float32)
+    valid[T - 20:, 1] = 0.0                     # one short recording
+    pi = rng.dirichlet(np.ones(S), size=B).astype(np.float32)
+    col = ((1 - loop_prob) * pi + 1e-8).T
+    pinit = (pi + 1e-8).T
+
+    m_ref = log_p.max(axis=1)
+    w_ref = np.exp(log_p - m_ref[:, None, :]) * smask[None]
+    a1, b1, c1 = fb_scan_pallas_sb(
+        jnp.asarray(w_ref), jnp.asarray(valid), jnp.asarray(col),
+        jnp.asarray(pinit), loop_prob, interpret=True, io_dtype=io_dtype)
+    a2, b2, c2, m2, w2 = fb_scan_pallas_sb_logp(
+        jnp.asarray(log_p), jnp.asarray(smask), jnp.asarray(valid),
+        jnp.asarray(col), jnp.asarray(pinit), loop_prob, interpret=True,
+        io_dtype=io_dtype)
+    # numpy's exp and XLA's fused exp differ at the last ulp, so the two
+    # paths agree to float tolerance, not bit-for-bit (the pallas engine
+    # is tolerance-parity by contract)
+    tol = dict(rtol=5e-6, atol=1e-7) if io_dtype == jnp.float32 \
+        else dict(rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a1, np.float32),
+                               np.asarray(a2, np.float32), **tol)
+    np.testing.assert_allclose(np.asarray(b1, np.float32),
+                               np.asarray(b2, np.float32), **tol)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=5e-6, atol=0)
+    np.testing.assert_array_equal(np.asarray(m2), m_ref)
+    # w byproduct equals the valid-masked stream on VALID frames (invalid
+    # frames carry the kernel's uniform fill — consumers mask them)
+    w2 = np.asarray(w2, np.float32)
+    vmb = np.broadcast_to(valid.astype(bool)[:, None, :], w2.shape)
+    np.testing.assert_allclose(
+        w2[vmb],
+        np.asarray(jnp.asarray(w_ref).astype(io_dtype), np.float32)[vmb],
+        **tol)
