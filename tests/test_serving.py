@@ -536,3 +536,29 @@ def test_http_server_end_to_end(tmp_path):
         httpd.shutdown()
         httpd.server_close()
         svc.close()
+
+
+@needs_assets
+def test_cohort_spanning_many_chunks(tmp_path):
+    """A cohort larger than the frames-budget chunk cap must split into
+    several device chunks (streamed launches + the bounded in-flight
+    fetch discipline) and still match the offline pipeline exactly."""
+    ark, seg, names, recs = _corpus_requests(tmp_path, n_rec=6)
+    off_dir = str(tmp_path / "offline")
+    offline = diarize_ark(ark, seg, off_dir, get_preset("example"),
+                          PLDA, H5, verbose=False)
+
+    # ~170-frame recordings pad to the 256 bucket; a 512-frame budget
+    # caps each chunk at 2 requests -> 6 requests = 3+ chunks
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            batch_window_ms=500.0, max_batch_frames=512) as svc:
+        futs = {rec: svc.submit(rec, x, ts)
+                for rec, (x, ts) in recs.items()}
+        results = {rec: f.result(timeout=240) for rec, f in futs.items()}
+        stats = svc.stats()
+    assert stats["failed"] == 0
+    assert max(r.batch_size for r in results.values()) <= 2
+    for rec in names:
+        np.testing.assert_array_equal(results[rec].labels1st,
+                                      offline[rec].labels1st)
