@@ -323,9 +323,13 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # exceeded the saved re-reads; negative result in BENCHMARKS.md)
         col = (1.0 - loop_prob) * state.pi + eps      # [B, S]
         pinit = state.pi + eps
+        # recip=True: the walk normalizes by reciprocal-multiply instead
+        # of a full-tile divide — measured 6.5% faster end-to-end on the
+        # chip (5.80 vs 6.18 ms/batch same-process), 1-ulp different
+        # normalization within the pallas path's tolerance contract
         ahat, bhat, cfw, m, w = fb_scan_pallas_sb_logp(
             log_p, smask_sb, valid_tb, col.T, pinit.T, loop_prob,
-            interpret=interpret, io_dtype=io_dtype)
+            interpret=interpret, io_dtype=io_dtype, recip=True)
         ab = ahat.astype(dtype) * bhat.astype(dtype)
         denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)
         new_gamma = ((ab / denom) * valid_tb[:, None, :]).astype(io_dt)
