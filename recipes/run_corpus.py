@@ -116,9 +116,21 @@ def stage_xvectors(args):
             with open(path, "wb") as out:
                 for p in range(jax.process_count()):
                     shard = f"{path}.{p}"
-                    if os.path.exists(shard):
-                        with open(shard, "rb") as f:
-                            out.write(f.read())
+                    if not os.path.exists(shard):
+                        # every process wrote its shard before the
+                        # barrier; a missing one means non-shared storage
+                        # or a writer failure — silently skipping would
+                        # produce an ark quietly missing that host's
+                        # recordings
+                        raise RuntimeError(
+                            f"missing x-vector shard {shard}: stage "
+                            f"output is on non-shared storage or process "
+                            f"{p} failed to write")
+                    with open(shard, "rb") as f:
+                        out.write(f.read())
+        for path in (ark, seg):
+            for p in range(jax.process_count()):
+                os.remove(f"{path}.{p}")
 
 
 def stage_diarization(args):
@@ -136,11 +148,8 @@ def stage_diarization(args):
         return
     mesh = None
     if args.mesh:
-        from vbx_tpu.parallel.mesh import parse_mesh
-        try:
-            mesh = parse_mesh(args.mesh)
-        except ValueError as exc:
-            raise SystemExit(f"--mesh: {exc}")
+        from vbx_tpu.parallel.mesh import parse_mesh_arg
+        mesh = parse_mesh_arg(args.mesh)
     diarize_ark(os.path.join(args.exp_dir, "xvectors.ark"),
                 os.path.join(args.exp_dir, "xvectors.seg"),
                 rttm_dir, cfg, args.plda_file, args.xvec_transform,

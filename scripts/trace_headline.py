@@ -97,9 +97,19 @@ def main():
             continue
         per_op[e.get("name", "?")] += e["dur"]   # microseconds
         total += e["dur"]
+    if not dev_pids:
+        print("WARNING: no device process identified in the trace; "
+              "aggregating ALL events (host spans may double-count)",
+              file=sys.stderr)
     # the trace nests spans (executable > while-loop > kernel): report
     # against the EXECUTABLE total, not the double-counting flat sum
     exe_us = sum(us for name, us in per_op.items() if name.startswith("jit"))
+    if exe_us <= 0:
+        # op naming varies across jax/libtpu versions; never lose the
+        # measurement to a ZeroDivisionError after a full chip run
+        print("WARNING: no 'jit*' executable span found; using the flat "
+              "event total (nested spans double-count)", file=sys.stderr)
+        exe_us = max(total, 1.0)
     top = sorted(per_op.items(), key=lambda kv: -kv[1])[:14]
     n_runs = 3
     print(f"\ntrace: {path}")

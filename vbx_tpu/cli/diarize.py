@@ -21,11 +21,8 @@ from vbx_tpu.engine.pipeline import diarize_ark
 def parse_mesh(spec):
     if not spec:
         return None
-    from vbx_tpu.parallel.mesh import parse_mesh as _parse
-    try:
-        return _parse(spec)
-    except ValueError as exc:
-        raise SystemExit(f"--mesh: {exc}")
+    from vbx_tpu.parallel.mesh import parse_mesh_arg
+    return parse_mesh_arg(spec)
 
 
 def build_parser() -> argparse.ArgumentParser:

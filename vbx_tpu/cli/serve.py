@@ -250,11 +250,8 @@ def main(argv=None) -> int:
                  if args.weights or args.model_file else None)
     mesh = None
     if args.mesh:
-        from vbx_tpu.parallel.mesh import parse_mesh
-        try:
-            mesh = parse_mesh(args.mesh)
-        except ValueError as exc:
-            raise SystemExit(f"--mesh: {exc}")
+        from vbx_tpu.parallel.mesh import parse_mesh_arg
+        mesh = parse_mesh_arg(args.mesh)
     service = DiarizationService.from_files(
         cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
         extractor=extractor, mesh=mesh,

@@ -283,6 +283,18 @@ def diarize_ark(
         _, _, run_vb = _parse_init(config.init)
         if mesh is not None and run_vb:
             from vbx_tpu.utils.bucketing import T_QUANTUM
+            if jax.process_count() > 1:
+                # a mesh built from the GLOBAL device list combined with
+                # per-host recording slices would hand every process
+                # different data against non-addressable devices —
+                # divergent sharded programs that error or deadlock in
+                # collectives. Host-local meshes + host sharding need a
+                # per-host device mesh; reject clearly until that exists.
+                raise ValueError(
+                    "mesh routing is single-process: with "
+                    "jax.process_count() > 1 use shard_over_hosts for "
+                    "the recording axis (a per-host ('dp','sp') mesh "
+                    "over jax.local_devices() is not yet wired)")
             n_sp = mesh.shape.get("sp", 1)
             if T_QUANTUM % n_sp:
                 raise ValueError(
@@ -541,8 +553,15 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 per_batch = chunk_cap(key[0], max_batch_frames)
                 if mesh is not None:
                     # max_batch_frames is a PER-DEVICE budget; the mesh
-                    # splits each chunk's frames across all its devices
+                    # splits each chunk's frames across all its devices.
+                    # The cap must also be PADDING-aware: launch() rounds
+                    # B up to a dp-multiple with replica lanes, so floor
+                    # the cap to a dp-multiple (min one dp group — a
+                    # single over-budget chunk must still run) or the
+                    # padded batch could exceed the budget by up to ~2x
+                    n_dp = mesh.shape.get("dp", 1)
                     per_batch *= int(np.prod(list(mesh.shape.values())))
+                    per_batch = max(n_dp, (per_batch // n_dp) * n_dp)
                 want = min(next_chunk.get(key, 1), per_batch)
                 if len(pending[key]) >= want:
                     # dispatch now, under the remaining init; double the

@@ -48,3 +48,14 @@ def parse_mesh(spec: Optional[str]) -> Optional[Mesh]:
     except ValueError:
         raise ValueError(f"mesh spec must look like 4x2, got {spec!r}")
     return make_mesh(n_dp=n_dp, n_sp=n_sp)
+
+
+def parse_mesh_arg(spec: Optional[str]) -> Optional[Mesh]:
+    """parse_mesh with CLI error semantics: a bad spec (or a spec needing
+    more devices than available) exits with a clean `--mesh: ...` message
+    instead of a traceback. The ONE wrapper every CLI shares (diarize,
+    serve, run_corpus)."""
+    try:
+        return parse_mesh(spec)
+    except ValueError as exc:
+        raise SystemExit(f"--mesh: {exc}")

@@ -381,6 +381,7 @@ class DiarizationService:
             while len(in_flight) > max_in_flight:
                 self._finish_chunk(in_flight.popleft())
 
+        no_vb_done: List[_Request] = []
         fut_to_req = {req.init_future: req for req in batch}
         for fut in as_completed(fut_to_req):
             req = fut_to_req[fut]
@@ -390,13 +391,15 @@ class DiarizationService:
                 self._fail(req, exc)
                 continue
             if not run_vb:
-                self._finish(req, req.labels, n_iters=0,
-                             batch_size=len(batch))
-                continue
+                no_vb_done.append(req)   # finished together below so
+                continue                 # batch_size counts only survivors
             key = bucket_shape(*req.qinit.shape)
             groups.setdefault(key, []).append(req)
             if len(groups[key]) >= self._chunk_cap(key[0]):
                 launch(groups.pop(key), *key)
+        for req in no_vb_done:
+            self._finish(req, req.labels, n_iters=0,
+                         batch_size=len(no_vb_done))
         for (t_pad, s_pad), reqs in sorted(groups.items()):
             cap = self._chunk_cap(t_pad)
             for k in range(0, len(reqs), cap):
