@@ -263,3 +263,31 @@ def test_sharded_checkpointed_slicing_is_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(resumed.n_iters),
                                   np.asarray(ref.n_iters))
     assert not os.path.exists(ck)  # removed on success
+
+
+def test_mesh_overrides_warn_and_multiprocess_guard(tmp_path):
+    """diarize_ark warns when a mesh overrides fb_impl/batch=False, and
+    refuses mesh routing under multi-process (global-device mesh with
+    per-host slices would run divergent sharded programs)."""
+    import os
+    from unittest import mock
+
+    from vbx_tpu.config import get_preset
+    from vbx_tpu.engine.pipeline import diarize_ark
+
+    REF = "/root/reference"
+    if not os.path.exists(f"{REF}/exp/ES2005a.ark"):
+        pytest.skip("reference assets not mounted")
+    mesh = make_mesh(4, 2)
+    common = dict(
+        config=get_preset("example"),
+        plda_file=f"{REF}/VBx/models/ResNet101_16kHz/plda",
+        transform_file=f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+        verbose=False, mesh=mesh)
+    with pytest.warns(UserWarning, match="mesh routing overrides"):
+        diarize_ark(f"{REF}/exp/ES2005a.ark", f"{REF}/exp/ES2005a.seg",
+                    str(tmp_path / "a"), fb_impl="pallas_bf16", **common)
+    with mock.patch("jax.process_count", return_value=2):
+        with pytest.raises(ValueError, match="single-process"):
+            diarize_ark(f"{REF}/exp/ES2005a.ark", f"{REF}/exp/ES2005a.seg",
+                        str(tmp_path / "b"), **common)
