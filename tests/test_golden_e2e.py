@@ -74,3 +74,23 @@ def test_es2005a_golden_der_pallas_bf16(tmp_path):
                           verbose=False)["ES2005a"]
     agree = np.mean(out_def.labels1st == out_bf.labels1st)
     assert agree > 0.999, agree
+
+
+@needs_assets
+def test_es2005a_golden_without_native_library(tmp_path, monkeypatch):
+    """The full pipeline must reproduce the golden result with the native
+    C++ library UNAVAILABLE: linkage/fcluster fall back to scipy,
+    histogram moments to numpy bincounts, and the 2-GMM EM to the numpy
+    reference loop — the documented degradation story for hosts where
+    the .so cannot build."""
+    import vbx_tpu.clustering as cl
+
+    monkeypatch.setattr(cl, "_lib", None)
+    monkeypatch.setattr(cl, "_lib_failed", True)
+    outs = diarize_ark(ARK, SEG, str(tmp_path), get_preset("example"),
+                       PLDA, H5, verbose=False)
+    assert outs["ES2005a"].n_speakers == 5
+    _, tot = der_from_rttm_files(
+        GOLD_RTTM, str(tmp_path / "ES2005a.rttm"),
+        collar=0.25, ignore_overlaps=True)
+    assert tot.der == pytest.approx(7.06, abs=0.006)
