@@ -103,3 +103,24 @@ def test_distributed_single_process_noop():
     initialize()          # no env, no args: must not raise
     sl = local_recording_slice(10)
     assert sl == slice(0, 10)
+
+
+def test_vbx_debug_gamma_plot(tmp_path):
+    """plot_path writes the reference's per-iteration debug figure
+    (VBx.py:111-120) — the last reference feature without a counterpart."""
+    pytest.importorskip("matplotlib")
+    import numpy as np
+
+    from vbx_tpu.engine.debug import vbx_debug
+
+    from .oracle import random_vb_problem
+
+    rng = np.random.default_rng(1)
+    X, phi, gamma, pi = random_vb_problem(rng, 60, 3, 8)
+    ref = rng.integers(0, 3, 60)
+    path = str(tmp_path / "gamma.png")
+    _, _, trace = vbx_debug(X, phi, gamma, pi, ref_labels=ref,
+                            max_iters=4, plot_path=path)
+    import os
+    assert os.path.getsize(path) > 1000
+    assert len(trace) >= 1

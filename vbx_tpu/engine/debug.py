@@ -60,11 +60,17 @@ def vbx_debug(
     Fb: float = 1.0,
     max_iters: int = 40,
     epsilon: float = 1e-6,
+    plot_path: Optional[str] = None,
 ):
     """EM loop with a per-iteration [ELBO, DER, xent] trace.
 
     Returns (gamma, pi, List[DebugTrace]). Matches the jitted engine's
     fixed point (same ops modules) while exposing every iteration.
+
+    `plot_path`: write the reference's debug figure (VBx.py:111-120 —
+    one subplot per EM iteration: responsibility trajectories over the
+    reference labeling as a pastel background strip) to this file.
+    Headless-safe (Agg backend); requires matplotlib.
     """
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
@@ -74,6 +80,7 @@ def vbx_debug(
     pi = jnp.asarray(pi, X.dtype)
     G, rho = vb_precompute(X, phi)
     trace: List[DebugTrace] = []
+    _plot_gammas: List[np.ndarray] = []
     for it in range(max_iters):
         invL, alpha = vb_m_step(gamma, rho, phi, Fa / Fb)
         log_p = vb_log_likelihoods(rho, G, invL, alpha, phi, Fa)
@@ -89,6 +96,36 @@ def vbx_debug(
                 frame_der(q, ref_labels, expected=True, xentropy=True)))
         else:
             trace.append(DebugTrace(elbo, float("nan"), float("nan")))
+        if plot_path is not None:
+            _plot_gammas.append(q)
         if it > 0 and trace[-1].elbo - trace[-2].elbo < epsilon:
             break
+    if plot_path is not None:
+        _plot_gamma_trace(_plot_gammas, ref_labels, plot_path)
     return q, np.asarray(pi), trace
+
+
+def _plot_gamma_trace(gammas: List[np.ndarray],
+                      ref_labels: Optional[np.ndarray],
+                      plot_path: str) -> None:
+    """Reference debug figure (VBx.py:111-120): one subplot per EM
+    iteration, speaker-responsibility trajectories drawn over the
+    reference labeling as a pastel background strip. Saved to a file
+    instead of an interactive window (headless TPU hosts)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = max(len(gammas), 1)
+    fig, axes = plt.subplots(n, 1, figsize=(10, 1.6 * n), squeeze=False)
+    for i, q in enumerate(gammas):
+        ax = axes[i, 0]
+        if ref_labels is not None:
+            ax.imshow(np.atleast_2d(ref_labels), interpolation="none",
+                      aspect="auto", cmap="Pastel1",
+                      extent=(0, len(q), -0.05, 1.05))
+        ax.plot(q, lw=2)
+        ax.set_ylabel(f"iter {i}", fontsize=8)
+        ax.set_xlim(0, len(q))
+    fig.savefig(plot_path, bbox_inches="tight")
+    plt.close(fig)
