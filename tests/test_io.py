@@ -337,3 +337,34 @@ def test_8khz_model_assets_load_and_diarize():
     assert len(out.labels1st) == 400
     assert 1 <= out.n_speakers <= 10
     assert out.n_iters >= 1
+
+
+def test_ark_roundtrip_fuzz_and_key_guard(tmp_path):
+    """Fuzz the ark codec: random dims/values (incl. denormals, huge
+    magnitudes, negative zero) roundtrip exactly; whitespace/empty keys
+    are rejected (a space-bearing key would silently corrupt the stream
+    for every later record)."""
+    import numpy as np
+
+    from vbx_tpu.io.ark import iter_vec_ark, write_vec_ark
+
+    rng = np.random.default_rng(99)
+    recs = []
+    for i in range(40):
+        dim = int(rng.integers(1, 513))
+        v = (rng.standard_normal(dim) * 10.0 ** rng.integers(-30, 30)
+             ).astype(np.float32)
+        if i % 7 == 0:
+            v[0] = -0.0
+        recs.append((f"rec{i:03d}_{int(rng.integers(1e6)):06d}", v))
+    path = str(tmp_path / "fuzz.ark")
+    write_vec_ark(path, recs)
+    back = list(iter_vec_ark(path))
+    assert [k for k, _ in back] == [k for k, _ in recs]
+    for (_, a), (_, b) in zip(recs, back):
+        np.testing.assert_array_equal(a, b)
+
+    for bad in ("has space", "tab\tkey", "", "new\nline"):
+        with pytest.raises(ValueError, match="key"):
+            write_vec_ark(str(tmp_path / "bad.ark"),
+                          [(bad, np.zeros(4, np.float32))])

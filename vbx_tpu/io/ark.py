@@ -83,6 +83,13 @@ def write_vec_ark(path_or_fd, data: Iterable[Tuple[str, np.ndarray]]) -> None:
             vec = np.ascontiguousarray(vec, dtype=np.float32)
             if vec.ndim != 1:
                 raise ValueError(f"expected 1-D vector for key {key!r}")
+            if not key or any(c.isspace() for c in key):
+                # the format delimits the key with a space: whitespace in
+                # a key (or an empty key) would SILENTLY corrupt the
+                # stream for every later record
+                raise ValueError(
+                    f"ark key must be non-empty with no whitespace, "
+                    f"got {key!r}")
             fd.write(key.encode() + b" ")
             fd.write(b"\x00BFV \x04")
             fd.write(struct.pack("<i", vec.shape[0]))
