@@ -368,3 +368,14 @@ def test_ark_roundtrip_fuzz_and_key_guard(tmp_path):
         with pytest.raises(ValueError, match="key"):
             write_vec_ark(str(tmp_path / "bad.ark"),
                           [(bad, np.zeros(4, np.float32))])
+
+
+def test_segments_writer_rejects_whitespace_tokens(tmp_path):
+    from vbx_tpu.io.segments import write_segments
+
+    with pytest.raises(ValueError, match="whitespace"):
+        write_segments(str(tmp_path / "s.seg"),
+                       [("seg 1", "rec", 0.0, 1.0)])
+    with pytest.raises(ValueError, match="whitespace"):
+        write_segments(str(tmp_path / "s.seg"),
+                       [("seg1", "my rec", 0.0, 1.0)])

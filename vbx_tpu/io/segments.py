@@ -48,4 +48,11 @@ def write_segments(path_or_fd, rows) -> None:
 
     with open_sink(path_or_fd) as fp:
         for name, rec, start, end in rows:
+            # space-delimited format: whitespace inside a token would
+            # silently shift every later field on read
+            for label, tok in (("segment name", name), ("recording", rec)):
+                if not tok or any(c.isspace() for c in str(tok)):
+                    raise ValueError(
+                        f"segments {label} must be non-empty with no "
+                        f"whitespace, got {tok!r}")
             fp.write(f"{name} {rec} {start} {end}\n")
