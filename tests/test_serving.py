@@ -562,3 +562,20 @@ def test_cohort_spanning_many_chunks(tmp_path):
     for rec in names:
         np.testing.assert_array_equal(results[rec].labels1st,
                                       offline[rec].labels1st)
+
+
+def test_request_size_limit(tmp_path):
+    """One oversized request is rejected at submit instead of exhausting
+    the daemon's memory (O(N^2) init + padded device buffers)."""
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            max_request_xvectors=100) as svc:
+        with pytest.raises(ValueError, match="max_request_xvectors"):
+            svc.submit("big", np.zeros((101, 256), np.float32),
+                       np.zeros((101, 2)))
+        # at the limit is fine (init runs; content is junk but finite)
+        fut = svc.submit("ok", np.random.default_rng(0).normal(
+            size=(100, 256)).astype(np.float32),
+            np.stack([np.arange(100) * 0.24,
+                      np.arange(100) * 0.24 + 1.44], 1))
+        assert fut.result(timeout=120).n_speakers >= 1

@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="micro-batching window: how long the dispatcher "
                         "waits for batch mates after the first request")
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
+    p.add_argument("--max-request-xvectors", type=int, default=200_000,
+                   help="reject requests longer than this (one oversized "
+                        "request must not exhaust the daemon's memory)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile of the common path")
     p.add_argument("--warmup-batches", type=str, default="1",
@@ -257,6 +260,7 @@ def main(argv=None) -> int:
         extractor=extractor, mesh=mesh,
         batch_window_ms=args.batch_window_ms,
         max_batch_frames=args.max_batch_frames,
+        max_request_xvectors=args.max_request_xvectors,
         runlog_path=args.runlog)
     if not args.no_warmup:
         try:

@@ -95,7 +95,8 @@ class DiarizationService:
                  batch_window_ms: float = 20.0,
                  max_batch_frames: int = 2_000_000,
                  init_workers: int = 4,
-                 runlog_path: Optional[str] = None):
+                 runlog_path: Optional[str] = None,
+                 max_request_xvectors: int = 200_000):
         import os
 
         from vbx_tpu.utils.compile_cache import enable as _enable_cache
@@ -123,6 +124,11 @@ class DiarizationService:
                     f"frame bucket ({T_QUANTUM})")
         self._window_s = batch_window_ms / 1e3
         self._max_batch_frames = max_batch_frames
+        # one oversized request must not OOM the daemon for everyone:
+        # the O(N^2) host init and the padded device buffers both scale
+        # with request length (200k x-vectors ~ 13 h of audio — far past
+        # any single-recording use; raise the cap deliberately if needed)
+        self._max_request_xvectors = max(1, max_request_xvectors)
         self._queue: "queue.Queue" = queue.Queue()
         init_workers = max(1, init_workers)
         if init_workers > 1:
@@ -183,6 +189,11 @@ class DiarizationService:
                 f"{x_raw.shape} and {timestamps.shape}")
         if len(x_raw) == 0:
             raise ValueError("empty request: no x-vectors")
+        if len(x_raw) > self._max_request_xvectors:
+            raise ValueError(
+                f"request {recording!r} has {len(x_raw)} x-vectors > "
+                f"max_request_xvectors={self._max_request_xvectors}; "
+                f"split the recording or raise the service limit")
         req = _Request(recording, x_raw, timestamps)
         # the closed check and the enqueue are one atomic step so a request
         # can never land behind the shutdown sentinel (where it would never
