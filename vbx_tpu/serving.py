@@ -346,6 +346,13 @@ class DiarizationService:
             req.timestamps = np.array(
                 [[s.start, s.end] for s in segs], np.float64)
             req.signal = req.vad = None
+            if len(req.x_raw) > self._max_request_xvectors:
+                # audio requests learn their length only after extraction;
+                # enforce the same cap submit() applies to x-vector bodies
+                raise ValueError(
+                    f"{req.recording}: audio extracted to "
+                    f"{len(req.x_raw)} x-vectors > max_request_xvectors="
+                    f"{self._max_request_xvectors}")
         # reference-parity NaN guard (predict.py:185-186 skips NaN
         # embeddings at extraction; a serving request made of them is
         # an input error, not a diarization)
