@@ -51,3 +51,23 @@ def test_native_two_gmm_em_matches_numpy_reference():
     args_d = (np.ones(100), d, d * d, d)
     assert two_gmm_weighted_em_native(*args_d, 20) == pytest.approx(
         numpy_ref(*args_d), rel=1e-12)
+
+
+def test_native_squareform_matches_numpy_fallback():
+    import unittest.mock as mock
+
+    from vbx_tpu import clustering as cl
+
+    rng = np.random.default_rng(5)
+    for n in (2, 3, 17, 64):
+        sq = rng.standard_normal((n, n))
+        sq = (sq + sq.T) / 2
+        for negate in (False, True):
+            native = cl.squareform_condensed(sq, negate=negate)
+            with mock.patch.object(cl, "_load_native", return_value=None):
+                ref = cl.squareform_condensed(sq, negate=negate)
+            np.testing.assert_array_equal(native, ref)
+    # non-contiguous / non-f64 inputs take the fallback transparently
+    sqf = np.asfortranarray(rng.standard_normal((9, 9)).astype(np.float32))
+    out = cl.squareform_condensed(sqf)
+    assert out.shape == (36,)

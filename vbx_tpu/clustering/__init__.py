@@ -52,6 +52,10 @@ def _load_native():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64, ctypes.c_int32]
+        lib.squareform_condensed_f64.restype = None
+        lib.squareform_condensed_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -174,10 +178,20 @@ def squareform_condensed(square: np.ndarray, negate: bool = False
     """Square symmetric matrix -> condensed upper-triangle vector (no checks,
     like the reference's squareform(..., checks=False) at vbhmm.py:139).
 
-    Row-sliced copy instead of triu_indices fancy indexing: at N ~ 1e4 the
-    two N^2/2 int64 index arrays plus the gather cost ~10x more than the
-    contiguous row copies."""
+    Native one-pass copy when the library is available (GIL-free — the
+    numpy per-row loop held the GIL through N small copies inside the
+    serving init pool); numpy row-sliced fallback otherwise (still ~10x
+    cheaper than triu_indices fancy indexing at N ~ 1e4)."""
     n = square.shape[0]
+    lib = _load_native()
+    if (lib is not None and square.dtype == np.float64
+            and square.flags.c_contiguous):
+        out = np.empty(n * (n - 1) // 2, dtype=np.float64)
+        lib.squareform_condensed_f64(
+            square.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, int(bool(negate)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
     out = np.empty(n * (n - 1) // 2, dtype=square.dtype)
     o = 0
     for i in range(n - 1):

@@ -344,6 +344,28 @@ double two_gmm_weighted_em(const double* cnt, const double* ssum,
   return std::isfinite(thr) ? thr : mean;  // final-iteration collapse
 }
 
+// Square symmetric matrix -> condensed upper-triangle vector, optionally
+// negated (the AHC chain clusters on -similarity, vbhmm.py:139). One
+// OpenMP-parallel pass; replaces a Python per-row loop that held the GIL
+// through N small numpy copies in the serving init chain.
+void squareform_condensed_f64(const double* sq, int64_t n, int negate,
+                              double* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n - 1; ++i) {
+    // row i's strict-upper span starts at the condensed offset
+    int64_t o = n * i - i * (i + 1) / 2;
+    const double* row = sq + i * n + i + 1;
+    const int64_t m = n - i - 1;
+    if (negate) {
+      for (int64_t j = 0; j < m; ++j) out[o + j] = -row[j];
+    } else {
+      std::memcpy(out + o, row, static_cast<size_t>(m) * sizeof(double));
+    }
+  }
+}
+
 // Flat cut of a linkage matrix at threshold t (inclusive), 'distance'
 // criterion: clusters are the connected components formed by all merges with
 // dist <= t. Labels are assigned 0-based in order of first appearance by
