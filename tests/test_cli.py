@@ -174,3 +174,20 @@ def test_extract_model_file_takes_precedence(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         extract_cli.main(argv)
     assert seen["path"] == "whole.pt"
+
+
+@needs_assets
+def test_diarize_cli_ahc_fallback_flags(tmp_path, capsys):
+    """--ahc-fallback-n / --ahc-fallback-speakers reach the engine: the
+    1025-vector golden recording exceeds a tiny threshold and initializes
+    with random_<K> instead of AHC."""
+    rc = diarize_main([
+        "--init", "AHC+VB", "--out-rttm-dir", str(tmp_path),
+        "--xvec-ark-file", f"{REF}/exp/ES2005a.ark",
+        "--segments-file", f"{REF}/exp/ES2005a.seg",
+        "--xvec-transform", f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+        "--plda-file", f"{REF}/VBx/models/ResNet101_16kHz/plda",
+        "--ahc-fallback-n", "500", "--ahc-fallback-speakers", "8"])
+    assert rc == 0
+    assert "AHC fallback" in capsys.readouterr().err
+    assert (tmp_path / "ES2005a.rttm").exists()

@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "same kernel with bfloat16 streams (fastest, "
                         "tolerance-parity), 'assoc' = work-parallel scan "
                         "for very long recordings)")
+    p.add_argument("--ahc-fallback-n", type=int, default=None,
+                   help="recordings with more x-vectors than this skip "
+                        "AHC for random_<K> init (the reference README's "
+                        "long-file advice; measured crossover ~30k — "
+                        "BENCHMARKS.md). 0 disables.")
+    p.add_argument("--ahc-fallback-speakers", type=int, default=None,
+                   help="K for the long-recording random_<K> fallback "
+                        "(default: preset's value, 16)")
     p.add_argument("--mesh", type=str, default=None, metavar="DPxSP",
                    help="route VB through the sharded engine over a "
                         "('dp','sp') device mesh, e.g. 4x2: recordings "
@@ -98,6 +106,11 @@ def config_from_args(args) -> DiarizationConfig:
                             else ahc.init_smoothing))
     if args.target_energy is not None:
         ahc = dataclasses.replace(ahc, target_energy=args.target_energy)
+    if args.ahc_fallback_n is not None:
+        ahc = dataclasses.replace(ahc, fallback_n=args.ahc_fallback_n)
+    if args.ahc_fallback_speakers is not None:
+        ahc = dataclasses.replace(
+            ahc, fallback_speakers=args.ahc_fallback_speakers)
     if not 0 <= vb.loop_prob <= 1:
         raise SystemExit(f"Expecting loopP between 0 and 1, got "
                          f"{vb.loop_prob} instead.")
