@@ -18,4 +18,5 @@ python recipes/run_corpus.py "$INSTRUCTION" \
     --weights "$MODEL_DIR/raw_195.pth" \
     --plda-file "$MODEL_DIR/plda" \
     --xvec-transform "$MODEL_DIR/transform.h5" \
-    --ref-rttm-dir "$DATA_DIR/rttms"
+    --ref-rttm-dir "$DATA_DIR/rttms" \
+    "${@:6}"   # extra run_corpus flags pass through (--fb-impl, --mesh, --force)
