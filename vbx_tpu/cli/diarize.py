@@ -106,9 +106,11 @@ def config_from_args(args) -> DiarizationConfig:
                             else ahc.init_smoothing))
     if args.target_energy is not None:
         ahc = dataclasses.replace(ahc, target_energy=args.target_energy)
-    if args.ahc_fallback_n is not None:
+    # getattr: config_from_args is shared with other CLI parsers (serve);
+    # a flag existing on one parser must not crash another
+    if getattr(args, "ahc_fallback_n", None) is not None:
         ahc = dataclasses.replace(ahc, fallback_n=args.ahc_fallback_n)
-    if args.ahc_fallback_speakers is not None:
+    if getattr(args, "ahc_fallback_speakers", None) is not None:
         ahc = dataclasses.replace(
             ahc, fallback_speakers=args.ahc_fallback_speakers)
     if not 0 <= vb.loop_prob <= 1:

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loopP", type=float, default=None)
     p.add_argument("--target-energy", type=float, default=None)
     p.add_argument("--init-smoothing", type=float, default=None)
+    p.add_argument("--ahc-fallback-n", type=int, default=None,
+                   help="requests longer than this skip AHC for "
+                        "random_<K> init (long-recording fallback)")
+    p.add_argument("--ahc-fallback-speakers", type=int, default=None)
     p.add_argument("--fb-impl", type=str, default=None,
                    choices=["structured", "assoc", "pallas", "pallas_bf16"])
     p.add_argument("--mesh", type=str, default=None, metavar="DPxSP",
