@@ -234,11 +234,13 @@ def diarize_ark(
     long-recording path the reference lacks (its forward-backward is a
     strict T-step host loop, VBx/VBx.py:167-171, and README.md:24 calls
     >30-min files out as its weakness): an hour-long meeting's frames
-    spread over the 'sp' chips. Under a mesh, `fb_impl` is ignored (the
-    sharded engine is the structured blockwise smoother) and single
-    recordings run as a dp-padded batch of one. Results are bit-comparable
-    to the unsharded engine at the same padded shape
-    (tests/test_parallel.py).
+    spread over the 'sp' chips. Under a mesh, single recordings run as a
+    dp-padded batch of one. fb_impl=None/'structured' uses the XLA
+    blockwise smoother (bit-comparable to the unsharded engine at the same
+    padded shape, tests/test_parallel.py); 'pallas'/'pallas_bf16' run both
+    local passes of every chip's frame block through the fused Pallas
+    kernels (the long-recording throughput path, tolerance-parity like the
+    single-chip pallas engine); anything else is overridden with a warning.
     """
     import time as _time
 
@@ -300,7 +302,9 @@ def diarize_ark(
                 raise ValueError(
                     f"mesh 'sp' extent {n_sp} must divide the smallest "
                     f"frame bucket ({T_QUANTUM})")
-            if not batch or fb_impl is not None:
+            mesh_fb = (fb_impl if fb_impl in ("structured", "pallas",
+                                              "pallas_bf16") else None)
+            if not batch or (fb_impl is not None and mesh_fb is None):
                 # a mesh implies the sharded batched engine; say so
                 # loudly rather than silently ignoring the arguments
                 # (same policy as the S>128 pallas fallback)
@@ -309,8 +313,9 @@ def diarize_ark(
                     "mesh routing overrides "
                     + ("batch=False" if not batch else f"fb_impl="
                        f"{fb_impl!r}")
-                    + ": the sharded engine is batched and uses the "
-                      "structured blockwise smoother", stacklevel=2)
+                    + ": the sharded engine is batched and supports "
+                      "fb_impl in ('structured', 'pallas', "
+                      "'pallas_bf16')", stacklevel=2)
 
         if not run_vb or (mesh is None and (not batch or len(recs) == 1)):
             for rec, seg_names, x_raw in recs:
@@ -500,7 +505,9 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 mesh, X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
                 G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
                 loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                fb_impl=(fb_impl if fb_impl in ("pallas", "pallas_bf16")
+                         else None))
         else:
             res = vbx_batched(
                 X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),

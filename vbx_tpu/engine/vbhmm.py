@@ -525,8 +525,9 @@ def vbx_batched_checkpointed(
     `mesh`: a ('dp', 'sp') jax.sharding.Mesh runs every slice through
     the SHARDED engine (parallel.vbx_sharded) — the pod-scale variant: a
     preempted slice of hour-long frame-sharded meetings resumes exactly.
-    fb_impl is ignored under a mesh (the sharded engine is the
-    structured blockwise smoother).
+    Under a mesh fb_impl='pallas'/'pallas_bf16' selects the Pallas
+    blockwise smoother (tolerance-parity); anything else runs the
+    structured blockwise smoother.
 
     The EM runs in host-visible slices of `iters_per_slice` iterations.
     After each slice the full loop state — (gamma, pi, converged,
@@ -552,9 +553,11 @@ def vbx_batched_checkpointed(
     # CPU) — an f32 downcast there would quantize sub-f32 ELBO deltas to
     # zero and flag convergence early
     fb = fb_impl or "structured"
+    mesh_pallas = mesh is not None and fb in ("pallas", "pallas_bf16")
     if mesh is not None:
-        fb = f"sharded[{','.join(f'{k}={v}' for k, v in mesh.shape.items())}]"
-        dt = np.dtype(np.asarray(X).dtype)
+        fb = (f"sharded[{','.join(f'{k}={v}' for k, v in mesh.shape.items())}]"
+              + (f"+{fb_impl}" if mesh_pallas else ""))
+        dt = np.dtype(np.float32 if mesh_pallas else np.asarray(X).dtype)
     else:
         dt = np.dtype(np.float32 if fb.startswith("pallas")
                       else np.asarray(X).dtype)
@@ -599,7 +602,8 @@ def vbx_batched_checkpointed(
                 jnp.asarray(frame_mask), jnp.asarray(speaker_mask),
                 loop_prob=loop_prob, Fa=Fa, Fb=Fb, max_iters=k,
                 epsilon=epsilon, converged0=jnp.asarray(converged),
-                last_elbo0=jnp.asarray(last_elbo))
+                last_elbo0=jnp.asarray(last_elbo),
+                fb_impl=(fb_impl if mesh_pallas else None))
         else:
             res = vbx_batched(
                 X, phi, g_cur, pi_cur, frame_mask, speaker_mask,

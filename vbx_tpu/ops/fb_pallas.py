@@ -188,10 +188,10 @@ def _fused_kernel(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
         0, Tc, step, (fcarry_ref[:], bcarry_ref[:]))
 
 
-def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
+def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, binit_ref, lp_ref,
                      ahat_ref, bhat_ref, cfw_ref,
                      fcarry_ref, bcarry_ref, wsave_ref, *,
-                     recip: bool = False):
+                     recip: bool = False, skip_dead: bool = False):
     """Speakers-on-SUBLANES variant of _fused_kernel: tiles are
     [S_pad8, B_pad128] so the speaker axis pads to a multiple of 8 instead
     of 128 lanes — ~4x less VMEM/HBM traffic at diarization-typical S~32 —
@@ -207,19 +207,35 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
     Arithmetic is float32 regardless of the stream dtype: loads upcast,
     stores downcast. With bfloat16 streams (fb_scan_pallas_sb io_dtype)
     the w/ahat/bhat HBM bytes halve; carries, normalizers (cfw) and the
-    boundary-frame scratch stay f32."""
+    boundary-frame scratch stay f32.
+
+    pinit/binit are the BOUNDARY messages: at the walk's first frame the
+    forward pass emits normalize(w0 * pinit), and at its last frame the
+    backward pass emits binit verbatim (carry init likewise). The
+    single-recording callers pass pinit = pi + eps and binit = uniform
+    (the sequential smoother's endpoints); the frame-sharded blockwise
+    path (parallel.fb_blockwise) passes each chip's incoming block
+    boundary messages instead — same kernel, same walk.
+
+    skip_dead (static): frames whose w column is ALL ZERO become exact
+    no-ops in both directions (carry and emission keep the neighboring
+    message; cfw = 1). The uniform-padded-frame trick in the module
+    docstring preserves only a UNIFORM backward carry through a padding
+    suffix; a boundary binit needs the padding to be literally skipped, so
+    the blockwise path zeroes padded frames and sets this flag. The
+    single-recording path keeps skip_dead=False — its walk is unchanged
+    to the bit."""
     k = pl.program_id(0)
     Tc = wf_ref.shape[0]
     lp = lp_ref[0, 0]
     col = col_ref[:]
     pinit = pinit_ref[:]
-    Sp = ahat_ref.shape[1]
     io_dtype = ahat_ref.dtype
 
     @pl.when(k == 0)
     def _():
         fcarry_ref[:] = jnp.zeros_like(fcarry_ref)
-        bcarry_ref[:] = jnp.full_like(bcarry_ref, 1.0 / Sp)
+        bcarry_ref[:] = binit_ref[:]
         wsave_ref[:] = jnp.zeros_like(wsave_ref)   # consumed only at the
         # overridden global-final frame; zeros keep the dead lanes finite
 
@@ -230,12 +246,16 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
         at_end = jnp.logical_and(k == 0, i == 0)
         w_t = wf_ref[i].astype(jnp.float32)           # [Sp, Bp]
         a = jnp.where(at_end, w_t * pinit, w_t * (lp * fprev + col))
-        c = jnp.maximum(jnp.sum(a, axis=0, keepdims=True),
-                        jnp.float32(_TINY))
+        c_raw = jnp.sum(a, axis=0, keepdims=True)
+        c = jnp.maximum(c_raw, jnp.float32(_TINY))
         # recip: normalize by multiplying with the reciprocal computed once
         # on the narrow [1, Bp] row instead of a full-tile broadcast divide
         # (1-ulp different; the pallas path is tolerance-parity)
         af = a * (1.0 / c) if recip else a / c
+        if skip_dead:
+            flive = c_raw > jnp.float32(_TINY)
+            af = jnp.where(flive, af, fprev)
+            c = jnp.where(flive, c, 1.0)
         ahat_ref[i] = af.astype(io_dtype)
         cfw_ref[i] = jnp.broadcast_to(c, cfw_ref.shape[1:])
 
@@ -245,10 +265,12 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
                            .astype(jnp.float32))
         u = w_next * bnext
         b = lp * u + jnp.sum(col * u, axis=0, keepdims=True)
-        cb = jnp.maximum(jnp.sum(b, axis=0, keepdims=True),
-                         jnp.float32(_TINY))
+        cb_raw = jnp.sum(b, axis=0, keepdims=True)
+        cb = jnp.maximum(cb_raw, jnp.float32(_TINY))
         bn = b * (1.0 / cb) if recip else b / cb
-        bf = jnp.where(at_end, jnp.full_like(u, 1.0 / Sp), bn)
+        if skip_dead:
+            bn = jnp.where(cb_raw > jnp.float32(_TINY), bn, bnext)
+        bf = jnp.where(at_end, binit_ref[:], bn)
         bhat_ref[j] = bf.astype(io_dtype)
         return af, bf
 
@@ -263,7 +285,7 @@ def _fused_kernel_sb(wf_ref, wb_ref, col_ref, pinit_ref, lp_ref,
 def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
                       pinit: jax.Array, loop_prob,
                       interpret: bool = False, recip: bool = False,
-                      io_dtype=jnp.float32,
+                      io_dtype=jnp.float32, binit=None,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused bidirectional smoother in [T, S, B] layout (speakers on
     sublanes, batch on lanes) — the batched-throughput path for B > ~16.
@@ -290,7 +312,7 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
     ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
                                    Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
                                    interpret=interpret, recip=recip,
-                                   io_dtype=io_dtype)
+                                   io_dtype=io_dtype, binit=binit)
     return ahat[:T, :S, :B], bhat[:T, :S, :B], cfw_b[:T, 0, :B]
 
 
@@ -340,14 +362,24 @@ def _sb_pad_w(wu, Sp: int, Bp: int, Tp: int, io_dtype):
 
 
 def _sb_pallas(wp, col, pinit, loop_prob, *, Sp, Bp, nt, t_chunk,
-               interpret, recip, io_dtype):
+               interpret, recip, io_dtype, binit=None,
+               skip_dead: bool = False):
     """Invoke the fused sb kernel on a pre-padded [Tp, Sp, Bp] stream.
-    col/pinit are the UNPADDED [S, B] operands."""
+    col/pinit/binit are the UNPADDED [S, B] operands; binit=None is the
+    sequential smoother's uniform backward start (the blockwise path
+    passes each chip's incoming boundary message instead)."""
     S, B = col.shape
     colp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
         col.astype(jnp.float32))
     pinitp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
         pinit.astype(jnp.float32))
+    if binit is None:
+        binitp = jnp.full((Sp, Bp), 1.0 / Sp, jnp.float32)
+    else:
+        # padded entries: zeros are safe (they only ever multiply the
+        # zeroed padded lanes of w)
+        binitp = jnp.zeros((Sp, Bp), jnp.float32).at[:S, :B].set(
+            binit.astype(jnp.float32))
     lp = jnp.asarray(loop_prob, jnp.float32).reshape(1, 1)
     Tp = nt * t_chunk
 
@@ -361,13 +393,15 @@ def _sb_pallas(wp, col, pinit, loop_prob, *, Sp, Bp, nt, t_chunk,
         return (0, 0)
 
     return pl.pallas_call(
-        functools.partial(_fused_kernel_sb, recip=recip),
+        functools.partial(_fused_kernel_sb, recip=recip,
+                          skip_dead=skip_dead),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((t_chunk, Sp, Bp), chunk3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t_chunk, Sp, Bp), rchunk3,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, Bp), bcast2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Sp, Bp), bcast2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Sp, Bp), bcast2, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -389,14 +423,16 @@ def _sb_pallas(wp, col, pinit, loop_prob, *, Sp, Bp, nt, t_chunk,
                         pltpu.VMEM((Sp, Bp), jnp.float32),
                         pltpu.VMEM((Sp, Bp), jnp.float32)],
         interpret=interpret,
-    )(wp, wp, colp, pinitp, lp)
+    )(wp, wp, colp, pinitp, binitp, lp)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "recip", "io_dtype"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "recip", "io_dtype", "zero_invalid"))
 def fb_scan_pallas_sb_logp(log_p, smask_sb, valid, col, pinit, loop_prob,
                            interpret: bool = False, recip: bool = False,
-                           io_dtype=jnp.float32):
+                           io_dtype=jnp.float32, binit=None,
+                           zero_invalid: bool = False):
     """fb_scan_pallas_sb that BUILDS w from the log-likelihoods in one
     fused producer: m = max_s(log_p), w = exp(log_p - m) * smask, valid
     masking, and the kernel's frame/speaker/batch padding all land in a
@@ -406,6 +442,10 @@ def fb_scan_pallas_sb_logp(log_p, smask_sb, valid, col, pinit, loop_prob,
 
     log_p:    [T, S, B] float32 (padded speakers already masked to -inf).
     smask_sb: [S, B] speaker validity.
+    zero_invalid (static): pad/invalid frames become ALL-ZERO w columns
+    and the kernel walk SKIPS them exactly (skip_dead) instead of the
+    uniform-emission trick — required whenever binit is a non-uniform
+    boundary message (see _fused_kernel_sb docstring).
     Returns (ahat, bhat, cfw [T, B], m [T, B], w [T, S, B] io_dtype) —
     m and w are the byproducts the engine's ELBO/pi_stat consume.
     """
@@ -416,15 +456,137 @@ def fb_scan_pallas_sb_logp(log_p, smask_sb, valid, col, pinit, loop_prob,
     vmask = valid.astype(jnp.float32)                     # [T, B]
     m = jnp.max(log_p, axis=1)                            # [T, B]
     w_core = jnp.exp(log_p - m[:, None, :]) * smask_sb[None]
-    wu = (w_core * vmask[:, None, :]
-          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
-    wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
+    if zero_invalid:
+        wu = (w_core * vmask[:, None, :]).astype(io_dtype)
+        wp = jnp.pad(wu, ((0, Tp - T), (0, Sp - S), (0, Bp - B)))
+    else:
+        wu = (w_core * vmask[:, None, :]
+              + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
+        wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
     ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
                                    Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
                                    interpret=interpret, recip=recip,
-                                   io_dtype=io_dtype)
+                                   io_dtype=io_dtype, binit=binit,
+                                   skip_dead=zero_invalid)
     return (ahat[:T, :S, :B], bhat[:T, :S, :B], cfw_b[:T, 0, :B],
             m, wp[:T, :S, :B])
+
+
+def _fwd_product_kernel_sb(w_ref, col_ref, finit_ref, lp_ref,
+                           fout_ref, ls_ref, fcarry_ref, lscarry_ref):
+    """Forward-only walk that keeps NO per-frame stream: emits only the
+    final normalized message and the accumulated log of the per-frame
+    normalizers. With per-lane initial messages set to the rows of the
+    identity, the L = B*S lanes compute each recording's block transition-
+    operator product F = prod_t N_t row by row (the frame-sharded smoother's
+    block summary, parallel.fb_blockwise): row i of F is exactly the forward
+    recursion started from e_i, per-lane normalized, with its scale in the
+    normalizer product. The walk reads each frame once and writes nothing
+    per frame, so its HBM cost is the single input stream.
+
+    Boundary semantics match _fused_kernel_sb: the walk's first frame emits
+    normalize(w0 * finit) (the caller folds any incoming transition into
+    finit, so a non-first block passes finit = lp*prev + col).
+
+    Frames whose w column is ALL ZERO are skipped exactly (carry and scale
+    unchanged) — the caller zeroes padded frames instead of making them
+    uniform, because an operator product, unlike the posteriors, has no
+    downstream masking to hide corrupted suffix frames behind. A valid
+    frame's normalizer is >= eps (w's max entry is 1 by construction and
+    every unmasked speaker's transition column is >= eps), far above the
+    sentinel threshold."""
+    k = pl.program_id(0)
+    Tc = w_ref.shape[0]
+    lp = lp_ref[0, 0]
+    col = col_ref[:]
+
+    @pl.when(k == 0)
+    def _():
+        fcarry_ref[:] = finit_ref[:]
+        lscarry_ref[:] = jnp.zeros_like(lscarry_ref)
+
+    def step(i, carry):
+        prev, ls = carry
+        at0 = jnp.logical_and(k == 0, i == 0)
+        w_t = w_ref[i].astype(jnp.float32)            # [Sp, Lp]
+        a = w_t * jnp.where(at0, prev, lp * prev + col)
+        c = jnp.sum(a, axis=0, keepdims=True)         # [1, Lp]
+        live = c > jnp.float32(_TINY)
+        csafe = jnp.where(live, c, 1.0)
+        nxt = jnp.where(live, a * (1.0 / csafe), prev)
+        ls = ls + jnp.where(live, jnp.log(csafe), 0.0)
+        return nxt, ls
+
+    fcarry_ref[:], lscarry_ref[:] = jax.lax.fori_loop(
+        0, Tc, step, (fcarry_ref[:], lscarry_ref[:]))
+    fout_ref[:] = fcarry_ref[:]
+    ls_ref[:] = lscarry_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "io_dtype"))
+def fb_fwd_product_pallas_sb(w: jax.Array, col: jax.Array,
+                             finit: jax.Array, loop_prob,
+                             interpret: bool = False,
+                             io_dtype=jnp.float32,
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Normalized forward-recursion endpoint over L independent lanes.
+
+    w:     [T, S, L] emission weights; padded/invalid frames must be ALL
+           ZERO columns (skipped exactly), padded speakers zero.
+    col:   [S, L] transition column (1-loopP)*pi + eps per lane.
+    finit: [S, L] per-lane initial message (frame 0 emits w0 * finit —
+           fold `lp*prev + col` in for a non-first block).
+    Returns (fhat [S, L] final normalized message, ls [L] summed log
+    normalizers). The caller adds the log-domain per-frame max-shifts to
+    ls to recover absolute scales.
+    """
+    T, S, L = w.shape
+    io_dtype = jnp.dtype(io_dtype)
+    if S > S_PAD:
+        raise ValueError(f"S={S} > {S_PAD}; shard speakers first")
+    Sp = _round_up(S, 8 if io_dtype.itemsize == 4 else 16)
+    Lp = _round_up(L, 128)
+    frame_bytes = Sp * Lp * io_dtype.itemsize
+    # one double-buffered input stream + fixed [Sp, Lp] operands/scratch
+    t_chunk = max(1, ((13 << 20) - 6 * Sp * Lp * 4) // (2 * frame_bytes))
+    Tp = _round_up(T, t_chunk)
+    nt = Tp // t_chunk
+
+    wp = jnp.pad(w.astype(io_dtype),
+                 ((0, Tp - T), (0, Sp - S), (0, Lp - L)))
+    colp = jnp.zeros((Sp, Lp), jnp.float32).at[:S, :L].set(
+        col.astype(jnp.float32))
+    finitp = jnp.zeros((Sp, Lp), jnp.float32).at[:S, :L].set(
+        finit.astype(jnp.float32))
+    lp = jnp.asarray(loop_prob, jnp.float32).reshape(1, 1)
+
+    fhat, ls = pl.pallas_call(
+        _fwd_product_kernel_sb,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((t_chunk, Sp, Lp), lambda kk: (kk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, Lp), lambda kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Sp, Lp), lambda kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Sp, Lp), lambda kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Lp), lambda kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Sp, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Lp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Sp, Lp), jnp.float32),
+                        pltpu.VMEM((8, Lp), jnp.float32)],
+        interpret=interpret,
+    )(wp, colp, finitp, lp)
+    return fhat[:S, :L], ls[0, :L]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "fused"))

@@ -15,7 +15,9 @@ This package introduces the TPU-native equivalents (SURVEY.md §2.3):
 """
 
 from vbx_tpu.parallel.mesh import make_mesh
-from vbx_tpu.parallel.fb_blockwise import forward_backward_blockwise
+from vbx_tpu.parallel.fb_blockwise import (
+    forward_backward_blockwise, forward_backward_blockwise_pallas)
 from vbx_tpu.parallel.engine import vbx_sharded
 
-__all__ = ["make_mesh", "forward_backward_blockwise", "vbx_sharded"]
+__all__ = ["make_mesh", "forward_backward_blockwise",
+           "forward_backward_blockwise_pallas", "vbx_sharded"]

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from vbx_tpu.ops.lse import NEG_INF, masked_fill
 from vbx_tpu.ops.vb_steps import (vb_elbo_model_term, vb_log_likelihoods,
                                   vb_pi_update, vb_precompute)
-from vbx_tpu.parallel.fb_blockwise import forward_backward_blockwise
+from vbx_tpu.parallel.fb_blockwise import (
+    forward_backward_blockwise, forward_backward_blockwise_pallas)
 
 
 class ShardedVBxResult(NamedTuple):
@@ -111,6 +112,142 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
     return final.gamma, final.pi, final.elbo, final.it
 
 
+def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
+                                  speaker_mask, loop_prob, fa, fb, epsilon,
+                                  converged0, last_elbo0, *,
+                                  max_iters: int, axis_name: str,
+                                  interpret: bool, io_dtype):
+    """The local recording batch in ONE program: [Bl] recordings x [Tl]
+    local frames, everything in the [T, S, B] sublane layout of
+    engine.vbhmm._vbx_batched_pallas_sb_jit, with the two cross-chip
+    differences of the sharded EM: psum'd M-step sufficient statistics
+    (VBx/VBx.py:95-96) and the blockwise-boundary Pallas smoother
+    (forward_backward_blockwise_pallas). Runs INSIDE shard_map — no vmap,
+    so both Pallas kernels see the whole local batch on their lanes.
+    Convergence freezing is per recording; ELBOs are psum-replicated
+    within an 'sp' group so the while_loops stay in lockstep."""
+    dtype = jnp.float32
+    io_dt = jnp.dtype(io_dtype)
+    Bl, Tl, D = X.shape
+    S = gamma_tsb.shape[1]
+    X = X.astype(dtype)
+    phi = phi.astype(dtype)
+    fa_over_fb = fa / fb
+
+    fmask_bt = frame_mask.astype(dtype)                   # [Bl, Tl]
+    valid_tb = fmask_bt.T                                 # [Tl, Bl]
+    smask = speaker_mask.astype(dtype)                    # [Bl, S]
+
+    G_tb = -0.5 * (jnp.sum(X * X, axis=-1)
+                   + D * jnp.log(2 * jnp.pi).astype(dtype)).T   # [Tl, Bl]
+    rho = (X * jnp.sqrt(phi)[None, None, :]).astype(io_dt)      # [Bl, Tl, D]
+
+    gamma_tsb = (gamma_tsb.astype(dtype) * valid_tb[:, None, :]
+                 * smask.T[None]).astype(io_dt)
+    pi = pi.astype(dtype) * smask
+
+    vmapped_elbo_term = jax.vmap(vb_elbo_model_term, in_axes=(0, 0, None))
+    vmapped_pi_update = jax.vmap(vb_pi_update, in_axes=(0, 0, 0, None))
+    fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)            # [Bl]
+
+    def m_step(g_tsb, counts_sb):
+        invL = 1.0 / (1.0 + fa_over_fb * counts_sb.T[:, :, None]
+                      * phi[None, None, :])                      # [Bl,S,D]
+        stats = jax.lax.psum(
+            jnp.einsum("tsb,btd->bsd", g_tsb, rho,
+                       preferred_element_type=dtype), axis_name)
+        alpha = fa_over_fb * invL * stats.astype(dtype)
+        return invL, alpha
+
+    counts0 = jax.lax.psum(jnp.sum(gamma_tsb.astype(dtype), axis=0),
+                           axis_name)                            # [S, Bl]
+
+    def one_iteration(state):
+        (it, converged, gamma, counts, pi_c, elbo, last_elbo) = state
+        first = jnp.logical_and(it == 0, fresh)                  # [Bl]
+        invL, alpha = m_step(gamma, counts)
+
+        cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
+                           preferred_element_type=dtype)
+        quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
+                          preferred_element_type=dtype)
+        log_p = fa * (cross.astype(dtype) - 0.5 * quad.T[None]
+                      + G_tb[:, None, :])
+        log_p = masked_fill(log_p, smask.T[None].astype(bool))
+
+        fbr = forward_backward_blockwise_pallas(
+            log_p, pi_c, loop_prob, frame_mask=valid_tb.astype(bool),
+            speaker_mask=speaker_mask, axis_name=axis_name,
+            interpret=interpret, io_dtype=io_dt)
+        new_gamma = fbr.gamma.astype(io_dt)
+        new_counts = jax.lax.psum(jnp.sum(fbr.gamma, axis=0), axis_name)
+
+        elbo_val = fbr.log_px + vmapped_elbo_term(invL, alpha, fb)   # [Bl]
+        new_pi = vmapped_pi_update(fbr.gamma0.T, pi_c, fbr.pi_stat.T,
+                                   loop_prob)
+
+        now_conv = jnp.logical_and(jnp.logical_not(first),
+                                   elbo_val - last_elbo < epsilon)
+        keep = converged
+
+        def sel(old, new, bdim):
+            shape = [1] * old.ndim
+            shape[bdim] = keep.shape[0]
+            return jnp.where(keep.reshape(shape), old, new)
+
+        return (it + 1,
+                jnp.logical_or(keep, now_conv),
+                sel(gamma, new_gamma, 2),
+                sel(counts, new_counts, 1),
+                sel(pi_c, new_pi, 0),
+                sel(elbo, elbo.at[:, it].set(elbo_val), 0),
+                sel(last_elbo, elbo_val, 0))
+
+    def cond(state):
+        it, converged = state[0], state[1]
+        return jnp.logical_and(it < max_iters,
+                               jnp.logical_not(jnp.all(converged)))
+
+    init = (jnp.zeros((), jnp.int32), converged0, gamma_tsb, counts0, pi,
+            jnp.full((Bl, max_iters), jnp.nan, dtype),
+            last_elbo0.astype(dtype))
+    final = jax.lax.while_loop(cond, one_iteration, init)
+    _, _, g_fin, _, pi_fin, elbo_fin, _ = final
+    n_iters = jnp.sum(jnp.logical_not(jnp.isnan(elbo_fin)),
+                      axis=1).astype(jnp.int32)
+    g_out = jnp.transpose(g_fin, (2, 0, 1)).astype(dtype)   # [Bl, Tl, S]
+    return g_out, pi_fin, elbo_fin, n_iters
+
+
+def _vbx_sharded_pallas(mesh, X, phi, gamma, pi, frame_mask, speaker_mask,
+                        loop_prob, fa, fb, epsilon, converged0, last_elbo0,
+                        *, max_iters: int, io_dtype) -> ShardedVBxResult:
+    interpret = jax.default_backend() == "cpu"
+
+    def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l,
+                 lp, fa_, fb_, eps_):
+        gamma_tsb = jnp.transpose(gamma_l, (1, 2, 0))        # [Tl, S, Bl]
+        return _vb_em_sharded_batched_pallas(
+            X_l, phi_r, gamma_tsb, pi_l, fm_l, sm_l, lp, fa_, fb_, eps_,
+            c0_l, le0_l, max_iters=max_iters, axis_name="sp",
+            interpret=interpret, io_dtype=io_dtype)
+
+    shmapped = jax.shard_map(
+        block_fn, mesh=mesh,
+        in_specs=(P("dp", "sp", None), P(), P("dp", "sp", None),
+                  P("dp", None), P("dp", "sp"), P("dp", None),
+                  P("dp"), P("dp"),
+                  P(), P(), P(), P()),
+        out_specs=(P("dp", "sp", None), P("dp", None), P("dp", None),
+                   P("dp")),
+        check_vma=False)
+
+    g, p_out, elbo, iters = jax.jit(shmapped)(
+        X, phi, gamma, pi, frame_mask, speaker_mask,
+        converged0, last_elbo0, loop_prob, fa, fb, epsilon)
+    return ShardedVBxResult(g, p_out, elbo, iters)
+
+
 def vbx_sharded(
     mesh: Mesh,
     X: jax.Array,            # [B, T, D]
@@ -126,15 +263,50 @@ def vbx_sharded(
     epsilon: float = 1e-6,
     converged0=None,
     last_elbo0=None,
+    fb_impl: str = None,
 ) -> ShardedVBxResult:
     """Batched VB-HMM over a ('dp', 'sp') mesh.
 
     B must divide by |'dp'| and T by |'sp'|. Semantics identical to
     engine.vbhmm.vbx_batched (validated in tests/test_parallel.py),
     including converged0/last_elbo0 mid-EM resume (engine-state
-    checkpointing — vbx_batched_checkpointed(mesh=...))."""
+    checkpointing — vbx_batched_checkpointed(mesh=...)).
+
+    fb_impl: None/'structured' (default) runs the XLA-scan blockwise
+    smoother — bit-comparable to the single-device engine at the same
+    padded shape. 'pallas' / 'pallas_bf16' run both local passes of every
+    chip's frame block through the fused Pallas kernels
+    (forward_backward_blockwise_pallas) — the throughput path for long
+    recordings, tolerance-parity (~5e-5 gamma per iteration) like the
+    single-chip pallas engine; '_bf16' additionally stores the large
+    per-iteration streams in bfloat16."""
     dtype = X.dtype
     B = gamma.shape[0]
+    if fb_impl in ("pallas", "pallas_bf16"):
+        if gamma.shape[-1] > 128:
+            import warnings
+            warnings.warn(
+                f"fb_impl={fb_impl!r} supports at most 128 speakers; got "
+                f"S={gamma.shape[-1]} — falling back to the structured "
+                f"sharded engine", stacklevel=2)
+        else:
+            f32 = jnp.float32
+            return _vbx_sharded_pallas(
+                mesh, jnp.asarray(X, f32), jnp.asarray(phi, f32),
+                jnp.asarray(gamma, f32), jnp.asarray(pi, f32),
+                jnp.asarray(frame_mask, bool),
+                jnp.asarray(speaker_mask, bool),
+                jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
+                jnp.float32(epsilon),
+                (jnp.zeros((B,), bool) if converged0 is None
+                 else jnp.asarray(converged0, bool)),
+                (jnp.full((B,), NEG_INF, f32) if last_elbo0 is None
+                 else jnp.asarray(last_elbo0, f32)),
+                max_iters=max_iters,
+                io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
+                          else "float32"))
+    elif fb_impl not in (None, "structured"):
+        raise ValueError(f"vbx_sharded: unknown fb_impl {fb_impl!r}")
     loop_prob = jnp.asarray(loop_prob, dtype)
     fa = jnp.asarray(Fa, dtype)
     fb = jnp.asarray(Fb, dtype)

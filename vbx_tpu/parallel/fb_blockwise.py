@@ -40,6 +40,8 @@ import jax.numpy as jnp
 
 from vbx_tpu.ops.forward_backward import _normalize_logp
 
+_TINY32 = float(jnp.finfo(jnp.float32).tiny)
+
 
 class BlockFBResult(NamedTuple):
     gamma: jax.Array      # [Tb, S] posteriors for the local block
@@ -178,3 +180,139 @@ def forward_backward_blockwise(
         jnp.sum(gamma * gfirst[:, None].astype(dtype), axis=0), axis_name)
 
     return BlockFBResult(gamma, log_px, pi_stat, gamma0)
+
+
+class BlockFBBatchResult(NamedTuple):
+    gamma: jax.Array      # [Tb, S, B] posteriors for the local block
+    log_px: jax.Array     # [B] total log-likelihoods (replicated over 'sp')
+    pi_stat: jax.Array    # [S, B] global transition-occupation stat (psum'd)
+    gamma0: jax.Array     # [S, B] posterior of the global first frame
+
+
+def forward_backward_blockwise_pallas(
+    log_p: jax.Array,        # [Tb, S, B] local frame block, sb layout
+    pi: jax.Array,           # [B, S] speaker prior (replicated over 'sp')
+    loop_prob,
+    eps: float = 1e-8,
+    frame_mask: Optional[jax.Array] = None,   # [Tb, B]
+    speaker_mask: Optional[jax.Array] = None,  # [B, S]
+    axis_name: str = "sp",
+    interpret: bool = False,
+    recip: bool = True,
+    io_dtype=jnp.float32,
+) -> BlockFBBatchResult:
+    """Frame-sharded smoother with BOTH local passes on the fused Pallas
+    kernels (ops.fb_pallas) — the throughput form of
+    `forward_backward_blockwise` (which stays the bit-parity default on the
+    XLA scan). Same block decomposition, three steps per EM iteration:
+
+    1. block operator product F_k via `fb_fwd_product_pallas_sb`: B*S lanes
+       run the forward recursion from the identity's rows (row i of F_k IS
+       the forward chain started at e_i), per-lane normalized with per-row
+       log-scales — no [S, S]-carry matrix scan anywhere,
+    2. all-gather of the K block summaries ([K, B, S, S+1] numbers, ICI)
+       and two K-step boundary scans, generalized to per-row scales:
+       v @ F = exp(max_i s_i) * ((v * exp(s - max)) @ F_hat) and
+       (F @ b)_i = exp(s_i) (F_hat @ b)_i, renormalized per block,
+    3. both local vector passes in ONE fused bidirectional kernel walk
+       (`fb_scan_pallas_sb_logp` with the incoming boundary messages as
+       pinit/binit — the same kernel the single-chip engine runs, so the
+       per-chip cost is the single-chip kernel's at T/K frames).
+
+    Batched over B lanes (the whole local recording batch in one kernel
+    invocation — call OUTSIDE any vmap). Accuracy is the pallas path's
+    tolerance contract (~5e-5 on gamma), not the XLA path's bit-comparable
+    guarantee; reductions/carries stay f32, streams may be io_dtype.
+    Matches the reference recursion incl. +eps regularization
+    (VBx/VBx.py:98,163) at that tolerance.
+    """
+    dtype = jnp.float32
+    Tb, S, B = log_p.shape
+    log_p = log_p.astype(dtype)
+    pi = pi.astype(dtype)
+    loop_prob = jnp.asarray(loop_prob, dtype)
+    eps_c = jnp.asarray(eps, dtype)
+    col = (1.0 - loop_prob) * pi + eps_c                    # [B, S]
+    valid = (jnp.ones((Tb, B), bool) if frame_mask is None else frame_mask)
+    vmask = valid.astype(dtype)                             # [Tb, B]
+    smask_sb = (jnp.ones((S, B), dtype) if speaker_mask is None
+                else speaker_mask.astype(dtype).T)          # [S, B]
+
+    from vbx_tpu.ops.fb_pallas import (fb_fwd_product_pallas_sb,
+                                       fb_scan_pallas_sb_logp)
+
+    k = jax.lax.axis_index(axis_name)
+    chip0 = (k == 0)
+
+    # ---- 1. local block operator product, S-rows-as-lanes ---------------
+    m = jnp.max(log_p, axis=1)                              # [Tb, B]
+    w_zero = (jnp.exp(log_p - m[:, None, :]) * smask_sb[None]
+              * vmask[:, None, :])                          # [Tb, S, B]
+    w1 = jnp.repeat(w_zero, S, axis=2)                      # lane b*S+i
+    col1 = jnp.repeat(col.T, S, axis=1)                     # [S, B*S]
+    finit1 = jnp.tile(jnp.eye(S, dtype=dtype), (1, B))      # e_i per lane
+    finit1_eff = jnp.where(chip0, finit1, loop_prob * finit1 + col1)
+    fhat, ls = fb_fwd_product_pallas_sb(
+        w1, col1, finit1_eff, loop_prob,
+        interpret=interpret, io_dtype=io_dtype)
+    F_hat = jnp.transpose(fhat.reshape(S, B, S), (1, 2, 0))  # [B, i, j]
+    summ = jnp.sum(vmask * m, axis=0)                        # [B]
+    s_rows = ls.reshape(B, S) + summ[:, None]                # [B, i]
+
+    # ---- 2. exchange block summaries; K-step boundary scans -------------
+    F_all = jax.lax.all_gather(F_hat, axis_name)             # [K, B, S, S]
+    s_all = jax.lax.all_gather(s_rows, axis_name)            # [K, B, S]
+
+    u0 = pi + eps_c
+    cu = jnp.sum(u0, axis=-1)                                # [B]
+    u_hat = u0 / cu[:, None]
+
+    def fwd_blk(carry, blk):
+        v, acc = carry                                       # [B,S], [B]
+        Fb_, sb = blk
+        ms = jnp.max(sb, axis=-1)
+        v2 = jnp.einsum("bi,bij->bj", v * jnp.exp(sb - ms[:, None]), Fb_)
+        c = jnp.sum(v2, axis=-1)
+        return (v2 / c[:, None], acc + ms + jnp.log(c)), (v, acc)
+
+    (_, log_px), (v_in_all, _) = jax.lax.scan(
+        fwd_blk, (u_hat, jnp.log(cu)), (F_all, s_all))
+
+    def bwd_blk(carry, blk):
+        b, acc = carry
+        Fb_, sb = blk
+        ms = jnp.max(sb, axis=-1)
+        b2 = jnp.exp(sb - ms[:, None]) * jnp.einsum("bij,bj->bi", Fb_, b)
+        c = jnp.sum(b2, axis=-1)
+        return (b2 / c[:, None], acc + ms + jnp.log(c)), (b, acc)
+
+    Sf = jnp.asarray(S, dtype)
+    _, (b_in_all, _) = jax.lax.scan(
+        bwd_blk, (jnp.full((B, S), 1.0 / Sf), jnp.full((B,), jnp.log(Sf))),
+        (F_all, s_all), reverse=True)
+
+    v_in = jax.lax.dynamic_index_in_dim(v_in_all, k, keepdims=False)
+    b_in = jax.lax.dynamic_index_in_dim(b_in_all, k, keepdims=False)
+
+    # ---- 3. both local vector passes in the fused kernel walk -----------
+    finit_eff = jnp.where(chip0, u_hat, loop_prob * v_in + col)   # [B, S]
+    ahat, bhat, cfw, _, w = fb_scan_pallas_sb_logp(
+        log_p, smask_sb, valid, col.T, finit_eff.T, loop_prob,
+        interpret=interpret, recip=recip, io_dtype=io_dtype,
+        binit=b_in.T, zero_invalid=True)
+
+    tiny = jnp.asarray(_TINY32, dtype)
+    ab = ahat.astype(dtype) * bhat.astype(dtype)
+    denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)
+    gamma = (ab / denom) * vmask[:, None, :]                 # [Tb, S, B]
+
+    chip0f = chip0.astype(dtype)
+    # every frame except the GLOBAL first contributes to pi_stat
+    not_first = vmask.at[0].multiply(1.0 - chip0f)
+    terms = (w.astype(dtype) * bhat.astype(dtype)
+             / (denom * cfw[:, None, :]))
+    pi_stat = jax.lax.psum(
+        jnp.sum(terms * not_first[:, None, :], axis=0), axis_name)
+    gamma0 = jax.lax.psum(gamma[0] * chip0f, axis_name)
+
+    return BlockFBBatchResult(gamma, log_px, pi_stat, gamma0)
