@@ -219,11 +219,13 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
     return g_out, pi_fin, elbo_fin, n_iters
 
 
-def _vbx_sharded_pallas(mesh, X, phi, gamma, pi, frame_mask, speaker_mask,
-                        loop_prob, fa, fb, epsilon, converged0, last_elbo0,
-                        *, max_iters: int, io_dtype) -> ShardedVBxResult:
-    interpret = jax.default_backend() == "cpu"
-
+@functools.lru_cache(maxsize=64)
+def _sharded_pallas_jit(mesh, max_iters: int, io_dtype: str,
+                        interpret: bool):
+    """Cached jitted sharded-pallas program. vbx_sharded is called once
+    per VB bucket (and per chained bench rep): rebuilding the shard_map
+    closure each call would defeat jax's jit cache and recompile every
+    time (measured: ~2 s per call at T=32768 — the whole EM's cost)."""
     def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l,
                  lp, fa_, fb_, eps_):
         gamma_tsb = jnp.transpose(gamma_l, (1, 2, 0))        # [Tl, S, Bl]
@@ -241,8 +243,15 @@ def _vbx_sharded_pallas(mesh, X, phi, gamma, pi, frame_mask, speaker_mask,
         out_specs=(P("dp", "sp", None), P("dp", None), P("dp", None),
                    P("dp")),
         check_vma=False)
+    return jax.jit(shmapped)
 
-    g, p_out, elbo, iters = jax.jit(shmapped)(
+
+def _vbx_sharded_pallas(mesh, X, phi, gamma, pi, frame_mask, speaker_mask,
+                        loop_prob, fa, fb, epsilon, converged0, last_elbo0,
+                        *, max_iters: int, io_dtype) -> ShardedVBxResult:
+    fn = _sharded_pallas_jit(mesh, max_iters, str(io_dtype),
+                             jax.default_backend() == "cpu")
+    g, p_out, elbo, iters = fn(
         X, phi, gamma, pi, frame_mask, speaker_mask,
         converged0, last_elbo0, loop_prob, fa, fb, epsilon)
     return ShardedVBxResult(g, p_out, elbo, iters)
@@ -316,6 +325,18 @@ def vbx_sharded(
     if last_elbo0 is None:
         last_elbo0 = jnp.full((B,), NEG_INF, dtype)
 
+    fn = _sharded_structured_jit(mesh, max_iters)
+    g, p_out, elbo, iters = fn(
+        X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
+        jnp.asarray(converged0, bool), jnp.asarray(last_elbo0, dtype),
+        loop_prob, fa, fb, epsilon)
+    return ShardedVBxResult(g, p_out, elbo, iters)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_structured_jit(mesh, max_iters: int):
+    """Cached jitted sharded-structured program (see _sharded_pallas_jit:
+    a per-call shard_map closure would recompile on every invocation)."""
     def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l,
                  lp, fa_, fb_, eps_):
         run = functools.partial(
@@ -334,9 +355,4 @@ def vbx_sharded(
         out_specs=(P("dp", "sp", None), P("dp", None), P("dp", None),
                    P("dp")),
         check_vma=False)
-
-    g, p_out, elbo, iters = jax.jit(shmapped)(
-        X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
-        jnp.asarray(converged0, bool), jnp.asarray(last_elbo0, dtype),
-        loop_prob, fa, fb, epsilon)
-    return ShardedVBxResult(g, p_out, elbo, iters)
+    return jax.jit(shmapped)
