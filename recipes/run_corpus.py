@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -127,7 +128,8 @@ def stage_xvectors(args):
                             f"output is on non-shared storage or process "
                             f"{p} failed to write")
                     with open(shard, "rb") as f:
-                        out.write(f.read())
+                        # stream: a per-host ark shard can be multiple GB
+                        shutil.copyfileobj(f, out)
         for path in (ark, seg):
             for p in range(jax.process_count()):
                 os.remove(f"{path}.{p}")

@@ -2,6 +2,8 @@
 implementations. The linkage/fcluster parity battery lives in test_ahc.py;
 this file pins the auxiliary native kernels."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -71,3 +73,28 @@ def test_native_squareform_matches_numpy_fallback():
     sqf = np.asfortranarray(rng.standard_normal((9, 9)).astype(np.float32))
     out = cl.squareform_condensed(sqf)
     assert out.shape == (36,)
+
+
+def test_native_two_gmm_em_deterministic_across_thread_counts():
+    """ADVICE r2: the EM E-step reduction uses fixed-size index-ordered
+    chunk accumulation, so the calibration threshold — which feeds the
+    linkage cut and the cluster count — is bit-identical for any OpenMP
+    thread count (a bare omp reduction would drift ~1e-12 run-to-run)."""
+    from vbx_tpu.clustering import (set_native_threads,
+                                    two_gmm_weighted_em_native)
+
+    if two_gmm_weighted_em_native(np.ones(2), np.zeros(2), np.zeros(2),
+                                  np.zeros(2), 1) is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    s = np.concatenate([rng.normal(-0.2, 0.1, 60000),
+                        rng.normal(0.5, 0.15, 30000)])
+    args = (np.ones(s.size), s, s * s, s)
+    try:
+        vals = []
+        for nt in (1, 2, 3, 8):
+            set_native_threads(nt)
+            vals.append(two_gmm_weighted_em_native(*args, 20))
+    finally:
+        set_native_threads(os.cpu_count() or 1)
+    assert len(set(vals)) == 1, vals

@@ -231,12 +231,14 @@ def test_checkpointed_resume_after_preemption(tmp_path, monkeypatch):
                  pi=np.asarray(out.pi),
                  converged=np.ones(B, bool),
                  last_elbo=np.nanmax(np.asarray(out.elbo), axis=1),
+                 plateau=np.zeros(B, np.int32),
                  elbo=np.asarray(out.elbo),
                  it_done=int(np.asarray(out.n_iters).max()),
                  shape=np.array(out.gamma.shape),
                  fb_impl=np.str_("structured"), dtype=np.str_("float32"),
                  hp=np.array([kw["loop_prob"], kw["Fa"], kw["Fb"],
-                              kw["epsilon"], float(kw["max_iters"])]))
+                              kw["epsilon"], float(kw["max_iters"]),
+                              0.0, 2.0]))
         os.replace(ck + ".tmp.npz", ck)
 
     fake_ck()
@@ -271,3 +273,97 @@ def test_checkpointed_pallas_reaches_same_fixed_point():
                                   np.asarray(ref.n_iters))
     np.testing.assert_array_equal(np.asarray(out.gamma),
                                   np.asarray(ref.gamma))
+
+
+# ---------------------------------------------------------------------------
+# Opt-in ELBO plateau stop (PARITY.md deviation 3: f32 quantum cycling)
+
+def test_plateau_stop_freezes_quantized_lane():
+    """With epsilon=0 the reference's absolute rule can never fire, so the
+    run goes to max_iters — exactly the observed f32 cycling failure mode
+    (Delta-ELBO oscillating at +-a-few quanta forever). The plateau stop
+    must end it once the deltas fall to quantum scale, without changing
+    the decoded labels. (Seed chosen so the f32 deltas genuinely cycle
+    above zero on the CPU test backend — some seeds instead round to a
+    tiny NEGATIVE delta and stop via the reference rule.)"""
+    X, phi, gamma, pi = _problem(1)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=40, epsilon=0.0)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    off = vbx(f32(X), f32(phi), pi=f32(pi), gamma=f32(gamma), **kw)
+    on = vbx(f32(X), f32(phi), pi=f32(pi), gamma=f32(gamma), **kw,
+             plateau_ulps=4.0, plateau_iters=2)
+    assert int(off.n_iters) == 40          # cycling: absolute rule dead
+    assert int(on.n_iters) < 40            # plateau stop fired
+    assert np.array_equal(np.asarray(on.gamma).argmax(1),
+                          np.asarray(off.gamma).argmax(1))
+    np.testing.assert_allclose(np.asarray(on.pi), np.asarray(off.pi),
+                               atol=1e-4)
+
+
+def test_plateau_default_off_changes_nothing():
+    """plateau_ulps=0 (the default) is the reference's epsilon rule
+    exactly: identical trajectory, iteration count, and fixed point."""
+    X, phi, gamma, pi = _problem(5)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=25, epsilon=1e-6)
+    base = vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
+               gamma=jnp.asarray(gamma), **kw)
+    explicit = vbx(jnp.asarray(X), jnp.asarray(phi), pi=jnp.asarray(pi),
+                   gamma=jnp.asarray(gamma), **kw,
+                   plateau_ulps=0.0, plateau_iters=2)
+    np.testing.assert_array_equal(np.asarray(base.elbo),
+                                  np.asarray(explicit.elbo))
+    np.testing.assert_array_equal(np.asarray(base.gamma),
+                                  np.asarray(explicit.gamma))
+
+
+@pytest.mark.parametrize("fb_impl", [None, "pallas"])
+def test_plateau_batched_frees_batch_from_cycling_lane(fb_impl):
+    """Under convergence freezing one cycling lane keeps the whole padded
+    batch stepping to max_iters (the ~3x corpus tax, PARITY.md deviation
+    3). The plateau stop must cap it on both the structured and pallas
+    engines, with identical labels."""
+    args, kw = _checkpoint_problem(B=4)
+    kw = {**kw, "epsilon": 0.0, "max_iters": 40}
+    off = vbx_batched(*args, **kw, fb_impl=fb_impl)
+    on = vbx_batched(*args, **kw, fb_impl=fb_impl,
+                     plateau_ulps=4.0, plateau_iters=2)
+    assert int(np.max(np.asarray(off.n_iters))) == 40
+    assert int(np.max(np.asarray(on.n_iters))) < 40
+    g_off, g_on = np.asarray(off.gamma), np.asarray(on.gamma)
+    assert np.array_equal(g_on.argmax(-1), g_off.argmax(-1))
+
+
+def test_plateau_enabled_labels_match_plain_epsilon_run():
+    """With a NORMAL epsilon the plateau stop may shave iterations but
+    must not move the fixed point: labels and priors match the
+    plateau-off run."""
+    args, kw = _checkpoint_problem(B=6, seed=11)
+    off = vbx_batched(*args, **kw)
+    on = vbx_batched(*args, **kw, plateau_ulps=4.0, plateau_iters=2)
+    assert (np.asarray(on.n_iters) <= np.asarray(off.n_iters)).all()
+    assert np.array_equal(np.asarray(on.gamma).argmax(-1),
+                          np.asarray(off.gamma).argmax(-1))
+    np.testing.assert_allclose(np.asarray(on.pi), np.asarray(off.pi),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("iters_per_slice", [2, 5])
+def test_plateau_checkpointed_slicing_is_exact(iters_per_slice):
+    """The plateau counter is part of the externalized loop state: slicing
+    through a plateau crossing is bit-exact vs one long run (the host
+    replays the device's counter over the recorded deltas)."""
+    from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
+
+    args, kw = _checkpoint_problem(B=5, seed=3)
+    kw = {**kw, "epsilon": 0.0, "max_iters": 30,
+          "plateau_ulps": 4.0, "plateau_iters": 2}
+    ref = vbx_batched(*args, **kw)
+    assert int(np.max(np.asarray(ref.n_iters))) < 30  # plateau fired
+    out = vbx_batched_checkpointed(*args, **kw,
+                                   iters_per_slice=iters_per_slice)
+    np.testing.assert_array_equal(np.asarray(out.n_iters),
+                                  np.asarray(ref.n_iters))
+    np.testing.assert_array_equal(np.asarray(out.gamma),
+                                  np.asarray(ref.gamma))
+    np.testing.assert_array_equal(np.asarray(out.elbo),
+                                  np.asarray(ref.elbo))

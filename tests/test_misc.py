@@ -136,3 +136,17 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
         assert enable() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_corpus_presets_enable_plateau_stop():
+    """The f32 plateau stop (VBConfig.plateau_ulps) is ON in the corpus
+    presets — their |ELBO| scales are where quantum cycling taxes batched
+    runs — and OFF in 'example' (golden acceptance stays reference-exact)
+    and in the bare VBConfig default."""
+    from vbx_tpu.config import DATASET_PRESETS, VBConfig
+
+    assert VBConfig().plateau_ulps == 0.0
+    assert DATASET_PRESETS["example"].vb.plateau_ulps == 0.0
+    for name in ("callhome", "ami_beamformed", "ami_mixheadset", "dihard2"):
+        assert DATASET_PRESETS[name].vb.plateau_ulps > 0, name
+        assert DATASET_PRESETS[name].vb.plateau_iters >= 1, name

@@ -414,3 +414,34 @@ def test_mesh_overrides_warn_and_multiprocess_guard(tmp_path):
         with pytest.raises(ValueError, match="single-process"):
             diarize_ark(f"{REF}/exp/ES2005a.ark", f"{REF}/exp/ES2005a.seg",
                         str(tmp_path / "b"), **common)
+
+
+@pytest.mark.parametrize("fb_impl", [None, "pallas"])
+def test_sharded_plateau_stop_freezes_cycling_lanes(fb_impl):
+    """The opt-in plateau stop (engine.vbhmm._plateau_step) works on the
+    sharded engine: with epsilon=0 (reference rule disabled) the guard
+    ends the run early with unchanged labels. Compared sharded-vs-sharded
+    — the firing ITERATION may differ by ~1 from the single-device
+    engine, because at quantum scale the blockwise smoother's different
+    reduction order legitimately moves the last ulps of the ELBO."""
+    B, T, S, D = 4, 96, 5, 12
+    rng = np.random.default_rng(42)
+    problems = [random_vb_problem(rng, T, S, D) for _ in range(B)]
+    phi = problems[0][1]
+    X = np.stack([p[0] for p in problems]).astype(np.float32)
+    G = np.stack([p[2] for p in problems]).astype(np.float32)
+    PI = np.stack([p[3] for p in problems]).astype(np.float32)
+    FM = np.ones((B, T), bool)
+    SM = np.ones((B, S), bool)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=30, epsilon=0.0)
+    mesh = make_mesh(n_dp=2, n_sp=4)
+    args = (mesh, jnp.asarray(X), jnp.asarray(phi), jnp.asarray(G),
+            jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM))
+    off = vbx_sharded(*args, fb_impl=fb_impl, **kw)
+    on = vbx_sharded(*args, fb_impl=fb_impl, **kw,
+                     plateau_ulps=4.0, plateau_iters=2)
+    assert int(np.max(np.asarray(on.n_iters))) \
+        < int(np.max(np.asarray(off.n_iters)))
+    for i in range(B):
+        assert np.array_equal(np.asarray(on.gamma[i]).argmax(-1),
+                              np.asarray(off.gamma[i]).argmax(-1)), i

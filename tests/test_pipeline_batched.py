@@ -191,3 +191,42 @@ def test_batched_equals_streaming(tmp_path):
         rb = open(tmp_path / "b" / f"{rec}.rttm").read()
         rs = open(tmp_path / "s" / f"{rec}.rttm").read()
         assert rb == rs, rec
+
+
+@needs_ref
+def test_plateau_preset_rttm_identical_to_reference_rule(tmp_path):
+    """VERDICT r2 #2: corpus presets enable the f32 plateau stop. Pin both
+    modes through the full batched pipeline on an AMI-preset corpus: the
+    plateau run may shave EM iterations but the RTTMs must be byte-
+    identical, and it must never run LONGER."""
+    vecs = list(iter_vec_ark(f"{REF}/exp/ES2005a.ark"))
+    segs = read_segments(f"{REF}/exp/ES2005a.seg")
+    sizes = [200, 210, 400]
+    out_vecs, out_rows, pos = [], [], 0
+    for r, sz in enumerate(sizes):
+        rec = f"rec{r}"
+        for j in range(sz):
+            _, v = vecs[pos % len(vecs)]
+            _, _, s, e = segs[pos % len(segs)]
+            out_vecs.append((f"{rec}_{j:04d}", v))
+            out_rows.append((f"{rec}_{j:04d}", rec, s, e))
+            pos += 1
+    write_vec_ark(str(tmp_path / "c.ark"), out_vecs)
+    write_segments(str(tmp_path / "c.seg"), out_rows)
+    cfg_on = get_preset("ami_mixheadset")
+    assert cfg_on.vb.plateau_ulps > 0      # preset really enables it
+    import dataclasses
+    cfg_off = cfg_on.replace(
+        vb=dataclasses.replace(cfg_on.vb, plateau_ulps=0.0))
+    kw = dict(plda_file=f"{REF}/VBx/models/ResNet101_16kHz/plda",
+              transform_file=f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+              verbose=False)
+    out_on = diarize_ark(str(tmp_path / "c.ark"), str(tmp_path / "c.seg"),
+                         str(tmp_path / "on"), config=cfg_on, **kw)
+    out_off = diarize_ark(str(tmp_path / "c.ark"), str(tmp_path / "c.seg"),
+                          str(tmp_path / "off"), config=cfg_off, **kw)
+    for rec in out_off:
+        assert out_on[rec].n_iters <= out_off[rec].n_iters, rec
+        r_on = open(tmp_path / "on" / f"{rec}.rttm").read()
+        r_off = open(tmp_path / "off" / f"{rec}.rttm").read()
+        assert r_on == r_off, rec

@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "long-recording path (hour-plus meetings spread "
                         "their frames over the 'sp' chips). Overrides "
                         "--fb-impl.")
+    p.add_argument("--plateau-ulps", type=float, default=None,
+                   help="opt-in f32 plateau stop: freeze a recording whose "
+                        "|dELBO| stays within this many machine quanta of "
+                        "|ELBO| for --plateau-iters consecutive iterations "
+                        "(stops one quantum-cycling recording from running "
+                        "a whole padded batch to max-iters). 0 = off; "
+                        "default: preset's value (corpus presets use 4.0)")
+    p.add_argument("--plateau-iters", type=int, default=None,
+                   help="consecutive small deltas before the plateau stop "
+                        "fires (default: preset's value, 2)")
     p.add_argument("--resume", action="store_true",
                    help="skip recordings whose RTTM already exists "
                         "(per-recording checkpointing)")
@@ -113,6 +123,10 @@ def config_from_args(args) -> DiarizationConfig:
     if getattr(args, "ahc_fallback_speakers", None) is not None:
         ahc = dataclasses.replace(
             ahc, fallback_speakers=args.ahc_fallback_speakers)
+    if getattr(args, "plateau_ulps", None) is not None:
+        vb = dataclasses.replace(vb, plateau_ulps=args.plateau_ulps)
+    if getattr(args, "plateau_iters", None) is not None:
+        vb = dataclasses.replace(vb, plateau_iters=args.plateau_iters)
     if not 0 <= vb.loop_prob <= 1:
         raise SystemExit(f"Expecting loopP between 0 and 1, got "
                          f"{vb.loop_prob} instead.")

@@ -297,6 +297,14 @@ int nn_chain_linkage_f32(float* dist, int64_t n, int32_t method,
 // iterations of sigmoid over every bin), so releasing the GIL here lets
 // the service's init pool actually parallelize. OpenMP honors
 // linkage_set_threads' process-global cap.
+//
+// DETERMINISM: the E-step reduction uses fixed-size chunks whose partial
+// sums are accumulated in index order, so the threshold is bit-identical
+// for any thread count (a bare `omp reduction(+)` would combine partials
+// in thread order and drift ~1e-12 run-to-run; the threshold feeds the
+// linkage cut and hence the cluster count, so it must be reproducible).
+static constexpr int64_t kEmChunk = 4096;
+
 double two_gmm_weighted_em(const double* cnt, const double* ssum,
                            const double* s2sum, const double* sc, int64_t n,
                            int32_t niters) {
@@ -312,22 +320,37 @@ double two_gmm_weighted_em(const double* cnt, const double* ssum,
   if (!(var > var_floor)) return mean;  // degenerate scores: any threshold
   double w0 = 0.5, w1 = 0.5;
   double m0 = mean - std::sqrt(var), m1 = mean + std::sqrt(var);
+  const int64_t nchunks = (n + kEmChunk - 1) / kEmChunk;
+  std::vector<double> pc(nchunks), p1(nchunks), p2(nchunks);
   for (int32_t it = 0; it < niters; ++it) {
     if (!(var > var_floor)) return mean;  // components merged mid-EM
     const double d = (m1 - m0) / var;
     const double c =
         std::log(w1) - std::log(w0) - 0.5 * (m1 * m1 - m0 * m0) / var;
-    double cnt1 = 0, s1 = 0, s2 = 0;
 #ifdef _OPENMP
-#pragma omp parallel for reduction(+ : cnt1, s1, s2) schedule(static)
+#pragma omp parallel for schedule(static)
 #endif
-    for (int64_t i = 0; i < n; ++i) {
-      const double z = sc[i] * d + c;
-      const double ez = std::exp(-std::abs(z));  // in (0,1]: no overflow
-      const double g1 = z >= 0 ? 1.0 / (1.0 + ez) : ez / (1.0 + ez);
-      cnt1 += g1 * cnt[i];
-      s1 += g1 * ssum[i];
-      s2 += g1 * s2sum[i];
+    for (int64_t k = 0; k < nchunks; ++k) {
+      const int64_t lo = k * kEmChunk;
+      const int64_t hi = std::min(n, lo + kEmChunk);
+      double a = 0, b = 0, q = 0;
+      for (int64_t i = lo; i < hi; ++i) {
+        const double z = sc[i] * d + c;
+        const double ez = std::exp(-std::abs(z));  // in (0,1]: no overflow
+        const double g1 = z >= 0 ? 1.0 / (1.0 + ez) : ez / (1.0 + ez);
+        a += g1 * cnt[i];
+        b += g1 * ssum[i];
+        q += g1 * s2sum[i];
+      }
+      pc[k] = a;
+      p1[k] = b;
+      p2[k] = q;
+    }
+    double cnt1 = 0, s1 = 0, s2 = 0;
+    for (int64_t k = 0; k < nchunks; ++k) {  // index order: deterministic
+      cnt1 += pc[k];
+      s1 += p1[k];
+      s2 += p2[k];
     }
     const double cnt0 = total - cnt1, s0 = sum_s - s1, q0 = sum_s2 - s2;
     w0 = cnt0 / total;

@@ -23,6 +23,16 @@ class VBConfig:
     # dtype for the on-device engine. float32 is the TPU-native choice;
     # float64 is available on CPU for oracle-parity validation.
     dtype: str = "float32"
+    # Opt-in f32 plateau stop (engine.vbhmm._plateau_step): freeze a
+    # recording whose |Delta-ELBO| stays within plateau_ulps machine
+    # quanta of |ELBO| for plateau_iters consecutive iterations. At AMI
+    # scale (|ELBO|~1e6) the f32 quantum ~0.06 >> epsilon=1e-6, so a lane
+    # can cycle at +-1 quantum to max_iters and — under batched
+    # convergence freezing — tax the whole padded batch ~3x (PARITY.md
+    # deviation 3). 0.0 = off (reference semantics, VBx/VBx.py:122-125);
+    # the corpus presets enable it.
+    plateau_ulps: float = 0.0
+    plateau_iters: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,10 +98,12 @@ class DiarizationConfig:
 def _preset(name: str, Fa: float, Fb: float, loopP: float, smoothing: float,
             sample_rate: int,
             protocols: tuple = ("forgiving", "fair", "full"),
+            plateau_ulps: float = 0.0,
             ) -> DiarizationConfig:
     return DiarizationConfig(
         name=name,
-        vb=VBConfig(Fa=Fa, Fb=Fb, loop_prob=loopP),
+        vb=VBConfig(Fa=Fa, Fb=Fb, loop_prob=loopP,
+                    plateau_ulps=plateau_ulps),
         ahc=AHCConfig(threshold=-0.015, init_smoothing=smoothing),
         sample_rate=sample_rate,
         protocols=protocols,
@@ -99,22 +111,30 @@ def _preset(name: str, Fa: float, Fb: float, loopP: float, smoothing: float,
 
 
 # The config of record (reference recipes; see BASELINE.md table).
+# Corpus presets enable the f32 plateau stop (plateau_ulps=4.0): their
+# meetings reach |ELBO| scales where the f32 quantum dwarfs epsilon and a
+# quantum-cycling recording would otherwise run the whole padded batch to
+# max_iters (VBConfig.plateau_ulps). 'example' stays reference-exact
+# (golden ES2005a acceptance runs on it).
 DATASET_PRESETS = {
     # run_example.sh:30-34 + vbhmm.py:90-97 default smoothing 5.0
     "example": _preset("example", Fa=0.3, Fb=17.0, loopP=0.99, smoothing=5.0,
                        sample_rate=16000),
     # CALLHOME_run.sh:42-47 (8 kHz model)
     "callhome": _preset("callhome", Fa=0.4, Fb=17.0, loopP=0.40, smoothing=7.0,
-                        sample_rate=8000),
+                        sample_rate=8000, plateau_ulps=4.0),
     # AMI_run.sh:6,45-49 (beamformed: Fb 64)
     "ami_beamformed": _preset("ami_beamformed", Fa=0.4, Fb=64.0, loopP=0.65,
-                              smoothing=7.0, sample_rate=16000),
+                              smoothing=7.0, sample_rate=16000,
+                              plateau_ulps=4.0),
     # AMI_run.sh:6 (Mix-Headset: Fb 68)
     "ami_mixheadset": _preset("ami_mixheadset", Fa=0.4, Fb=68.0, loopP=0.65,
-                              smoothing=7.0, sample_rate=16000),
+                              smoothing=7.0, sample_rate=16000,
+                              plateau_ulps=4.0),
     # DIHARD2_run.sh:42-47; scored fair+full only (DIHARD2_run.sh:61-62)
     "dihard2": _preset("dihard2", Fa=0.2, Fb=6.0, loopP=0.35, smoothing=7.0,
-                       sample_rate=16000, protocols=("fair", "full")),
+                       sample_rate=16000, protocols=("fair", "full"),
+                       plateau_ulps=4.0),
 }
 
 

@@ -161,7 +161,9 @@ class Diarizer:
                     jnp.ones((1, T), bool), jnp.ones((1, S), bool),
                     loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
                     max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
-                    fb_impl=fb_impl)
+                    fb_impl=fb_impl,
+                    plateau_ulps=cfg.vb.plateau_ulps,
+                    plateau_iters=cfg.vb.plateau_iters)
                 res = res._replace(gamma=res.gamma[0], elbo=res.elbo[0],
                                    n_iters=res.n_iters[0])
             else:
@@ -172,7 +174,9 @@ class Diarizer:
                     pi=jnp.full((S,), 1.0 / S, dtype=self.dtype),
                     gamma=jnp.asarray(qinit, self.dtype),
                     max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
-                    fb_impl=fb_impl or "structured")
+                    fb_impl=fb_impl or "structured",
+                    plateau_ulps=cfg.vb.plateau_ulps,
+                    plateau_iters=cfg.vb.plateau_iters)
             q = np.asarray(res.gamma)
             order = np.argsort(-q, axis=1)
             labels1st = order[:, 0].astype(np.int32)
@@ -507,14 +511,18 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
                 max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
                 fb_impl=(fb_impl if fb_impl in ("pallas", "pallas_bf16")
-                         else None))
+                         else None),
+                plateau_ulps=cfg.vb.plateau_ulps,
+                plateau_iters=cfg.vb.plateau_iters)
         else:
             res = vbx_batched(
                 X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
                 G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
                 loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
                 max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
-                fb_impl=fb_impl)
+                fb_impl=fb_impl,
+                plateau_ulps=cfg.vb.plateau_ulps,
+                plateau_iters=cfg.vb.plateau_iters)
         entry = {"idxs": idxs, "T_pad": T_pad, "S_pad": S_pad, "res": res}
         launched.append(entry)
         unawaited.append(entry)

@@ -60,8 +60,31 @@ class _State(NamedTuple):
     pi: jax.Array
     elbo: jax.Array
     last_elbo: jax.Array
+    plateau: jax.Array
     alpha: jax.Array
     invL: jax.Array
+
+
+def _plateau_step(delta, elbo_val, counter, plateau_ulps, plateau_iters,
+                  eps_machine):
+    """Opt-in f32 plateau stop (PARITY.md deviation 3: at |ELBO|~1e6 the
+    f32 quantum ~0.06 >> epsilon=1e-6, so a lane can cycle at +-a-few
+    quanta per iteration and run to max_iters while contributing nothing —
+    and under batched convergence freezing ONE such lane keeps the whole
+    padded batch stepping).
+
+    A lane's counter increments when |Delta-ELBO| is within `plateau_ulps`
+    machine quanta of its ELBO's magnitude and resets otherwise; reaching
+    `plateau_iters` consecutive small deltas freezes the lane exactly like
+    the reference epsilon rule (VBx/VBx.py:122-125). plateau_ulps <= 0
+    disables (the default — reference semantics exactly). The quantum
+    scales with the ENGINE dtype, so an f64 oracle run is never touched by
+    an f32-tuned setting."""
+    quantum = eps_machine * jnp.maximum(jnp.abs(elbo_val), 1.0)
+    small = jnp.abs(delta) <= plateau_ulps * quantum
+    new_counter = jnp.where(small, counter + 1, 0)
+    hit = jnp.logical_and(plateau_ulps > 0, new_counter >= plateau_iters)
+    return new_counter, hit
 
 
 @functools.partial(
@@ -70,6 +93,7 @@ class _State(NamedTuple):
 def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
              loop_prob, fa, fb, epsilon,
              alpha0, invL0, converged0, last_elbo0,
+             plateau_ulps, plateau_iters, plateau0,
              *, max_iters: int, fb_impl: str, has_initial_model: bool):
     dtype = X.dtype
     T, D = X.shape
@@ -104,8 +128,13 @@ def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         elbo_val = fbr.log_px + vb_elbo_model_term(invL, alpha, fb)
         new_pi = vb_pi_update(fbr.gamma[0], state.pi, fbr.pi_stat, loop_prob)
 
+        delta = elbo_val - state.last_elbo
+        new_plateau, plateau_hit = _plateau_step(
+            delta, elbo_val, state.plateau, plateau_ulps, plateau_iters,
+            jnp.asarray(jnp.finfo(dtype).eps, dtype))
         now_converged = jnp.logical_and(
-            jnp.logical_not(first), elbo_val - state.last_elbo < epsilon)
+            jnp.logical_not(first),
+            jnp.logical_or(delta < epsilon, plateau_hit))
 
         # freeze recordings that converged on a PREVIOUS iteration; the
         # iteration that crosses the threshold keeps its update (VBx.py:122-125)
@@ -121,6 +150,7 @@ def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
             pi=sel(state.pi, new_pi),
             elbo=sel(state.elbo, state.elbo.at[state.it].set(elbo_val)),
             last_elbo=sel(state.last_elbo, elbo_val),
+            plateau=sel(state.plateau, new_plateau),
             alpha=sel(state.alpha, alpha),
             invL=sel(state.invL, invL),
         )
@@ -137,6 +167,7 @@ def _vbx_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         pi=pi,
         elbo=jnp.full((max_iters,), jnp.nan, dtype=dtype),
         last_elbo=last_elbo0,
+        plateau=plateau0,
         alpha=(alpha0 if has_initial_model
                else jnp.zeros((S, D), dtype)),
         invL=(invL0 if has_initial_model
@@ -165,6 +196,8 @@ def vbx(
     invL: Optional[jax.Array] = None,
     fb_impl: str = "structured",
     dtype=None,
+    plateau_ulps: float = 0.0,
+    plateau_iters: int = 2,
 ) -> VBxResult:
     """Single-recording VB-HMM (API parity with reference VBx.VBx:27-126).
 
@@ -173,6 +206,9 @@ def vbx(
     pi:      int S (max speakers, uniform prior) or [S] prior vector.
     gamma:   [T, S] initial responsibilities; if None, sampled from a flat
              Dirichlet with concentration alpha_q_init (requires rng).
+    plateau_ulps/plateau_iters: opt-in ELBO plateau stop (see
+             _plateau_step); plateau_ulps=0 (default) keeps the
+             reference's absolute-epsilon rule exactly.
     """
     if fb_impl not in _FB_IMPLS:
         raise ValueError(
@@ -217,6 +253,8 @@ def vbx(
         jnp.asarray(Fb, dtype), jnp.asarray(epsilon, dtype),
         alpha0, invL0,
         jnp.zeros((), bool), jnp.asarray(NEG_INF, dtype),
+        jnp.asarray(plateau_ulps, dtype),
+        jnp.asarray(plateau_iters, jnp.int32), jnp.zeros((), jnp.int32),
         max_iters=max_iters, fb_impl=fb_impl,
         has_initial_model=has_model)
 
@@ -231,6 +269,7 @@ class _PState(NamedTuple):
     pi: jax.Array             # [B, S]
     elbo: jax.Array           # [B, max_iters]
     last_elbo: jax.Array      # [B]
+    plateau: jax.Array        # [B] int32 consecutive-small-delta counter
 
 
 @functools.partial(
@@ -238,6 +277,7 @@ class _PState(NamedTuple):
 def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
                                loop_prob, fa, fb, epsilon,
                                converged0, last_elbo0,
+                               plateau_ulps, plateau_iters, plateau0,
                                *, max_iters: int, interpret: bool,
                                io_dtype: str = "float32"):
     """Batched EM around the speakers-on-sublanes fused kernel
@@ -347,8 +387,13 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         new_pi = vmapped_pi_update(gamma0_sb.T, state.pi, pi_stat_sb.T,
                                    loop_prob)
 
+        delta = elbo_val - state.last_elbo
+        new_plateau, plateau_hit = _plateau_step(
+            delta, elbo_val, state.plateau, plateau_ulps, plateau_iters,
+            jnp.asarray(jnp.finfo(dtype).eps, dtype))
         now_conv = jnp.logical_and(jnp.logical_not(first),
-                                   elbo_val - state.last_elbo < epsilon)
+                                   jnp.logical_or(delta < epsilon,
+                                                  plateau_hit))
         keep = state.converged                        # [B]
 
         def sel(old, new, bdim):
@@ -365,6 +410,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
             elbo=sel(state.elbo,
                      state.elbo.at[:, state.it].set(elbo_val), 0),
             last_elbo=sel(state.last_elbo, elbo_val, 0),
+            plateau=sel(state.plateau, new_plateau, 0),
         )
 
     def cond(state: _PState):
@@ -379,6 +425,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         pi=pi,
         elbo=jnp.full((B, max_iters), jnp.nan, dtype),
         last_elbo=last_elbo0.astype(dtype),
+        plateau=plateau0,
     )
     final = jax.lax.while_loop(cond, one_iteration, init)
 
@@ -398,6 +445,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     static_argnames=("max_iters", "fb_impl"))
 def _vbx_batched_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
                      loop_prob, fa, fb, epsilon, converged0, last_elbo0,
+                     plateau_ulps, plateau_iters, plateau0,
                      *, max_iters: int, fb_impl: str):
     B, T, S = gamma.shape
     D = X.shape[-1]
@@ -407,11 +455,11 @@ def _vbx_batched_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         _vbx_jit.__wrapped__,  # call through vmap, jit applied outside
         max_iters=max_iters, fb_impl=fb_impl, has_initial_model=False)
     return jax.vmap(
-        lambda x, g, p, fm, sm, a0, l0, c0, le0: fn(
+        lambda x, g, p, fm, sm, a0, l0, c0, le0, pl0: fn(
             x, phi, g, p, fm, sm, loop_prob, fa, fb, epsilon, a0, l0,
-            c0, le0)
+            c0, le0, plateau_ulps, plateau_iters, pl0)
     )(X, gamma, pi, frame_mask, speaker_mask, zeros_a, ones_l,
-      converged0, last_elbo0)
+      converged0, last_elbo0, plateau0)
 
 
 def vbx_batched(
@@ -429,6 +477,9 @@ def vbx_batched(
     fb_impl: Optional[str] = None,
     converged0: Optional[jax.Array] = None,   # [B] resume: already-done mask
     last_elbo0: Optional[jax.Array] = None,   # [B] resume: carried ELBO
+    plateau_ulps: float = 0.0,
+    plateau_iters: int = 2,
+    plateau0: Optional[jax.Array] = None,     # [B] resume: carried counter
 ) -> VBxResult:
     """Batched VB-HMM over padded recordings with per-recording convergence.
 
@@ -453,10 +504,20 @@ def vbx_batched(
     continuation of the original run — its first iteration may converge
     against the carried ELBO, and already-converged recordings stay
     frozen from iteration 0.
+
+    plateau_ulps/plateau_iters: opt-in f32 plateau stop (_plateau_step;
+    PARITY.md deviation 3) — a lane whose |Delta-ELBO| stays within
+    plateau_ulps machine quanta of |ELBO| for plateau_iters consecutive
+    iterations freezes, so one quantum-cycling recording cannot tax the
+    whole padded batch with max_iters device time. Default OFF
+    (plateau_ulps=0): the reference's absolute-epsilon rule, VBx.py:122-125.
+    plateau0 carries the counter across checkpoint slices.
     """
     B = gamma.shape[0]
     if converged0 is None:
         converged0 = jnp.zeros((B,), bool)
+    if plateau0 is None:
+        plateau0 = jnp.zeros((B,), jnp.int32)
     if last_elbo0 is None:
         # the fresh-start sentinel must be created in the ENGINE dtype:
         # NEG_INF is not float32-representable exactly, so an f32 default
@@ -489,6 +550,9 @@ def vbx_batched(
             jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
             jnp.float32(epsilon), jnp.asarray(converged0, bool),
             jnp.asarray(last_elbo0, jnp.float32),
+            jnp.float32(plateau_ulps),
+            jnp.asarray(plateau_iters, jnp.int32),
+            jnp.asarray(plateau0, jnp.int32),
             max_iters=max_iters, interpret=interpret,
             io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
                       else "float32"))
@@ -498,6 +562,9 @@ def vbx_batched(
         jnp.asarray(loop_prob, dtype), jnp.asarray(Fa, dtype),
         jnp.asarray(Fb, dtype), jnp.asarray(epsilon, dtype),
         jnp.asarray(converged0, bool), jnp.asarray(last_elbo0, dtype),
+        jnp.asarray(plateau_ulps, dtype),
+        jnp.asarray(plateau_iters, jnp.int32),
+        jnp.asarray(plateau0, jnp.int32),
         max_iters=max_iters, fb_impl=fb_impl)
 
 
@@ -517,6 +584,8 @@ def vbx_batched_checkpointed(
     iters_per_slice: int = 10,
     checkpoint_path: Optional[str] = None,
     mesh=None,
+    plateau_ulps: float = 0.0,
+    plateau_iters: int = 2,
 ) -> VBxResult:
     """vbx_batched with mid-EM engine-state checkpointing (SURVEY.md §5:
     the reference's only durability is whole files per recording; a
@@ -565,6 +634,7 @@ def vbx_batched_checkpointed(
     elbo_full = np.full((B, max_iters), np.nan, dt)
     converged = np.zeros((B,), bool)
     last_elbo = np.full((B,), NEG_INF, dt)
+    plateau = np.zeros((B,), np.int32)
     g_cur = jnp.asarray(gamma)
     pi_cur = jnp.asarray(pi)
 
@@ -573,7 +643,8 @@ def vbx_batched_checkpointed(
     header = {"shape": np.array([B, T, S]), "fb_impl": np.str_(fb),
               "dtype": np.str_(np.dtype(dt).name),
               "hp": np.array([float(loop_prob), float(Fa), float(Fb),
-                              float(epsilon), float(max_iters)])}
+                              float(epsilon), float(max_iters),
+                              float(plateau_ulps), float(plateau_iters)])}
 
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
@@ -589,6 +660,7 @@ def vbx_batched_checkpointed(
         elbo_full[:, :it_done] = ck["elbo"][:, :it_done]
         converged = ck["converged"]
         last_elbo = ck["last_elbo"].astype(dt)
+        plateau = ck["plateau"].astype(np.int32)
         g_cur = jnp.asarray(ck["gamma"])
         pi_cur = jnp.asarray(ck["pi"])
 
@@ -603,13 +675,17 @@ def vbx_batched_checkpointed(
                 loop_prob=loop_prob, Fa=Fa, Fb=Fb, max_iters=k,
                 epsilon=epsilon, converged0=jnp.asarray(converged),
                 last_elbo0=jnp.asarray(last_elbo),
-                fb_impl=(fb_impl if mesh_pallas else None))
+                fb_impl=(fb_impl if mesh_pallas else None),
+                plateau_ulps=plateau_ulps, plateau_iters=plateau_iters,
+                plateau0=jnp.asarray(plateau))
         else:
             res = vbx_batched(
                 X, phi, g_cur, pi_cur, frame_mask, speaker_mask,
                 loop_prob, Fa, Fb, max_iters=k, epsilon=epsilon,
                 fb_impl=fb_impl, converged0=jnp.asarray(converged),
-                last_elbo0=jnp.asarray(last_elbo))
+                last_elbo0=jnp.asarray(last_elbo),
+                plateau_ulps=plateau_ulps, plateau_iters=plateau_iters,
+                plateau0=jnp.asarray(plateau))
         g_cur, pi_cur = res.gamma, res.pi
         elbo_k = np.asarray(res.elbo).astype(dt, copy=False)  # [B, k]
         n_k = np.sum(~np.isnan(elbo_k), axis=1)            # per-rec iters
@@ -626,15 +702,37 @@ def vbx_batched_checkpointed(
         prev_of_last = np.where(
             n_k >= 2, elbo_k[idx, np.maximum(n_k - 2, 0)], last_elbo)
         last_delta = new_last - prev_of_last               # engine dtype
-        converged = converged | (ran & (n_k < k)) \
+        converged_new = (ran & (n_k < k)) \
             | (ran & (last_delta < dt.type(epsilon)))
+        if plateau_ulps > 0:
+            # replay the device's counter over this slice's recorded
+            # deltas (same engine-dtype values, same operation grouping as
+            # _plateau_step) — needed for the same reason as last_delta: a
+            # lane whose plateau fires on the slice's final iteration has
+            # n_k == k, and the counter must carry into the next slice
+            was_conv = converged
+            c = plateau.copy()
+            prev = last_elbo.copy()
+            eps_m = dt.type(np.finfo(dt).eps)
+            pu = dt.type(plateau_ulps)
+            for j in range(k):
+                active = (~was_conv) & (n_k > j)
+                cur = elbo_k[:, j]
+                quantum = eps_m * np.maximum(np.abs(cur), dt.type(1.0))
+                small = np.abs((cur - prev).astype(dt)) <= pu * quantum
+                c = np.where(active, np.where(small, c + 1, 0), c)
+                prev = np.where(active, cur, prev)
+            plateau = c.astype(np.int32)
+            converged_new |= ran & (plateau >= plateau_iters)
+        converged = converged | converged_new
         last_elbo = np.where(ran, new_last, last_elbo)
         it_done += k
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp.npz"   # .npz: savez won't rename
             np.savez(tmp, gamma=np.asarray(res.gamma),
                      pi=np.asarray(res.pi), converged=converged,
-                     last_elbo=last_elbo, elbo=elbo_full, it_done=it_done,
+                     last_elbo=last_elbo, plateau=plateau,
+                     elbo=elbo_full, it_done=it_done,
                      **header)
             os.replace(tmp, checkpoint_path)
 

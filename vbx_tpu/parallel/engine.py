@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from vbx_tpu.engine.vbhmm import _plateau_step
 from vbx_tpu.ops.lse import NEG_INF, masked_fill
 from vbx_tpu.ops.vb_steps import (vb_elbo_model_term, vb_log_likelihoods,
                                   vb_pi_update, vb_precompute)
@@ -41,11 +42,13 @@ class _State(NamedTuple):
     pi: jax.Array
     elbo: jax.Array
     last_elbo: jax.Array
+    plateau: jax.Array
 
 
 def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
                           loop_prob, fa, fb, epsilon, converged0,
-                          last_elbo0, *,
+                          last_elbo0, plateau_ulps, plateau_iters,
+                          plateau0, *,
                           max_iters: int, axis_name: str):
     """One recording, local frame block [Tl, ...]; runs inside
     vmap(recordings) inside shard_map(mesh). converged0/last_elbo0
@@ -80,8 +83,13 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
         elbo_val = fbr.log_px + vb_elbo_model_term(invL, alpha, fb)
         new_pi = vb_pi_update(fbr.gamma0, state.pi, fbr.pi_stat, loop_prob)
 
+        delta = elbo_val - state.last_elbo
+        new_plateau, plateau_hit = _plateau_step(
+            delta, elbo_val, state.plateau, plateau_ulps, plateau_iters,
+            jnp.asarray(jnp.finfo(dtype).eps, dtype))
         now_converged = jnp.logical_and(
-            jnp.logical_not(first), elbo_val - state.last_elbo < epsilon)
+            jnp.logical_not(first),
+            jnp.logical_or(delta < epsilon, plateau_hit))
         keep = state.converged
 
         def sel(old, new):
@@ -94,6 +102,7 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
             pi=sel(state.pi, new_pi),
             elbo=sel(state.elbo, state.elbo.at[state.it].set(elbo_val)),
             last_elbo=sel(state.last_elbo, elbo_val),
+            plateau=sel(state.plateau, new_plateau),
         )
 
     def cond(state: _State):
@@ -107,6 +116,7 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
         pi=pi,
         elbo=jnp.full((max_iters,), jnp.nan, dtype=dtype),
         last_elbo=last_elbo0.astype(dtype),
+        plateau=plateau0,
     )
     final = jax.lax.while_loop(cond, one_iteration, init)
     return final.gamma, final.pi, final.elbo, final.it
@@ -114,7 +124,8 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
 
 def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
                                   speaker_mask, loop_prob, fa, fb, epsilon,
-                                  converged0, last_elbo0, *,
+                                  converged0, last_elbo0, plateau_ulps,
+                                  plateau_iters, plateau0, *,
                                   max_iters: int, axis_name: str,
                                   interpret: bool, io_dtype):
     """The local recording batch in ONE program: [Bl] recordings x [Tl]
@@ -163,7 +174,8 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
                            axis_name)                            # [S, Bl]
 
     def one_iteration(state):
-        (it, converged, gamma, counts, pi_c, elbo, last_elbo) = state
+        (it, converged, gamma, counts, pi_c, elbo, last_elbo,
+         plateau) = state
         first = jnp.logical_and(it == 0, fresh)                  # [Bl]
         invL, alpha = m_step(gamma, counts)
 
@@ -186,8 +198,13 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
         new_pi = vmapped_pi_update(fbr.gamma0.T, pi_c, fbr.pi_stat.T,
                                    loop_prob)
 
+        delta = elbo_val - last_elbo
+        new_plateau, plateau_hit = _plateau_step(
+            delta, elbo_val, plateau, plateau_ulps, plateau_iters,
+            jnp.asarray(jnp.finfo(dtype).eps, dtype))
         now_conv = jnp.logical_and(jnp.logical_not(first),
-                                   elbo_val - last_elbo < epsilon)
+                                   jnp.logical_or(delta < epsilon,
+                                                  plateau_hit))
         keep = converged
 
         def sel(old, new, bdim):
@@ -201,7 +218,8 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
                 sel(counts, new_counts, 1),
                 sel(pi_c, new_pi, 0),
                 sel(elbo, elbo.at[:, it].set(elbo_val), 0),
-                sel(last_elbo, elbo_val, 0))
+                sel(last_elbo, elbo_val, 0),
+                sel(plateau, new_plateau, 0))
 
     def cond(state):
         it, converged = state[0], state[1]
@@ -210,9 +228,9 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
 
     init = (jnp.zeros((), jnp.int32), converged0, gamma_tsb, counts0, pi,
             jnp.full((Bl, max_iters), jnp.nan, dtype),
-            last_elbo0.astype(dtype))
+            last_elbo0.astype(dtype), plateau0)
     final = jax.lax.while_loop(cond, one_iteration, init)
-    _, _, g_fin, _, pi_fin, elbo_fin, _ = final
+    _, _, g_fin, _, pi_fin, elbo_fin, _, _ = final
     n_iters = jnp.sum(jnp.logical_not(jnp.isnan(elbo_fin)),
                       axis=1).astype(jnp.int32)
     g_out = jnp.transpose(g_fin, (2, 0, 1)).astype(dtype)   # [Bl, Tl, S]
@@ -227,19 +245,19 @@ def _sharded_pallas_jit(mesh, max_iters: int, io_dtype: str,
     closure each call would defeat jax's jit cache and recompile every
     time (measured: ~2 s per call at T=32768 — the whole EM's cost)."""
     def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l,
-                 lp, fa_, fb_, eps_):
+                 pl0_l, lp, fa_, fb_, eps_, pu, pit):
         gamma_tsb = jnp.transpose(gamma_l, (1, 2, 0))        # [Tl, S, Bl]
         return _vb_em_sharded_batched_pallas(
             X_l, phi_r, gamma_tsb, pi_l, fm_l, sm_l, lp, fa_, fb_, eps_,
-            c0_l, le0_l, max_iters=max_iters, axis_name="sp",
-            interpret=interpret, io_dtype=io_dtype)
+            c0_l, le0_l, pu, pit, pl0_l, max_iters=max_iters,
+            axis_name="sp", interpret=interpret, io_dtype=io_dtype)
 
     shmapped = jax.shard_map(
         block_fn, mesh=mesh,
         in_specs=(P("dp", "sp", None), P(), P("dp", "sp", None),
                   P("dp", None), P("dp", "sp"), P("dp", None),
-                  P("dp"), P("dp"),
-                  P(), P(), P(), P()),
+                  P("dp"), P("dp"), P("dp"),
+                  P(), P(), P(), P(), P(), P()),
         out_specs=(P("dp", "sp", None), P("dp", None), P("dp", None),
                    P("dp")),
         check_vma=False)
@@ -248,12 +266,14 @@ def _sharded_pallas_jit(mesh, max_iters: int, io_dtype: str,
 
 def _vbx_sharded_pallas(mesh, X, phi, gamma, pi, frame_mask, speaker_mask,
                         loop_prob, fa, fb, epsilon, converged0, last_elbo0,
+                        plateau_ulps, plateau_iters, plateau0,
                         *, max_iters: int, io_dtype) -> ShardedVBxResult:
     fn = _sharded_pallas_jit(mesh, max_iters, str(io_dtype),
                              jax.default_backend() == "cpu")
     g, p_out, elbo, iters = fn(
         X, phi, gamma, pi, frame_mask, speaker_mask,
-        converged0, last_elbo0, loop_prob, fa, fb, epsilon)
+        converged0, last_elbo0, plateau0, loop_prob, fa, fb, epsilon,
+        plateau_ulps, plateau_iters)
     return ShardedVBxResult(g, p_out, elbo, iters)
 
 
@@ -273,6 +293,9 @@ def vbx_sharded(
     converged0=None,
     last_elbo0=None,
     fb_impl: str = None,
+    plateau_ulps: float = 0.0,
+    plateau_iters: int = 2,
+    plateau0=None,
 ) -> ShardedVBxResult:
     """Batched VB-HMM over a ('dp', 'sp') mesh.
 
@@ -291,6 +314,9 @@ def vbx_sharded(
     per-iteration streams in bfloat16."""
     dtype = X.dtype
     B = gamma.shape[0]
+    if plateau0 is None:
+        plateau0 = jnp.zeros((B,), jnp.int32)
+    plateau0 = jnp.asarray(plateau0, jnp.int32)
     if fb_impl in ("pallas", "pallas_bf16"):
         if gamma.shape[-1] > 128:
             import warnings
@@ -311,6 +337,8 @@ def vbx_sharded(
                  else jnp.asarray(converged0, bool)),
                 (jnp.full((B,), NEG_INF, f32) if last_elbo0 is None
                  else jnp.asarray(last_elbo0, f32)),
+                jnp.float32(plateau_ulps),
+                jnp.asarray(plateau_iters, jnp.int32), plateau0,
                 max_iters=max_iters,
                 io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
                           else "float32"))
@@ -329,7 +357,9 @@ def vbx_sharded(
     g, p_out, elbo, iters = fn(
         X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
         jnp.asarray(converged0, bool), jnp.asarray(last_elbo0, dtype),
-        loop_prob, fa, fb, epsilon)
+        plateau0, loop_prob, fa, fb, epsilon,
+        jnp.asarray(plateau_ulps, dtype),
+        jnp.asarray(plateau_iters, jnp.int32))
     return ShardedVBxResult(g, p_out, elbo, iters)
 
 
@@ -338,20 +368,21 @@ def _sharded_structured_jit(mesh, max_iters: int):
     """Cached jitted sharded-structured program (see _sharded_pallas_jit:
     a per-call shard_map closure would recompile on every invocation)."""
     def block_fn(X_l, phi_r, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l,
-                 lp, fa_, fb_, eps_):
+                 pl0_l, lp, fa_, fb_, eps_, pu, pit):
         run = functools.partial(
             _vb_em_sharded_single, max_iters=max_iters, axis_name="sp")
         return jax.vmap(
-            lambda x, g, p, f, s, c0, le0: run(x, phi_r, g, p, f, s,
-                                               lp, fa_, fb_, eps_, c0, le0)
-        )(X_l, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l)
+            lambda x, g, p, f, s, c0, le0, pl0: run(
+                x, phi_r, g, p, f, s, lp, fa_, fb_, eps_, c0, le0,
+                pu, pit, pl0)
+        )(X_l, gamma_l, pi_l, fm_l, sm_l, c0_l, le0_l, pl0_l)
 
     shmapped = jax.shard_map(
         block_fn, mesh=mesh,
         in_specs=(P("dp", "sp", None), P(), P("dp", "sp", None),
                   P("dp", None), P("dp", "sp"), P("dp", None),
-                  P("dp"), P("dp"),
-                  P(), P(), P(), P()),
+                  P("dp"), P("dp"), P("dp"),
+                  P(), P(), P(), P(), P(), P()),
         out_specs=(P("dp", "sp", None), P("dp", None), P("dp", None),
                    P("dp")),
         check_vma=False)

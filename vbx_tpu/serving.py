@@ -496,14 +496,18 @@ class DiarizationService:
                     jnp.asarray(reqs[0].phi, diar.dtype), jnp.asarray(G),
                     jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
                     loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-                    max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon)
+                    max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                    plateau_ulps=cfg.vb.plateau_ulps,
+                    plateau_iters=cfg.vb.plateau_iters)
             else:
                 res = vbx_batched(
                     jnp.asarray(X), jnp.asarray(reqs[0].phi, diar.dtype),
                     jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
                     jnp.asarray(SM), loop_prob=cfg.vb.loop_prob,
                     Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, max_iters=cfg.vb.max_iters,
-                    epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl)
+                    epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl,
+                    plateau_ulps=cfg.vb.plateau_ulps,
+                    plateau_iters=cfg.vb.plateau_iters)
         except Exception as exc:   # noqa: BLE001 — fail the chunk, not the
             for req in reqs:       # service
                 self._fail(req, exc)
