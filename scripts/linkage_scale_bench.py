@@ -9,10 +9,13 @@ harness measures where that crossover actually sits for OUR AHC stack so
 the guidance in BENCHMARKS.md is grounded in numbers, not folklore.
 
     timeout 560 python scripts/linkage_scale_bench.py [N ...]
+    timeout 560 python scripts/linkage_scale_bench.py --ondemand [N ...]
 
 Memory note: the condensed distance matrix is N(N-1)/2 float64 — 10 GB at
 N=50k. The blocked cosine path never materializes the square matrix, so
-peak RSS is condensed + one row block.
+peak RSS is condensed + one row block. --ondemand instead runs the round-3
+cluster-sums linkage (clustering.linkage_dot_avg, O(N*D) memory — no
+condensed buffer at all) with the histogram-only calibration sweep.
 """
 
 import os
@@ -25,10 +28,14 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    from vbx_tpu.clustering import fcluster_by_distance, linkage
+    from vbx_tpu.clustering import (fcluster_by_distance, linkage,
+                                    linkage_dot_avg)
     from vbx_tpu.engine import ahc
 
-    sizes = [int(a) for a in sys.argv[1:]] or [10_000, 20_000, 50_000]
+    args = sys.argv[1:]
+    ondemand = "--ondemand" in args
+    args = [a for a in args if a != "--ondemand"]
+    sizes = [int(a) for a in args] or [10_000, 20_000, 50_000]
     rng = np.random.default_rng(0)
     for N in sizes:
         K = 8
@@ -38,11 +45,15 @@ def main():
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
 
         t0 = time.perf_counter()
-        cond, thr = ahc._blocked_cosine_condensed_and_thr(xn)
+        cond, thr = ahc._blocked_cosine_condensed_and_thr(
+            xn, want_condensed=not ondemand)
         t_front = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        Z = linkage(cond, method="average")
+        if ondemand:
+            Z = linkage_dot_avg(xn, backend="native")
+        else:
+            Z = linkage(cond, method="average")
         t_link = time.perf_counter() - t0
         del cond
 
@@ -52,10 +63,11 @@ def main():
         labels = fcluster_by_distance(Z, -(thr + (-0.015)) + adjust)
         t_cut = time.perf_counter() - t0
         total = t_front + t_link + t_cut
-        gb = N * (N - 1) / 2 * 8 / 1e9
-        print(f"N={N}: cosine+calib {t_front:.1f}s, linkage {t_link:.1f}s, "
-              f"cut {t_cut:.2f}s -> TOTAL {total:.1f}s "
-              f"({len(np.unique(labels))} clusters, condensed {gb:.1f} GB)",
+        gb = (N * 128 * 8 * 2 if ondemand else N * (N - 1) / 2 * 8) / 1e9
+        mode = "ondemand(O(N*D))" if ondemand else "condensed"
+        print(f"N={N} [{mode}]: cosine+calib {t_front:.1f}s, "
+              f"linkage {t_link:.1f}s, cut {t_cut:.2f}s -> TOTAL {total:.1f}s "
+              f"({len(np.unique(labels))} clusters, buffers {gb:.2f} GB)",
               flush=True)
 
 

@@ -259,3 +259,56 @@ def test_adaptive_bins_explicit_override_honored():
     assert adaptive_bins(1 << 30, n_bins=1 << 18) == 1 << 18
     assert adaptive_bins(1 << 30, n_bins=1 << 14) == 1 << 14
     assert adaptive_bins(1 << 30) == 1 << 16
+
+
+def test_linkage_dot_avg_matches_condensed_merge_order():
+    """VERDICT r2 #3: the O(N.D)-memory distance-on-demand linkage
+    (cluster-sums identity) must reproduce the condensed NN-chain's merge
+    pairs and sizes exactly on randomized inputs, with distances equal to
+    f64 rounding (~1e-15: sums identity vs iterated Lance-Williams)."""
+    from vbx_tpu.clustering import linkage_dot_avg
+
+    try:
+        linkage_dot_avg(np.eye(3), backend="native")
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    for seed, n, d in [(0, 400, 16), (1, 900, 128), (2, 1500, 64)]:
+        rng = np.random.default_rng(seed)
+        K = 8
+        centers = rng.standard_normal((K, d))
+        x = (centers[rng.integers(0, K, n)]
+             + 0.7 * rng.standard_normal((n, d)))
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        Z_ref = linkage(squareform_condensed(xn @ xn.T, negate=True),
+                        "average", backend="native")
+        Z_new = linkage_dot_avg(xn, backend="native")
+        assert np.array_equal(Z_ref[:, :2], Z_new[:, :2]), (seed, n, d)
+        assert np.array_equal(Z_ref[:, 3], Z_new[:, 3]), (seed, n, d)
+        np.testing.assert_allclose(Z_ref[:, 2], Z_new[:, 2], atol=1e-13)
+
+
+def test_ahc_ondemand_route_matches_condensed_labels(monkeypatch):
+    """ahc_labels' O(N.D) on-demand route (taken for cosine/host above
+    _BLOCKED_MIN_N when the native library is present) must produce the
+    same labels as the condensed route."""
+    import vbx_tpu.engine.ahc as ahc
+    from vbx_tpu.clustering import linkage_dot_avg
+
+    try:
+        linkage_dot_avg(np.eye(3), backend="native")
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    N, D, K = 900, 64, 6
+    centers = rng.standard_normal((K, D))
+    x = centers[rng.integers(0, K, N)] + 0.8 * rng.standard_normal((N, D))
+
+    monkeypatch.setattr(ahc, "_BLOCKED_MIN_N", 256)  # force the blocked zone
+    lab_ondemand = ahc.ahc_labels(x, -0.015)
+
+    def no_ondemand(xn, backend=None):
+        raise RuntimeError("forced off")
+
+    monkeypatch.setattr(ahc, "linkage_dot_avg", no_ondemand)
+    lab_condensed = ahc.ahc_labels(x, -0.015)
+    assert np.array_equal(lab_ondemand, lab_condensed)

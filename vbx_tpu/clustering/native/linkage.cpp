@@ -91,6 +91,26 @@ class UnionFind {
 constexpr int64_t kParThresh = 8192;
 constexpr int kMaxThreads = 8;
 
+// Shared tail: stable-sort merges by distance (keeps NN-chain order on
+// ties — a valid merge order by reducibility) and relabel to the SciPy
+// convention with union-find.
+void finalize_linkage(std::vector<Merge>& merges, int64_t n, double* out_z) {
+  std::stable_sort(
+      merges.begin(), merges.end(),
+      [](const Merge& l, const Merge& r) { return l.dist < r.dist; });
+  UnionFind uf(n);
+  for (int64_t k = 0; k < n - 1; ++k) {
+    int64_t la = uf.find(merges[k].a);
+    int64_t lb = uf.find(merges[k].b);
+    if (la > lb) std::swap(la, lb);
+    int64_t s = uf.merge(la, lb);
+    out_z[4 * k + 0] = static_cast<double>(la);
+    out_z[4 * k + 1] = static_cast<double>(lb);
+    out_z[4 * k + 2] = merges[k].dist;
+    out_z[4 * k + 3] = static_cast<double>(s);
+  }
+}
+
 template <typename T>
 int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
   if (n < 1) return 1;
@@ -222,24 +242,146 @@ int nn_chain_linkage_impl(T* dist, int64_t n, int32_t method, double* out_z) {
     }
   }
 
-  // Sort merges by distance (stable keeps NN-chain order on ties, which is a
-  // valid merge order by the reducibility of these linkage methods).
-  std::stable_sort(merges.begin(), merges.end(),
-                   [](const Merge& l, const Merge& r) { return l.dist < r.dist; });
+  finalize_linkage(merges, n, out_z);
+  return 0;
+}
 
-  // Relabel with union-find to the SciPy convention: new cluster k gets id
-  // n + k; each output row lists (smaller id, larger id, dist, size).
-  UnionFind uf(n);
+// Distance-on-demand average linkage over the inner-product metric
+// d(i, j) = -(x_i . x_j) — the AHC chain's actual distance (negated cosine
+// of l2-normalized vectors, reference vbhmm.py:135,139-141). Key identity:
+// average linkage's mean pairwise distance is EXACTLY computable from
+// per-cluster vector sums,
+//     D(A, B) = mean_{i in A, j in B} -(x_i . x_j) = -(S_A . S_B)/(|A||B|),
+// so no condensed matrix is ever materialized (O(N^2) f64 = 10 GB at
+// N = 50k was the long-recording memory wall, BENCHMARKS.md) and the
+// per-merge Lance-Williams update pass disappears entirely: a merge is
+// just S_b += S_a. Memory: O(N.D). The scans stream contiguous rows
+// (BLAS-like, bandwidth-bound) instead of gathering condensed entries
+// (latency-bound), so this is also FASTER at large N.
+//
+// Merge order matches the condensed implementation up to floating-point
+// rounding: the sums identity and the iterated Lance-Williams recursion
+// compute the same real number along different f64 paths (~1e-15
+// relative), which can only flip a merge whose two candidate distances
+// are closer than that — vanishingly rare on continuous data and
+// irrelevant to the AHC cut scale (~1e-4). Scan order, predecessor
+// tie-preference, and the deterministic thread-order reduction mirror
+// nn_chain_linkage_impl exactly.
+int nn_chain_dot_avg_impl(const double* xn, int64_t n, int64_t d,
+                          double* out_z) {
+  if (n < 1 || d < 1) return 1;
+  if (n == 1) return 0;
+
+  std::vector<double> sums(xn, xn + n * d);  // S_c, row c = cluster c's sum
+  std::vector<int64_t> cluster_size(n, 1);
+  std::vector<int32_t> act(n);
+  std::iota(act.begin(), act.end(), 0);
+  std::vector<int32_t> chain;
+  chain.reserve(n);
+  std::vector<Merge> merges;
+  merges.reserve(n - 1);
+
+  // The dots use `omp simd` reductions: without it -O3 keeps the strict
+  // serial FP order and the loop runs latency-bound on the FMA chain
+  // (~4x slower). The simd order is fixed per build and identical for
+  // every call and thread count, so determinism is preserved.
+  auto row_dot = [d](const double* sp, const double* sq) {
+    double dot = 0;
+#pragma omp simd reduction(+ : dot)
+    for (int64_t t = 0; t < d; ++t) dot += sp[t] * sq[t];
+    return dot;
+  };
+  auto pair_dist = [&](int32_t p, int32_t q) {
+    const double* sp = sums.data() + static_cast<int64_t>(p) * d;
+    const double* sq = sums.data() + static_cast<int64_t>(q) * d;
+    return -row_dot(sp, sq) /
+           static_cast<double>(cluster_size[p] * cluster_size[q]);
+  };
+
   for (int64_t k = 0; k < n - 1; ++k) {
-    int64_t la = uf.find(merges[k].a);
-    int64_t lb = uf.find(merges[k].b);
-    if (la > lb) std::swap(la, lb);
-    int64_t s = uf.merge(la, lb);
-    out_z[4 * k + 0] = static_cast<double>(la);
-    out_z[4 * k + 1] = static_cast<double>(lb);
-    out_z[4 * k + 2] = merges[k].dist;
-    out_z[4 * k + 3] = static_cast<double>(s);
+    if (chain.empty()) chain.push_back(act.front());
+
+    int32_t a, b;
+    for (;;) {
+      a = chain.back();
+      int32_t best = -1;
+      double best_d = 0;
+      if (chain.size() >= 2) {
+        best = chain[chain.size() - 2];
+        best_d = pair_dist(a, best);
+      }
+      const int64_t m = static_cast<int64_t>(act.size());
+      const double* sa = sums.data() + static_cast<int64_t>(a) * d;
+      const double na = static_cast<double>(cluster_size[a]);
+#ifdef _OPENMP
+      if (m * d >= kParThresh * 16) {
+        int nt = std::min(omp_get_max_threads(), kMaxThreads);
+        int32_t tb[kMaxThreads];
+        double td[kMaxThreads];
+        for (int t = 0; t < kMaxThreads; ++t) tb[t] = -1;
+#pragma omp parallel num_threads(nt)
+        {
+          const int tid = omp_get_thread_num();
+          const int nth = omp_get_num_threads();
+          const int64_t chunk = (m + nth - 1) / nth;
+          const int64_t s = tid * chunk;
+          const int64_t e = std::min<int64_t>(m, s + chunk);
+          int32_t lb = -1;
+          double ld = 0;
+          for (int64_t i = s; i < e; ++i) {
+            const int32_t x = act[i];
+            if (x == a) continue;
+            const double* sx = sums.data() + static_cast<int64_t>(x) * d;
+            const double dist = -row_dot(sa, sx) /
+                                (na * static_cast<double>(cluster_size[x]));
+            if (lb < 0 || dist < ld) {
+              lb = x;
+              ld = dist;
+            }
+          }
+          tb[tid] = lb;
+          td[tid] = ld;
+        }
+        for (int t = 0; t < kMaxThreads; ++t) {
+          if (tb[t] >= 0 && (best < 0 || td[t] < best_d)) {
+            best = tb[t];
+            best_d = td[t];
+          }
+        }
+      } else
+#endif
+      {
+        for (int64_t i = 0; i < m; ++i) {
+          const int32_t x = act[i];
+          if (x == a) continue;
+          const double* sx = sums.data() + static_cast<int64_t>(x) * d;
+          const double dist = -row_dot(sa, sx) /
+                              (na * static_cast<double>(cluster_size[x]));
+          if (best < 0 || dist < best_d) {
+            best = x;
+            best_d = dist;
+          }
+        }
+      }
+      b = best;
+      if (chain.size() >= 2 && b == chain[chain.size() - 2]) {
+        merges.push_back(Merge{a, b, best_d});
+        break;
+      }
+      chain.push_back(b);
+    }
+    chain.pop_back();
+    chain.pop_back();
+
+    // Merge a into b: the sums identity makes this the WHOLE update.
+    double* sb = sums.data() + static_cast<int64_t>(b) * d;
+    const double* sa = sums.data() + static_cast<int64_t>(a) * d;
+    for (int64_t t = 0; t < d; ++t) sb[t] += sa[t];
+    cluster_size[b] += cluster_size[a];
+    act.erase(std::lower_bound(act.begin(), act.end(), a));
   }
+
+  finalize_linkage(merges, n, out_z);
   return 0;
 }
 
@@ -250,6 +392,14 @@ extern "C" {
 int nn_chain_linkage_f64(double* dist, int64_t n, int32_t method,
                          double* out_z) {
   return nn_chain_linkage_impl<double>(dist, n, method, out_z);
+}
+
+// Distance-on-demand average linkage over d(i,j) = -(x_i . x_j); xn is
+// row-major [n x d] (l2-normalized rows make this negated-cosine AHC).
+// O(N.D) memory — no condensed matrix (see nn_chain_dot_avg_impl).
+int nn_chain_linkage_dot_avg_f64(const double* xn, int64_t n, int64_t d,
+                                 double* out_z) {
+  return nn_chain_dot_avg_impl(xn, n, d, out_z);
 }
 
 // Cap the OpenMP team size for the linkage loops (process-global). The

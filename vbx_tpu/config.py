@@ -49,10 +49,11 @@ class AHCConfig:
     # >30-min files, README.md:24): recordings with more than `fallback_n`
     # x-vectors skip AHC and initialize with `random_<fallback_speakers>`
     # instead. 0 disables. Measured crossover (BENCHMARKS.md, 4-core
-    # host): the AHC front half costs ~11 s at N=10k, ~20 s at N=20k,
-    # ~183 s at N=50k (NN-chain linkage dominates beyond N~20k, condensed
-    # matrix 10 GB at 50k) while the random+VB init is O(N); ~30k is
-    # where multi-hour files should switch.
+    # host, round-3 distance-on-demand linkage — O(N·D) memory, no 10 GB
+    # condensed buffer): the AHC front half costs ~2 s at N=10k, ~13 s at
+    # N=20k, ~103 s / 1.1 GB at N=50k (the N² calibration sweep now
+    # dominates) while the random+VB init is O(N); ~50k is where
+    # multi-hour files should switch.
     fallback_n: int = 0
     fallback_speakers: int = 16
 

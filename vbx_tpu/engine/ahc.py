@@ -6,6 +6,12 @@ similarity matrix -> utterance-specific calibration threshold -> condensed
 negative-similarity matrix -> average linkage -> distance cut at
 -(thr + threshold_bias), implemented with the reference's nonnegative-shift
 ('adjust') transformation of the linkage distances.
+
+Long recordings (cosine/host, N >= _BLOCKED_MIN_N) never materialize the
+condensed matrix: the calibration threshold comes from a streamed blocked
+histogram sweep and the linkage from the O(N*D)-memory cluster-sums
+identity (clustering.linkage_dot_avg) — 103 s / 1.1 GB at N=50k vs the
+round-2 condensed path's 183 s / 10 GB (BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -16,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vbx_tpu.clustering import (
-    fcluster_by_distance, linkage, squareform_condensed)
+    fcluster_by_distance, linkage, linkage_dot_avg, squareform_condensed)
 from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
 from vbx_tpu.ops.similarity import cos_similarity, kaldi_plda_scoring_dense
 
@@ -51,13 +57,26 @@ def ahc_labels(
     if n == 1:
         return np.zeros(1, dtype=np.int32)
 
-    condensed = thr = None
+    condensed = thr = Z = None
     if similarity == "cosine":
         if compute_backend == "host":
             x64 = np.asarray(x, dtype=np.float64)
             xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True)) + 1e-32)
             if n >= _BLOCKED_MIN_N:
-                condensed, thr = _blocked_cosine_condensed_and_thr(xn)
+                if linkage_backend != "scipy":
+                    try:
+                        # O(N.D)-memory path (VERDICT r2 #3): calibration
+                        # from the streamed histogram sweep, linkage via
+                        # the cluster-sums identity — the 10 GB condensed
+                        # buffer at N=50k never exists (measured: 52 s /
+                        # 0.3 GB vs 183 s / 10 GB, BENCHMARKS.md)
+                        Z = linkage_dot_avg(xn, backend="native")
+                        _, thr = _blocked_cosine_condensed_and_thr(
+                            xn, want_condensed=False)
+                    except RuntimeError:   # native library unavailable
+                        Z = None
+                if Z is None:
+                    condensed, thr = _blocked_cosine_condensed_and_thr(xn)
             else:
                 scr_mx = xn @ xn.T
         else:
@@ -70,12 +89,13 @@ def ahc_labels(
     else:
         raise ValueError(f"unknown similarity {similarity!r}")
 
-    if condensed is None:
-        # utterance-specific calibration threshold over all N^2 scores
-        # (vbhmm.py:137), in f64 on host for cut-threshold parity.
-        thr = two_gmm_calib_lin_binned(scr_mx)
-        condensed = squareform_condensed(scr_mx, negate=True)
-    Z = linkage(condensed, method="average", backend=linkage_backend)
+    if Z is None:
+        if condensed is None:
+            # utterance-specific calibration threshold over all N^2 scores
+            # (vbhmm.py:137), in f64 on host for cut-threshold parity.
+            thr = two_gmm_calib_lin_binned(scr_mx)
+            condensed = squareform_condensed(scr_mx, negate=True)
+        Z = linkage(condensed, method="average", backend=linkage_backend)
     # shift distances nonnegative exactly as the reference does
     # (vbhmm.py:143-146) so the cut threshold transforms identically
     adjust = abs(Z[:, 2].min())
@@ -97,13 +117,16 @@ _COSINE_BINS = 1 << 16
 
 
 def _blocked_cosine_condensed_and_thr(
-        xn: np.ndarray, blk: int = 512) -> Tuple[np.ndarray, float]:
+        xn: np.ndarray, blk: int = 512, want_condensed: bool = True
+        ) -> Tuple[Optional[np.ndarray], float]:
     """Long-recording cosine AHC front half without materializing N x N:
     stream row blocks of xn @ xn.T, accumulating (a) the full-matrix score
     histogram moments for the binned 2-GMM calibration (reference parity:
     vbhmm.py:137 calibrates over ALL N^2 entries incl. the diagonal and
     both triangles) and (b) the negated upper triangle into the condensed
     distance vector. One pass over the N^2 scores, peak memory O(blk * N).
+    want_condensed=False skips (b) entirely — the linkage_dot_avg path
+    needs only the threshold, so the O(N^2) buffer is never allocated.
 
     Bins are fixed to the cosine range [-1, 1] (scores are exactly bounded
     after l2 normalization) rather than data-tight — with exact per-bin
@@ -113,7 +136,8 @@ def _blocked_cosine_condensed_and_thr(
     from vbx_tpu.ops.calibration import two_gmm_calib_from_moments
 
     N = xn.shape[0]
-    cond = np.empty(N * (N - 1) // 2, np.float64)
+    cond = (np.empty(N * (N - 1) // 2, np.float64) if want_condensed
+            else None)
     nb = _COSINE_BINS
     lo, hi = -1.0, 1.0
     scale = nb / (hi - lo)
@@ -157,8 +181,9 @@ def _blocked_cosine_condensed_and_thr(
         # spans == exactly this block's condensed-vector region
         upper = R[mask]
         hist(upper)
-        np.negative(upper, out=cond[o:o + upper.size])
-        o += upper.size
+        if want_condensed:
+            np.negative(upper, out=cond[o:o + upper.size])
+            o += upper.size
         diag[i0:i1] = np.diagonal(St)
     cnt *= 2.0
     ssum *= 2.0

@@ -34,3 +34,43 @@ def annotate(name: str):
     import jax
 
     return jax.profiler.TraceAnnotation(name)
+
+
+def parse_trace_executable_us(log_dir: str) -> Optional[float]:
+    """Total device EXECUTABLE time (microseconds) from the newest
+    TensorBoard trace under `log_dir` — the tunnel-independent ground
+    truth for on-device cost (the wall clock includes dispatch latency
+    and tunnel jitter; see BENCHMARKS.md 'trust model').
+
+    Aggregates 'X' (complete) events on device-stream pids and sums the
+    top-level 'jit*' executable spans (the trace nests executable >
+    while-loop > kernel, so the flat sum double-counts). Returns None if
+    no trace file exists; falls back to the flat event total if op naming
+    has no 'jit*' spans (varies across jax/libtpu versions)."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    files = sorted(glob.glob(os.path.join(
+        log_dir, "plugins", "profile", "*", "*.trace.json.gz")))
+    if not files:
+        return None
+    with gzip.open(files[-1], "rt") as f:
+        events = json.load(f)["traceEvents"]
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name" and "args" in e}
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    per_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        per_op[e.get("name", "?")] += e["dur"]
+        total += e["dur"]
+    exe_us = sum(us for name, us in per_op.items() if name.startswith("jit"))
+    return exe_us if exe_us > 0 else max(total, 1.0)
