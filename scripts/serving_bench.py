@@ -7,7 +7,14 @@ requests from K client threads against one device. Wall time is trusted
 because every request's result is fetched to host bytes inside the
 dispatcher (tunnel completion-ack caveat, BENCHMARKS.md).
 
-    timeout 590 python scripts/serving_bench.py [N] [K] [fb_impl]
+    timeout 590 python scripts/serving_bench.py [N] [K] [fb_impl] \
+        [--partial-ms X] [--ahc-device] [--no-bucket-warmup]
+
+--partial-ms: head-of-line bound for partial chunk launches (service
+default 50; inf = round-2 wait-for-cohort behavior, for A/B).
+--ahc-device: run the N x N AHC similarity on the accelerator
+(AHCConfig.compute_backend='device'; opt-in, labels may differ at tied
+merges so the golden warmup guard reports rather than asserts).
 """
 
 import os
@@ -18,9 +25,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-FB = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+args = sys.argv[1:]
+PARTIAL_MS = 50.0
+AB = "--ab" in args
+args = [a for a in args if a != "--ab"]
+if "--partial-ms" in args:
+    i = args.index("--partial-ms")
+    PARTIAL_MS = float(args[i + 1])
+    del args[i:i + 2]
+AHC_DEVICE = "--ahc-device" in args
+args = [a for a in args if a != "--ahc-device"]
+BUCKET_WARMUP = "--no-bucket-warmup" not in args
+args = [a for a in args if a != "--no-bucket-warmup"]
+N = int(args[0]) if len(args) > 0 else 256
+K = int(args[1]) if len(args) > 1 else 16
+FB = args[2] if len(args) > 2 else "pallas"
 REF = "/root/reference"
 
 
@@ -53,44 +72,91 @@ def main():
         # the pallas kernels only run interpreted on CPU — orders of
         # magnitude slower; the structured engine is the CPU path
         fb = "structured"
-    print(f"device: {jax.devices()[0]}  N={N} clients={K} fb_impl={fb}",
+    print(f"device: {jax.devices()[0]}  N={N} clients={K} fb_impl={fb} "
+          f"partial_ms={PARTIAL_MS} ahc_device={AHC_DEVICE}",
           file=sys.stderr, flush=True)
     _, _, x_raw = next(group_by_recording(
         iter_vec_ark(f"{REF}/exp/ES2005a.ark")))
     _, times = read_xvector_timing_dict(f"{REF}/exp/ES2005a.seg")["ES2005a"]
 
-    svc = DiarizationService.from_files(
-        get_preset("example"), f"{REF}/VBx/models/ResNet101_16kHz/plda",
-        f"{REF}/VBx/models/ResNet101_16kHz/transform.h5", fb_impl=fb)
-    try:
-        r = svc.diarize("warmup", x_raw, times, timeout=600)   # compile
-        assert r.n_speakers == 5, r.n_speakers   # golden quality guard
-        print(f"warmup: {r.wall_ms:.0f} ms (compile included), "
-              f"{r.n_speakers} speakers", file=sys.stderr, flush=True)
+    cfg = get_preset("example")
+    if AHC_DEVICE:
+        import dataclasses
+        cfg = cfg.replace(ahc=dataclasses.replace(
+            cfg.ahc, compute_backend="device"))
 
-        lat = []
+    def run_phase(partial_ms, n, label=""):
+        svc = DiarizationService.from_files(
+            cfg, f"{REF}/VBx/models/ResNet101_16kHz/plda",
+            f"{REF}/VBx/models/ResNet101_16kHz/transform.h5", fb_impl=fb,
+            partial_after_ms=partial_ms,
+            runlog_path=os.environ.get("VBX_TPU_SERVE_RUNLOG"))
+        try:
+            r = svc.diarize("warmup", x_raw, times, timeout=600)  # compile
+            if AHC_DEVICE:
+                # device-dtype scores can legitimately shift tied merges;
+                # report instead of asserting the golden count
+                print(f"warmup speakers={r.n_speakers} (golden host "
+                      f"path: 5)", file=sys.stderr, flush=True)
+            else:
+                assert r.n_speakers == 5, r.n_speakers  # golden guard
+            print(f"warmup: {r.wall_ms:.0f} ms (compile included), "
+                  f"{r.n_speakers} speakers", file=sys.stderr, flush=True)
+            if BUCKET_WARMUP:
+                # partial launches ride intermediate power-of-two batch
+                # buckets; compile them out of the measurement using the
+                # REAL request body (synthetic warmup vectors would
+                # cluster to a different S bucket, the wrong shape)
+                t0 = time.perf_counter()
+                for k in (2, 4, 8, 16):
+                    futs = [svc.submit(f"__bwarm_{k}_{i}__", x_raw, times)
+                            for i in range(k)]
+                    for f in futs:
+                        f.result(timeout=600)
+                print(f"bucket warmup (B=2..16): "
+                      f"{time.perf_counter() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
 
-        def one(i):
-            res = svc.diarize(f"req{i}", x_raw, times, timeout=600)
-            lat.append(res.wall_ms)
-            return res.batch_size
+            lat = []
 
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=K) as pool:
-            sizes = list(pool.map(one, range(N)))
-        wall = time.perf_counter() - t0
-        stats = svc.stats()
-    finally:
-        svc.close()
+            def one(i):
+                res = svc.diarize(f"req{i}", x_raw, times, timeout=600)
+                lat.append(res.wall_ms)
+                return res.batch_size
 
-    lat = np.sort(np.asarray(lat))
-    print(f"served {N} requests in {wall:.2f}s -> {N / wall:.1f} req/s; "
-          f"latency p50={lat[len(lat) // 2]:.0f}ms "
-          f"p95={lat[int(len(lat) * 0.95)]:.0f}ms "
-          f"p99={lat[int(len(lat) * 0.99)]:.0f}ms; "
-          f"mean device batch={np.mean(sizes):.1f} "
-          f"(batches={stats['batches']}, max_batch={stats['max_batch']})",
-          flush=True)
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=K) as pool:
+                sizes = list(pool.map(one, range(n)))
+            wall = time.perf_counter() - t0
+            stats = svc.stats()
+        finally:
+            svc.close()
+
+        lat = np.sort(np.asarray(lat))
+        print(f"{label}served {n} requests in {wall:.2f}s -> "
+              f"{n / wall:.1f} req/s; "
+              f"latency p50={lat[len(lat) // 2]:.0f}ms "
+              f"p95={lat[int(len(lat) * 0.95)]:.0f}ms "
+              f"p99={lat[int(len(lat) * 0.99)]:.0f}ms; "
+              f"mean device batch={np.mean(sizes):.1f} "
+              f"(batches={stats['batches']}, "
+              f"max_batch={stats['max_batch']})", flush=True)
+        return n / wall, lat[int(len(lat) * 0.95)]
+
+    if AB:
+        # same-process ABBA: partial launches off/on/on/off — the only
+        # trustworthy comparison on the tunnel (state swings run-to-run)
+        inf = float("inf")
+        a1 = run_phase(inf, N, "[A: partial off] ")
+        b1 = run_phase(PARTIAL_MS, N, f"[B: partial {PARTIAL_MS}ms] ")
+        b2 = run_phase(PARTIAL_MS, N, f"[B: partial {PARTIAL_MS}ms] ")
+        a2 = run_phase(inf, N, "[A: partial off] ")
+        print(f"A/B p95: off {min(a1[1], a2[1]):.0f}ms vs "
+              f"partial {min(b1[1], b2[1]):.0f}ms; req/s: off "
+              f"{max(a1[0], a2[0]):.1f} vs partial "
+              f"{max(b1[0], b2[0]):.1f} (best of 2 each)", flush=True)
+    else:
+        run_phase(PARTIAL_MS, N)
 
 
 if __name__ == "__main__":

@@ -579,3 +579,70 @@ def test_request_size_limit(tmp_path):
             np.stack([np.arange(100) * 0.24,
                       np.arange(100) * 0.24 + 1.44], 1))
         assert fut.result(timeout=120).n_speakers >= 1
+
+
+@needs_assets
+def test_partial_launch_frees_cohort_from_straggler_init(tmp_path):
+    """VERDICT r2 #5 (head-of-line): with partial launches, requests whose
+    init completes promptly ride an early PARTIAL device chunk instead of
+    waiting for a cohort-mate whose init stalls; with
+    partial_after_ms=inf they all wait and ride one chunk. Results match
+    either way (batch-size independence). The straggler is deterministic:
+    its init is wrapped with a sleep."""
+    import time as _time
+
+    from vbx_tpu.engine.pipeline import Diarizer
+
+    ark, seg, names, recs = _corpus_requests(tmp_path, n_rec=4)
+    slow = names[0]
+    # give the straggler a UNIQUE length: the split recordings are equal-
+    # sized, and the sleep gate below identifies it by len(x)
+    sx, sts = recs[slow]
+    recs[slow] = (sx[:len(sx) - 17], sts[:len(sx) - 17])
+    real_init = Diarizer.initial_labels
+
+    def slow_init(self, x, seed=0):
+        if len(x) == len(recs[slow][0]) and _slow_gate["armed"]:
+            _slow_gate["armed"] = False
+            _time.sleep(2.0)
+        return real_init(self, x, seed=seed)
+
+    results = {}
+    for partial_ms in (float("inf"), 60.0):
+        _slow_gate = {"armed": True}
+        Diarizer.initial_labels = slow_init
+        try:
+            # wide batch window: all four submissions must land in ONE
+            # cohort or the wait-mode phase trivially splits
+            svc = DiarizationService.from_files(
+                get_preset("example"), PLDA, H5,
+                partial_after_ms=partial_ms, batch_window_ms=400.0)
+            try:
+                # straggler first so it anchors the cohort
+                futs = {rec: svc.submit(rec, *recs[rec])
+                        for rec in [slow] + [n for n in names
+                                             if n != slow]}
+                results[partial_ms] = {rec: f.result(timeout=300)
+                                       for rec, f in futs.items()}
+            finally:
+                svc.close()
+        finally:
+            Diarizer.initial_labels = real_init
+
+    fast = [n for n in names if n != slow]
+    r_wait, r_part = results[float("inf")], results[60.0]
+    # identical RTTMs in both modes (partial batches invisible to callers)
+    for rec in names:
+        assert r_wait[rec].rttm == r_part[rec].rttm, rec
+    # with partials, the prompt requests ride a chunk SMALLER than the
+    # cohort (they did not wait out the straggler's 1 s init)...
+    assert all(r_part[rec].batch_size < len(names) for rec in fast), \
+        {rec: r_part[rec].batch_size for rec in fast}
+    # ...and complete well before the straggler's init even finishes
+    # (margin absorbs a first-use compile of the partial chunk's B shape)
+    assert max(r_part[rec].wall_ms for rec in fast) < 1800.0
+    # without them, nothing launches until every init (including the 2 s
+    # straggler) has finished, so every fast request pays the whole stall
+    # (bucket shapes vary with each split's AHC cluster count, so the
+    # timing is the robust assertion, not batch sizes)
+    assert min(r_wait[rec].wall_ms for rec in fast) > 2000.0

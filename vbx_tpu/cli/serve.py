@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-window-ms", type=float, default=20.0,
                    help="micro-batching window: how long the dispatcher "
                         "waits for batch mates after the first request")
+    p.add_argument("--partial-after-ms", type=float, default=50.0,
+                   help="head-of-line bound: a bucket group whose oldest "
+                        "request has waited this long launches as a "
+                        "partial device chunk instead of waiting for the "
+                        "cohort's slowest host init (p95 control; 'inf' "
+                        "disables)")
     p.add_argument("--max-batch-frames", type=int, default=2_000_000)
     p.add_argument("--max-request-xvectors", type=int, default=200_000,
                    help="reject requests longer than this (one oversized "
@@ -263,6 +269,7 @@ def main(argv=None) -> int:
         cfg, args.plda_file, args.xvec_transform, fb_impl=args.fb_impl,
         extractor=extractor, mesh=mesh,
         batch_window_ms=args.batch_window_ms,
+        partial_after_ms=args.partial_after_ms,
         max_batch_frames=args.max_batch_frames,
         max_request_xvectors=args.max_request_xvectors,
         runlog_path=args.runlog)

@@ -45,6 +45,14 @@ class AHCConfig:
     # (reference: diarization_lib.kaldi_ivector_plda_scoring_dense)
     similarity: str = "cosine"
     target_energy: float = 1.0
+    # 'host' (default): similarity + calibration in f64 NumPy — the
+    # threshold decides the cluster count, and f32 perturbations there
+    # measurably shift the VB init (engine.ahc docstring). 'device':
+    # the N x N similarity runs on the accelerator in its dtype
+    # (calibration stays f64 on host over the device scores) — an opt-in
+    # for latency-sensitive serving; labels can differ from 'host' at
+    # genuinely tied merges.
+    compute_backend: str = "host"
     # Long-recording AHC fallback (the reference README's own advice for
     # >30-min files, README.md:24): recordings with more than `fallback_n`
     # x-vectors skip AHC and initialize with `random_<fallback_speakers>`

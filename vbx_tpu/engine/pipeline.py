@@ -122,7 +122,8 @@ class Diarizer:
                 x, ahc_cfg.threshold,
                 similarity=ahc_cfg.similarity,
                 plda=self.raw_plda,
-                target_energy=ahc_cfg.target_energy)
+                target_energy=ahc_cfg.target_energy,
+                compute_backend=ahc_cfg.compute_backend)
         return random_labels(len(x), n_rand, seed=seed)
 
     def vb_inputs(self, x: np.ndarray, labels: np.ndarray):

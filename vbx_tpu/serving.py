@@ -58,7 +58,7 @@ class ServeResult:
 class _Request:
     __slots__ = ("recording", "x_raw", "timestamps", "signal", "vad",
                  "future", "init_future", "t_submit", "fea", "phi", "qinit",
-                 "labels")
+                 "labels", "t_init_done", "t_launch")
 
     def __init__(self, recording: str, x_raw: Optional[np.ndarray],
                  timestamps: Optional[np.ndarray],
@@ -73,6 +73,7 @@ class _Request:
         self.init_future: Optional[Future] = None
         self.t_submit = time.perf_counter()
         self.fea = self.phi = self.qinit = self.labels = None
+        self.t_init_done = self.t_launch = None
 
 
 _SHUTDOWN = object()
@@ -96,7 +97,8 @@ class DiarizationService:
                  max_batch_frames: int = 2_000_000,
                  init_workers: int = 4,
                  runlog_path: Optional[str] = None,
-                 max_request_xvectors: int = 200_000):
+                 max_request_xvectors: int = 200_000,
+                 partial_after_ms: float = 50.0):
         import os
 
         from vbx_tpu.utils.compile_cache import enable as _enable_cache
@@ -123,6 +125,12 @@ class DiarizationService:
                     f"mesh 'sp' extent {n_sp} must divide the smallest "
                     f"frame bucket ({T_QUANTUM})")
         self._window_s = batch_window_ms / 1e3
+        # head-of-line bound (VERDICT r2 #5): a bucket group whose oldest
+        # member has waited this long launches as a PARTIAL device chunk
+        # instead of waiting for the cohort's slowest host init (results
+        # are batch-size independent, so partial batches are invisible to
+        # callers). float('inf') restores wait-for-the-whole-cohort.
+        self._partial_after_s = partial_after_ms / 1e3
         self._max_batch_frames = max_batch_frames
         # one oversized request must not OOM the daemon for everyone:
         # the O(N^2) host init and the padded device buffers both scale
@@ -364,6 +372,7 @@ class DiarizationService:
         if run_vb:
             req.fea, req.phi, req.qinit = self._diar.vb_inputs(
                 x, req.labels)
+        req.t_init_done = time.perf_counter()
 
     def _process(self, batch: List[_Request]) -> None:
         _, _, run_vb = _parse_init(self._diar.config.init)
@@ -380,11 +389,19 @@ class DiarizationService:
         # pipelined-dispatcher discipline; before this, a 64-request
         # cohort serialized all 64 inits, then one device batch). Results
         # are fetched after everything is launched.
-        from concurrent.futures import as_completed
+        #
+        # Head-of-line bound (VERDICT r2 #5 — the p95 fix): a group whose
+        # OLDEST member has waited `partial_after_ms` launches partially
+        # instead of waiting for the cohort's slowest init. Before this,
+        # every request in a cohort paid max(init) — one GC pause or GIL
+        # storm in any of K inits set the whole cohort's latency, which is
+        # exactly a tail (p95) amplifier under concurrent load.
+        import concurrent.futures as cf
 
         from collections import deque
 
         groups: Dict[Tuple[int, int], List[_Request]] = {}
+        group_born: Dict[Tuple[int, int], float] = {}
         in_flight: deque = deque()
         # bounds HBM: a launched chunk's inputs and results stay resident
         # until fetched (same discipline as the corpus pipeline's
@@ -395,26 +412,55 @@ class DiarizationService:
         def launch(reqs, t_pad, s_pad):
             entry = self._launch_chunk(reqs, t_pad, s_pad)
             if entry is not None:
+                entry["t"] = time.perf_counter()
                 in_flight.append(entry)
             while len(in_flight) > max_in_flight:
                 self._finish_chunk(in_flight.popleft())
 
         no_vb_done: List[_Request] = []
         fut_to_req = {req.init_future: req for req in batch}
-        for fut in as_completed(fut_to_req):
-            req = fut_to_req[fut]
-            try:
-                fut.result()
-            except Exception as exc:   # noqa: BLE001
-                self._fail(req, exc)
-                continue
-            if not run_vb:
-                no_vb_done.append(req)   # finished together below so
-                continue                 # batch_size counts only survivors
-            key = bucket_shape(*req.qinit.shape)
-            groups.setdefault(key, []).append(req)
-            if len(groups[key]) >= self._chunk_cap(key[0]):
+        pending = set(fut_to_req)
+        while pending:
+            deadline = float("inf")
+            if groups:
+                deadline = min(group_born.values()) + self._partial_after_s
+            if in_flight:
+                # a launched chunk's RESULTS must not wait on unrelated
+                # stragglers either: age-bound the deferred fetch the same
+                # way (fetching blocks this thread only for the device
+                # remainder; inits keep running on the pool)
+                deadline = min(deadline,
+                               in_flight[0]["t"] + self._partial_after_s)
+            timeout = (None if deadline == float("inf")
+                       else max(0.0, deadline - time.perf_counter()))
+            done, pending = cf.wait(pending, timeout=timeout,
+                                    return_when=cf.FIRST_COMPLETED)
+            now = time.perf_counter()
+            for fut in done:
+                req = fut_to_req[fut]
+                try:
+                    fut.result()
+                except Exception as exc:   # noqa: BLE001
+                    self._fail(req, exc)
+                    continue
+                if not run_vb:
+                    no_vb_done.append(req)   # finished together below so
+                    continue                 # batch_size == survivors
+                key = bucket_shape(*req.qinit.shape)
+                if key not in groups:
+                    groups[key] = []
+                    group_born[key] = now
+                groups[key].append(req)
+                if len(groups[key]) >= self._chunk_cap(key[0]):
+                    launch(groups.pop(key), *key)
+                    group_born.pop(key, None)
+            for key in [k for k, born in group_born.items()
+                        if now - born >= self._partial_after_s]:
                 launch(groups.pop(key), *key)
+                group_born.pop(key, None)
+            while in_flight and (time.perf_counter() - in_flight[0]["t"]
+                                 >= self._partial_after_s):
+                self._finish_chunk(in_flight.popleft())
         for req in no_vb_done:
             self._finish(req, req.labels, n_iters=0,
                          batch_size=len(no_vb_done))
@@ -512,6 +558,9 @@ class DiarizationService:
             for req in reqs:       # service
                 self._fail(req, exc)
             return None
+        now = time.perf_counter()
+        for req in reqs:
+            req.t_launch = now
         return {"reqs": reqs, "res": res, "B": B}
 
     def _finish_chunk(self, entry: dict) -> None:
@@ -574,8 +623,14 @@ class DiarizationService:
             batch_size=batch_size, labels2nd=labels2nd, rttm_2nd=rttm2)
         with self._lock:
             self._stats["requests"] += 1
+        def _ms(t):
+            return (round((t - req.t_submit) * 1e3, 1)
+                    if t is not None else None)
+
         self._runlog.write({
             "event": "request", "recording": req.recording,
             "n_speakers": result.n_speakers, "n_iters": result.n_iters,
-            "wall_ms": result.wall_ms, "batch_size": result.batch_size})
+            "wall_ms": result.wall_ms, "batch_size": result.batch_size,
+            "init_done_ms": _ms(req.t_init_done),
+            "launched_ms": _ms(req.t_launch)})
         req.future.set_result(result)
