@@ -48,20 +48,27 @@ def make_corpus(d, n_meetings=18, seed=0):
 
 
 def main():
+    import dataclasses
+
     from vbx_tpu.config import get_preset
     from vbx_tpu.engine.pipeline import diarize_ark
 
     fb_impl = None
     if "--fb-impl" in sys.argv:
         fb_impl = sys.argv[sys.argv.index("--fb-impl") + 1]
+    cfg = get_preset("ami_mixheadset")
+    if "--plateau-ulps" in sys.argv:
+        # A/B the f32 plateau stop (PARITY.md deviation 3): 0 disables
+        pu = float(sys.argv[sys.argv.index("--plateau-ulps") + 1])
+        cfg = cfg.replace(vb=dataclasses.replace(cfg.vb, plateau_ulps=pu))
+    print(f"plateau_ulps={cfg.vb.plateau_ulps}", flush=True)
 
     with tempfile.TemporaryDirectory() as d:
         n = make_corpus(d)
         print(f"corpus: {n} x-vectors", flush=True)
         t0 = time.time()
         outs = diarize_ark(
-            f"{d}/c.ark", f"{d}/c.seg", f"{d}/rttm",
-            get_preset("ami_mixheadset"),
+            f"{d}/c.ark", f"{d}/c.seg", f"{d}/rttm", cfg,
             f"{REF}/VBx/models/ResNet101_16kHz/plda",
             f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
             verbose=False, runlog_path=f"{d}/log.jsonl", fb_impl=fb_impl)

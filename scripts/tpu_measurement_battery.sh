@@ -54,9 +54,29 @@ log "profiler trace of the headline workload (measured HBM/op times)"
 VBX_TPU_TRACE_DIR="$OUT/trace" timeout 590 python scripts/trace_headline.py \
     2>"$OUT/trace.err" | tee -a "$OUT/summary.log"
 
-log "long-recording AHC front half N=10k/20k (host; 50k takes ~3 min more)"
+log "long-recording AHC front half N=10k/20k (host; both linkage modes)"
 PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 590 \
     python scripts/linkage_scale_bench.py 10000 20000 \
     2>"$OUT/linkage.err" | tee -a "$OUT/summary.log"
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 590 \
+    python scripts/linkage_scale_bench.py --ondemand 10000 20000 50000 \
+    2>>"$OUT/linkage.err" | tee -a "$OUT/summary.log"
+
+log "S>128 fallback pricing (chip A/B)"
+timeout 560 python scripts/ab_s_gt_128.py \
+    2>"$OUT/s_gt_128.err" | tee -a "$OUT/summary.log"
+
+log "plateau-stop A/B at AMI scale (chip)"
+timeout 560 python scripts/ab_plateau.py pallas_bf16 18 \
+    2>"$OUT/ab_plateau.err" | tee -a "$OUT/summary.log"
+
+log "SP blockwise A/B at T=32768 (chip)"
+timeout 560 python scripts/ab_sp_blockwise.py \
+    2>"$OUT/ab_sp.err" | tee -a "$OUT/summary.log"
+
+log "AMI-scale 18-meeting corpus parity vs the frozen reference oracle"
+PALLAS_AXON_POOL_IPS= VBX_TPU_RUN_SLOW=1 timeout 1500 \
+    python -m pytest tests/test_ami_scale_parity.py -q -s \
+    2>"$OUT/ami_parity.err" | tail -25 | tee -a "$OUT/summary.log"
 
 log "done - see $OUT"

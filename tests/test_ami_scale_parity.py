@@ -2,13 +2,20 @@
 implementation (VERDICT r2 #4): the exact synthetic corpus the bench
 builds (scripts/ami_scale_bench.make_corpus), run end-to-end through the
 real batched pipeline under the ami_mixheadset preset of record, scored
-corpus-level (exact AND 10 ms-rasterized) against the reference flow run
-per meeting on the same x-vectors in f64.
+corpus-level (exact AND 10 ms-rasterized) against the reference flow's
+output on the same x-vectors.
 
-~10 minutes of host work (the reference side re-runs 18 O(N^2) AHC inits
-at N~10k), so this is SLOW-gated: skipped unless VBX_TPU_RUN_SLOW=1. It
-is wired into scripts/tpu_measurement_battery.sh; the fast CI proxy is
-tests/test_reference_e2e_parity.py's five-recording corpus.
+The reference side costs MINUTES PER MEETING at N~10k (twoGMMcalib_lin
+alone runs 20 EM sweeps over all N^2 ~ 1e8 raveled scores — the
+quadratic wall this framework replaces), so its labels are generated
+ONCE by scripts/gen_ami_ref_labels.py (parallel OS processes, ~1 h) and
+committed as a fingerprinted artifact; this test verifies the
+fingerprint (corpus bytes + hyperparameters) so a drifted corpus or
+preset FAILS loudly instead of silently passing against stale labels.
+
+Still slow-gated (our pipeline itself is minutes of host/CPU work):
+VBX_TPU_RUN_SLOW=1; wired into scripts/tpu_measurement_battery.sh. The
+fast CI proxy is tests/test_reference_e2e_parity.py.
 """
 
 import importlib.util
@@ -20,6 +27,7 @@ import pytest
 
 REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.path.join(REPO, "tests", "data", "ami_scale_ref_labels.npz")
 
 pytestmark = [
     pytest.mark.skipif(not os.path.isdir(f"{REF}/VBx"),
@@ -27,13 +35,15 @@ pytestmark = [
     pytest.mark.skipif(not os.environ.get("VBX_TPU_RUN_SLOW"),
                        reason="slow (set VBX_TPU_RUN_SLOW=1; run via "
                               "scripts/tpu_measurement_battery.sh)"),
+    pytest.mark.skipif(not os.path.exists(ORACLE),
+                       reason="frozen reference oracle missing — run "
+                              "scripts/gen_ami_ref_labels.py"),
 ]
 
 
-def _load_ami_bench():
+def _load(script):
     spec = importlib.util.spec_from_file_location(
-        "ami_scale_bench", os.path.join(REPO, "scripts",
-                                        "ami_scale_bench.py"))
+        script, os.path.join(REPO, "scripts", f"{script}.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -42,10 +52,8 @@ def _load_ami_bench():
 def test_ami_scale_corpus_matches_reference(tmp_path):
     from collections import Counter
 
-    from tests.test_reference_e2e_parity import _reference_diarize
     from vbx_tpu.config import get_preset
     from vbx_tpu.engine.pipeline import diarize_ark
-    from vbx_tpu.io.ark import group_by_recording, iter_vec_ark
     from vbx_tpu.io.rttm import merge_adjacent_labels
     from vbx_tpu.io.segments import read_segments
     from vbx_tpu.metrics.der import Turn, score_corpus
@@ -53,30 +61,38 @@ def test_ami_scale_corpus_matches_reference(tmp_path):
     plda_file = f"{REF}/VBx/models/ResNet101_16kHz/plda"
     h5_file = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
     cfg = get_preset("ami_mixheadset")
+    hp = dict(Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, loopP=cfg.vb.loop_prob,
+              threshold=cfg.ahc.threshold,
+              smoothing=cfg.ahc.init_smoothing)
 
     d = str(tmp_path)
-    n = _load_ami_bench().make_corpus(d)
+    n = _load("ami_scale_bench").make_corpus(d)
     print(f"corpus: {n} x-vectors", file=sys.stderr, flush=True)
+
+    oracle = np.load(ORACLE)
+    fp = _load("gen_ami_ref_labels").corpus_fingerprint(f"{d}/c.ark", hp)
+    assert str(oracle["fingerprint"]) == fp, (
+        "corpus or hyperparameters drifted since the frozen reference "
+        "labels were generated — re-run scripts/gen_ami_ref_labels.py")
 
     # ours: the real batched corpus pipeline (bucketing, pipelined
     # dispatch, padded batched engine, preset plateau stop)
     outputs = diarize_ark(f"{d}/c.ark", f"{d}/c.seg", f"{d}/rttm", cfg,
                           plda_file, h5_file, verbose=False)
     assert len(outputs) == 18
-    iters = sorted(o.n_iters for o in outputs.values())
-    print(f"our EM iterations per meeting: {iters}", file=sys.stderr)
+    print("our EM iterations per meeting: "
+          f"{sorted(o.n_iters for o in outputs.values())} "
+          f"(reference: {sorted(oracle['iters'].tolist())})",
+          file=sys.stderr, flush=True)
 
-    # reference flow per meeting on the same data, f64
     segs = read_segments(f"{d}/c.seg")
     times = {}
     for name, rec, s, e in segs:
         times.setdefault(rec, []).append((s, e))
     ours_sys, ref_sys = {}, {}
-    for rec, _, x_raw in group_by_recording(iter_vec_ark(f"{d}/c.ark")):
-        ref_labels, ref_iters = _reference_diarize(
-            x_raw.astype(np.float64), plda_file, h5_file,
-            Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, loopP=cfg.vb.loop_prob,
-            threshold=cfg.ahc.threshold, smoothing=cfg.ahc.init_smoothing)
+    for rec in oracle["recs"]:
+        rec = str(rec)
+        ref_labels = oracle[f"labels_{rec}"]
         labels = outputs[rec].labels1st
         # per-recording label agreement >= 99% up to renaming
         pairs = Counter(zip(ref_labels.tolist(), labels.tolist()))
@@ -86,9 +102,8 @@ def test_ami_scale_corpus_matches_reference(tmp_path):
                 mapping[a] = b
         agree = np.mean([mapping.get(a) == b
                          for a, b in zip(ref_labels, labels)])
-        print(f"{rec}: agree={agree:.4f} ref_iters={ref_iters} "
-              f"our_iters={outputs[rec].n_iters}", file=sys.stderr,
-              flush=True)
+        print(f"{rec}: agree={agree:.4f} our_iters={outputs[rec].n_iters}",
+              file=sys.stderr, flush=True)
         assert agree >= 0.99, (rec, agree)
         ts = np.asarray(times[rec])
         for sysd, lab in ((ours_sys, labels), (ref_sys, ref_labels)):
