@@ -99,16 +99,19 @@ def main():
 
     t_off, it_off, lab_off = run(0.0)
     t_on, it_on, lab_on = run(cfg.vb.plateau_ulps)
-    agree = np.mean([np.array_equal(lab_on[b][FM[b]], lab_off[b][FM[b]])
-                     for b in range(B)])
+    frame_agree = np.array([np.mean(lab_on[b][FM[b]] == lab_off[b][FM[b]])
+                            for b in range(B)])
     print(f"plateau OFF (reference rule): iters={sorted(it_off.tolist())} "
           f"batch-device-wall {t_off * 1e3:.0f} ms", flush=True)
     print(f"plateau ON  ({cfg.vb.plateau_ulps} ulps/"
           f"{cfg.vb.plateau_iters}): iters={sorted(it_on.tolist())} "
           f"batch-device-wall {t_on * 1e3:.0f} ms", flush=True)
     print(f"batch steps: {int(it_off.max())} -> {int(it_on.max())}; "
-          f"identical-label meetings: {agree * 100:.0f}%; "
-          f"device-time saved {100 * (1 - t_on / max(t_off, 1e-9)):.0f}%",
+          f"identical-label meetings: "
+          f"{np.mean(frame_agree == 1.0) * 100:.0f}%; per-meeting frame "
+          f"agreement mean {frame_agree.mean() * 100:.3f}% / min "
+          f"{frame_agree.min() * 100:.3f}%; device-time saved "
+          f"{100 * (1 - t_on / max(t_off, 1e-9)):.0f}%",
           flush=True)
 
 

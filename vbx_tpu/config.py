@@ -26,11 +26,16 @@ class VBConfig:
     # Opt-in f32 plateau stop (engine.vbhmm._plateau_step): freeze a
     # recording whose |Delta-ELBO| stays within plateau_ulps machine
     # quanta of |ELBO| for plateau_iters consecutive iterations. At AMI
-    # scale (|ELBO|~1e6) the f32 quantum ~0.06 >> epsilon=1e-6, so a lane
-    # can cycle at +-1 quantum to max_iters and — under batched
-    # convergence freezing — tax the whole padded batch ~3x (PARITY.md
-    # deviation 3). 0.0 = off (reference semantics, VBx/VBx.py:122-125);
-    # the corpus presets enable it.
+    # scale (|ELBO|~1e6) the f32 quantum ~0.1 >> epsilon=1e-6, so a lane
+    # can cycle at a few quanta per iteration to max_iters and — under
+    # batched convergence freezing — tax the whole padded batch
+    # (PARITY.md deviation 3). Measured at AMI scale
+    # (BENCHMARKS.md "Plateau-stop A/B"): freezes true quantum-cyclers
+    # (e.g. 37 -> 31 iters), never touches genuinely-converging
+    # recordings (600+ quanta/iter deltas), device time -12% on the
+    # quantizing platform, frame agreement vs the reference rule
+    # >= 99.66% per recording. 0.0 = off (reference semantics,
+    # VBx/VBx.py:122-125); the corpus presets enable it.
     plateau_ulps: float = 0.0
     plateau_iters: int = 2
 
