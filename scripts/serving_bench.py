@@ -103,16 +103,14 @@ def main():
             print(f"warmup: {r.wall_ms:.0f} ms (compile included), "
                   f"{r.n_speakers} speakers", file=sys.stderr, flush=True)
             if BUCKET_WARMUP:
-                # partial launches ride intermediate power-of-two batch
-                # buckets; compile them out of the measurement using the
-                # REAL request body (synthetic warmup vectors would
-                # cluster to a different S bucket, the wrong shape)
+                # warm every power-of-two batch bucket the load will ride
+                # with the REAL request body; warmup() suspends partial
+                # launches so each wave loads exactly its padded-B
+                # executable (a split wave would skip it and the first
+                # real cohort would pay seconds of device load)
                 t0 = time.perf_counter()
-                for k in (2, 4, 8, 16):
-                    futs = [svc.submit(f"__bwarm_{k}_{i}__", x_raw, times)
-                            for i in range(k)]
-                    for f in futs:
-                        f.result(timeout=600)
+                svc.warmup(batch_sizes=(2, 4, 8, 16),
+                           payload=(x_raw, times))
                 print(f"bucket warmup (B=2..16): "
                       f"{time.perf_counter() - t0:.1f}s",
                       file=sys.stderr, flush=True)

@@ -252,29 +252,49 @@ class DiarizationService:
         return self.submit_audio(recording, signal, vad_s).result(timeout)
 
     def warmup(self, n_xvectors: int = 256, n_raw_dim: Optional[int] = None,
-               batch_sizes: Tuple[int, ...] = (1,)) -> ServeResult:
-        """Compile the common path before taking traffic: run synthetic
-        recordings end-to-end (host init chain + a device batch at the
-        smallest bucket shape). `batch_sizes` pre-compiles the
-        power-of-two batch buckets concurrent traffic will ride in (e.g.
-        (1, 8, 16)) — each novel bucket otherwise compiles on first use,
-        seconds of latency for the requests that hit it. Further shapes
-        compile on demand and stay in the persistent compile cache."""
+               batch_sizes: Tuple[int, ...] = (1,),
+               payload: Optional[Tuple[np.ndarray, np.ndarray]] = None
+               ) -> ServeResult:
+        """Compile/load the common path before taking traffic: run
+        recordings end-to-end (host init chain + a device batch).
+        `batch_sizes` pre-warms the power-of-two batch buckets concurrent
+        traffic will ride in (e.g. (1, 8, 16)) — each novel device shape
+        otherwise pays compile (or persistent-cache deserialize + device
+        load, seconds over a tunnel) on the first real cohort that hits
+        it. `payload` supplies a REAL (x_raw, timestamps) request body so
+        the warmed (T, S) bucket matches production traffic (synthetic
+        vectors cluster to a different speaker count — round-3 serving
+        battery showed a 3.5-5 s first-cohort tail from exactly that).
+
+        Partial launches are suspended for the warmup waves: each wave
+        must ride ONE chunk of exactly the padded batch size being
+        warmed, or staggered warmup inits would split the wave and skip
+        the very executable it exists to load."""
         batch_sizes = tuple(batch_sizes)
         if not batch_sizes or any(k < 1 for k in batch_sizes):
             raise ValueError(
                 f"warmup batch_sizes must be a non-empty sequence of "
                 f"positive ints, got {batch_sizes!r}")
-        d = n_raw_dim or self._diar.mean1.shape[0]
-        rng = np.random.default_rng(0)
-        x = rng.normal(size=(n_xvectors, d)).astype(np.float32)
-        ts = np.stack([np.arange(n_xvectors) * 0.24,
-                       np.arange(n_xvectors) * 0.24 + 1.44], axis=1)
+        if payload is not None:
+            x, ts = payload
+            x = np.asarray(x)
+            ts = np.asarray(ts, np.float64)
+        else:
+            d = n_raw_dim or self._diar.mean1.shape[0]
+            rng = np.random.default_rng(0)
+            x = rng.normal(size=(n_xvectors, d)).astype(np.float32)
+            ts = np.stack([np.arange(n_xvectors) * 0.24,
+                           np.arange(n_xvectors) * 0.24 + 1.44], axis=1)
         res = None
-        for k in batch_sizes:
-            futs = [self.submit(f"__warmup_{k}_{i}__", x, ts)
-                    for i in range(k)]
-            res = [f.result() for f in futs][-1]
+        prev_partial = self._partial_after_s
+        self._partial_after_s = float("inf")
+        try:
+            for k in batch_sizes:
+                futs = [self.submit(f"__warmup_{k}_{i}__", x, ts)
+                        for i in range(k)]
+                res = [f.result() for f in futs][-1]
+        finally:
+            self._partial_after_s = prev_partial
         return res
 
     def stats(self) -> Dict[str, object]:
