@@ -75,11 +75,19 @@ def main():
         print(f"  compile {form}: {time.perf_counter() - t0:.1f}s",
               flush=True)
 
-    g_ref = np.asarray(run("solo_pallas", G).gamma)
-    for form in forms[2:]:
+    # parity vs the MATCHING solo engine: comparing sp_structured to
+    # solo_pallas would conflate engine-family divergence (structured vs
+    # pallas legitimately drift apart on near-tied frames once forced
+    # past convergence) with sharding error
+    g_pallas = np.asarray(run("solo_pallas", G).gamma)
+    g_struct = np.asarray(
+        vbx_batched(X, phi, G, PI, FM, SM, fb_impl="structured", **kw).gamma)
+    for form, ref, name in (("sp_pallas_bf16", g_pallas, "solo_pallas"),
+                            ("sp_pallas", g_pallas, "solo_pallas"),
+                            ("sp_structured", g_struct, "solo_structured")):
         g_b = np.asarray(run(form, G).gamma)
-        print(f"gamma maxdiff solo_pallas vs {form}: "
-              f"{np.abs(g_ref - g_b).max():.2e}", flush=True)
+        print(f"gamma maxdiff {name} vs {form}: "
+              f"{np.abs(ref - g_b).max():.2e}", flush=True)
 
     slopes = {f: [] for f in forms}
     for _ in range(REPS):
