@@ -445,3 +445,45 @@ def test_sharded_plateau_stop_freezes_cycling_lanes(fb_impl):
     for i in range(B):
         assert np.array_equal(np.asarray(on.gamma[i]).argmax(-1),
                               np.asarray(off.gamma[i]).argmax(-1)), i
+
+
+def test_blockwise_pallas_all_dead_block_is_identity_operator():
+    """Round-3 review: a recording whose frames are ENTIRELY padding on a
+    chip must contribute the IDENTITY block operator. The kernel's
+    skip_dead left the folded-in incoming transition (loop_prob*I + col)
+    as F, biasing the boundary-scan mass by ~log(1 + S*eps) per trailing
+    dead block — invisible at eps=1e-8, so this test raises eps to 1e-3
+    where the old bias (~0.06 in log_px over two dead chips) would fail
+    the tight tolerance below."""
+    rng = np.random.default_rng(7)
+    T, S, B, n_sp = 256, 6, 2, 8
+    logps, pis = [], []
+    for _ in range(B):
+        lp, pi, loop_prob = random_hmm_problem(rng, T, S)
+        logps.append(lp.astype(np.float32))
+        pis.append(pi.astype(np.float32))
+    log_p = np.stack(logps, axis=-1)
+    pi = np.stack(pis)
+    mask = np.ones((T, B), bool)
+    Tv = 150                       # chips 5..7 fully dead for lane 0
+    mask[Tv:, 0] = False
+
+    mesh = make_mesh(n_dp=1, n_sp=n_sp)
+    eps = 1e-3
+
+    def fn(lp, fm):
+        r = forward_backward_blockwise_pallas(
+            lp, jnp.asarray(pi), loop_prob, eps=eps, frame_mask=fm,
+            axis_name="sp", interpret=True)
+        return r.log_px
+
+    sh = jax.shard_map(
+        fn, mesh=mesh, in_specs=(P("sp", None, None), P("sp", None)),
+        out_specs=P(), check_vma=False)
+    log_px = jax.jit(sh)(jnp.asarray(log_p), jnp.asarray(mask))
+
+    ref = forward_backward_structured(
+        jnp.asarray(log_p[:Tv, :, 0]), jnp.asarray(pi[0]), loop_prob,
+        eps=eps)
+    np.testing.assert_allclose(float(log_px[0]), float(ref.log_px),
+                               rtol=2e-6)

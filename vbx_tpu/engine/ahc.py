@@ -59,6 +59,19 @@ def ahc_labels(
 
     condensed = thr = Z = None
     if similarity == "cosine":
+        if compute_backend == "device" and n >= _BLOCKED_MIN_N:
+            # the device route materializes the full N x N score matrix
+            # on host (plus the N^2/2 condensed buffer) — the exact
+            # memory wall the blocked/on-demand host path removes (10 GB
+            # at N=50k). The opt-in exists for small latency-sensitive
+            # serving requests; long recordings take the O(N*D) host
+            # route regardless, LOUDLY.
+            import warnings
+            warnings.warn(
+                f"compute_backend='device' with N={n} >= {_BLOCKED_MIN_N} "
+                f"would materialize the O(N^2) score matrix; using the "
+                f"blocked host path instead", stacklevel=2)
+            compute_backend = "host"
         if compute_backend == "host":
             x64 = np.asarray(x, dtype=np.float64)
             xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True)) + 1e-32)

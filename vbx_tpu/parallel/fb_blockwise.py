@@ -258,6 +258,16 @@ def forward_backward_blockwise_pallas(
     F_hat = jnp.transpose(fhat.reshape(S, B, S), (1, 2, 0))  # [B, i, j]
     summ = jnp.sum(vmask * m, axis=0)                        # [B]
     s_rows = ls.reshape(B, S) + summ[:, None]                # [B, i]
+    # a recording whose frames are ENTIRELY padding on this chip must
+    # contribute the identity operator: the kernel's skip_dead leaves the
+    # folded-in incoming transition (loop_prob*I + col) as F, which would
+    # bias the boundary-scan mass by ~S*eps per trailing dead block
+    # (padding is a suffix, so dead blocks only trail). The structured
+    # blockwise path returns identity here; match it exactly.
+    dead_b = jnp.sum(vmask, axis=0) == 0.0                   # [B]
+    F_hat = jnp.where(dead_b[:, None, None],
+                      jnp.eye(S, dtype=dtype)[None], F_hat)
+    s_rows = jnp.where(dead_b[:, None], 0.0, s_rows)
 
     # ---- 2. exchange block summaries; K-step boundary scans -------------
     F_all = jax.lax.all_gather(F_hat, axis_name)             # [K, B, S, S]

@@ -138,6 +138,7 @@ class DiarizationService:
         # any single-recording use; raise the cap deliberately if needed)
         self._max_request_xvectors = max(1, max_request_xvectors)
         self._queue: "queue.Queue" = queue.Queue()
+        self._warmup_lock = threading.Lock()
         init_workers = max(1, init_workers)
         if init_workers > 1:
             # the native linkage/EM spawns an OpenMP team per call and
@@ -286,15 +287,20 @@ class DiarizationService:
             ts = np.stack([np.arange(n_xvectors) * 0.24,
                            np.arange(n_xvectors) * 0.24 + 1.44], axis=1)
         res = None
-        prev_partial = self._partial_after_s
-        self._partial_after_s = float("inf")
-        try:
-            for k in batch_sizes:
-                futs = [self.submit(f"__warmup_{k}_{i}__", x, ts)
-                        for i in range(k)]
-                res = [f.result() for f in futs][-1]
-        finally:
-            self._partial_after_s = prev_partial
+        # serialized: two overlapping warmups could otherwise restore each
+        # other's suspended value and leave partial launches disabled for
+        # the process lifetime. (Real traffic arriving DURING a warmup
+        # wave batches under the suspension — warmup belongs at startup.)
+        with self._warmup_lock:
+            prev_partial = self._partial_after_s
+            self._partial_after_s = float("inf")
+            try:
+                for k in batch_sizes:
+                    futs = [self.submit(f"__warmup_{k}_{i}__", x, ts)
+                            for i in range(k)]
+                    res = [f.result() for f in futs][-1]
+            finally:
+                self._partial_after_s = prev_partial
         return res
 
     def stats(self) -> Dict[str, object]:

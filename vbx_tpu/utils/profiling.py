@@ -44,9 +44,13 @@ def parse_trace_executable_us(log_dir: str) -> Optional[float]:
 
     Aggregates 'X' (complete) events on device-stream pids and sums the
     top-level 'jit*' executable spans (the trace nests executable >
-    while-loop > kernel, so the flat sum double-counts). Returns None if
-    no trace file exists; falls back to the flat event total if op naming
-    has no 'jit*' spans (varies across jax/libtpu versions)."""
+    while-loop > kernel, so the flat sum double-counts). Returns None —
+    never a fabricated number — when no trace file exists, when no
+    device process can be identified, or when no 'jit*' span is found
+    (op naming varies across jax/libtpu versions; a flat sum of
+    unidentified events could double-count nested spans or include host
+    threads, and the caller publishes this value as the benchmark's
+    tunnel-independent ground truth)."""
     import glob
     import gzip
     import json
@@ -63,14 +67,14 @@ def parse_trace_executable_us(log_dir: str) -> Optional[float]:
                  and e.get("name") == "process_name" and "args" in e}
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    if not dev_pids:
+        return None
     per_op = defaultdict(float)
-    total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if dev_pids and e.get("pid") not in dev_pids:
+        if e.get("pid") not in dev_pids:
             continue
         per_op[e.get("name", "?")] += e["dur"]
-        total += e["dur"]
     exe_us = sum(us for name, us in per_op.items() if name.startswith("jit"))
-    return exe_us if exe_us > 0 else max(total, 1.0)
+    return exe_us if exe_us > 0 else None
