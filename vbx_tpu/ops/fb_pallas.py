@@ -482,15 +482,16 @@ def _fwd_product_kernel_sb(w_ref, col_ref, finit_ref, lp_ref,
     block summary, parallel.fb_blockwise): row i of F is exactly the forward
     recursion started from e_i, per-lane normalized, with its scale in the
     normalizer product. The walk reads each frame once and writes nothing
-    per frame — no per-frame output stream. The INPUT stream, however, is
-    the caller's S-fold lane replication of w (parallel.fb_blockwise
-    repeats the [Tb, S, B] emissions to [Tb, S, B*S] so each identity row
-    gets its recording's frames), so the pass's HBM traffic is ~S x the
-    base emission stream plus the one-time repeat materialization. Known
-    follow-up (round-3 review): a grid dimension over the S rows with an
-    s-invariant w index_map would read the base stream S times without
-    materializing the repeat — ~2x less operator-pass traffic and no
-    [Tb, S, B*S] buffer at large shapes.
+    per frame — no per-frame output stream. The INPUT stream is the
+    caller's S-fold lane replication of w (parallel.fb_blockwise repeats
+    the [Tb, S, B] emissions to [Tb, S, B*S] so each identity row gets
+    its recording's frames). Cost accounting (round-3 review): lanes pad
+    to multiples of 128 regardless, so the padded stream grows only by
+    ceil(B*S/128)/ceil(B/128) over the unreplicated one — 1x at the SP
+    headline shapes (B <= 16 with B*S <= 128: identical padded stream),
+    at most ~2x at B=8, S=32, plus the one-time repeat materialization.
+    A grid-over-rows variant with an s-invariant w index_map would shave
+    that residual; not worth the kernel surgery at current shapes.
 
     Boundary semantics match _fused_kernel_sb: the walk's first frame emits
     normalize(w0 * finit) (the caller folds any incoming transition into
