@@ -8,7 +8,11 @@ because every request's result is fetched to host bytes inside the
 dispatcher (tunnel completion-ack caveat, BENCHMARKS.md).
 
     timeout 590 python scripts/serving_bench.py [N] [K] [fb_impl] \
-        [--partial-ms X] [--ahc-device] [--no-bucket-warmup]
+        [--partial-ms X] [--ahc-device] [--no-bucket-warmup] [--ab]
+
+--ab: same-process ABBA (partial launches off/on/on/off, N requests per
+phase) — the only tunnel-state-comparable way to A/B the head-of-line
+bound; BENCHMARKS.md's partial-launch numbers come from this mode.
 
 --partial-ms: head-of-line bound for partial chunk launches (service
 default 50; inf = round-2 wait-for-cohort behavior, for A/B).

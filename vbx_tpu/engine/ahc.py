@@ -97,6 +97,14 @@ def ahc_labels(
     elif similarity == "plda":
         if plda is None:
             raise ValueError("similarity='plda' requires a plda model")
+        if compute_backend == "device":
+            # override knobs LOUDLY (same policy as the N>=cutoff case
+            # above): the dense PLDA scorer has no device path
+            import warnings
+            warnings.warn(
+                "compute_backend='device' has no effect with "
+                "similarity='plda'; scoring runs on host in f64",
+                stacklevel=2)
         scr_mx = kaldi_plda_scoring_dense(
             plda, np.asarray(x), target_energy=target_energy, pca_dim=pca_dim)
     else:

@@ -621,6 +621,19 @@ def vbx_batched_checkpointed(
     # regardless of input, the structured path runs in X.dtype (f64 on
     # CPU) — an f32 downcast there would quantize sub-f32 ELBO deltas to
     # zero and flag convergence early
+    if S > 128 and (fb_impl or "").startswith("pallas"):
+        # the engines fall back to 'structured' above the kernels' lane
+        # capacity; committing to the pallas f32 state dtype (and a
+        # '+pallas' checkpoint header) here would quantize an f64
+        # structured trajectory's deltas and misdescribe the run. Warn
+        # ONCE and resolve the fallback now, so the per-slice engine
+        # calls don't re-warn either.
+        import warnings
+        warnings.warn(
+            f"fb_impl={fb_impl!r} supports at most 128 speakers; got "
+            f"S={S} — checkpointed run proceeds with the structured "
+            f"engine", stacklevel=2)
+        fb_impl = None
     fb = fb_impl or "structured"
     mesh_pallas = mesh is not None and fb in ("pallas", "pallas_bf16")
     if mesh is not None:

@@ -484,8 +484,16 @@ class DiarizationService:
                         if now - born >= self._partial_after_s]:
                 launch(groups.pop(key), *key)
                 group_born.pop(key, None)
-            while in_flight and (time.perf_counter() - in_flight[0]["t"]
-                                 >= self._partial_after_s):
+            # drain aged chunks only when the device has actually finished
+            # them (is_ready is non-blocking): a blocking fetch of a
+            # still-running chunk would stall THIS loop and with it every
+            # other group's partial-launch deadline — the head-of-line
+            # this bound exists to prevent. A finished chunk is picked up
+            # within one deadline tick (in_flight caps the wait timeout).
+            while in_flight and (
+                    time.perf_counter() - in_flight[0]["t"]
+                    >= self._partial_after_s
+                    and in_flight[0]["res"].gamma.is_ready()):
                 self._finish_chunk(in_flight.popleft())
         for req in no_vb_done:
             self._finish(req, req.labels, n_iters=0,

@@ -69,12 +69,18 @@ def parse_trace_executable_us(log_dir: str) -> Optional[float]:
                 if "TPU" in n or "/device" in n.lower() or "XLA" in n}
     if not dev_pids:
         return None
-    per_op = defaultdict(float)
+    # per-PID accumulation, then MAX over devices: an SPMD program's
+    # executable span is replicated on every device pid, so a flat sum
+    # over a multi-device (mesh) trace would read ~n_devices x the
+    # actual device time; the busiest device's executable total is the
+    # honest per-batch cost
+    per_pid_jit = defaultdict(float)
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if e.get("pid") not in dev_pids:
+        pid = e.get("pid")
+        if pid not in dev_pids:
             continue
-        per_op[e.get("name", "?")] += e["dur"]
-    exe_us = sum(us for name, us in per_op.items() if name.startswith("jit"))
-    return exe_us if exe_us > 0 else None
+        if e.get("name", "").startswith("jit"):
+            per_pid_jit[pid] += e["dur"]
+    return max(per_pid_jit.values()) if per_pid_jit else None
