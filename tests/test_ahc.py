@@ -108,6 +108,17 @@ def test_ahc_single_vector():
     assert ahc_labels(np.ones((1, 4)), 0.0).tolist() == [0]
 
 
+def test_ahc_rejects_unknown_compute_backend():
+    """A typo ('Host', 'devcie') must not silently fall into the f32
+    device path and weaken the f64 init-chain invariant (ADVICE round 3)."""
+    import pytest
+
+    x = np.eye(4)
+    for bad in ("Host", "devcie", ""):
+        with pytest.raises(ValueError, match="compute_backend"):
+            ahc_labels(x, 0.0, compute_backend=bad)
+
+
 def test_smooth_labels_to_gamma():
     labels = np.array([0, 1, 2, 1, 0])
     g = smooth_labels_to_gamma(labels, 5.0)

@@ -261,6 +261,51 @@ def test_checkpointed_resume_after_preemption(tmp_path, monkeypatch):
         vbx_batched_checkpointed(*args, **kw, iters_per_slice=0)
 
 
+def test_checkpointed_resumes_pre_plateau_format(tmp_path):
+    """A round-2 checkpoint (5-element hp, no 'plateau' array) must resume
+    under the implied defaults (plateau off) instead of failing the header
+    check — a preempted long run upgraded mid-flight would otherwise
+    restart from iteration 0 (ADVICE round 3). A plateau-enabled run still
+    refuses it (genuinely differently configured)."""
+    import os
+
+    from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
+
+    args, kw = _checkpoint_problem()
+    ref = vbx_batched(*args, **kw)
+    ck = str(tmp_path / "vb_state.npz")
+
+    B = ref.pi.shape[0]
+    np.savez(ck + ".tmp.npz", gamma=np.asarray(ref.gamma),
+             pi=np.asarray(ref.pi), converged=np.ones(B, bool),
+             last_elbo=np.nanmax(np.asarray(ref.elbo), axis=1),
+             elbo=np.asarray(ref.elbo),
+             it_done=int(np.asarray(ref.n_iters).max()),
+             shape=np.array(ref.gamma.shape),
+             fb_impl=np.str_("structured"), dtype=np.str_("float32"),
+             hp=np.array([kw["loop_prob"], kw["Fa"], kw["Fb"],
+                          kw["epsilon"], float(kw["max_iters"])]))
+    os.replace(ck + ".tmp.npz", ck)
+    out = vbx_batched_checkpointed(*args, **kw, iters_per_slice=5,
+                                   checkpoint_path=ck)
+    np.testing.assert_array_equal(np.asarray(out.gamma),
+                                  np.asarray(ref.gamma))
+
+    np.savez(ck + ".tmp.npz", gamma=np.asarray(ref.gamma),
+             pi=np.asarray(ref.pi), converged=np.ones(B, bool),
+             last_elbo=np.nanmax(np.asarray(ref.elbo), axis=1),
+             elbo=np.asarray(ref.elbo),
+             it_done=int(np.asarray(ref.n_iters).max()),
+             shape=np.array(ref.gamma.shape),
+             fb_impl=np.str_("structured"), dtype=np.str_("float32"),
+             hp=np.array([kw["loop_prob"], kw["Fa"], kw["Fb"],
+                          kw["epsilon"], float(kw["max_iters"])]))
+    os.replace(ck + ".tmp.npz", ck)
+    with pytest.raises(ValueError, match="differently-configured"):
+        vbx_batched_checkpointed(*args, **kw, iters_per_slice=5,
+                                 checkpoint_path=ck, plateau_ulps=4.0)
+
+
 def test_checkpointed_pallas_reaches_same_fixed_point():
     """The pallas path slices exactly too (same padded shape per slice)."""
     from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed

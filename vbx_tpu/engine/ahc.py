@@ -53,6 +53,13 @@ def ahc_labels(
     recordings where the N x N matmul dominates); the calibration then runs
     in f64 on the host over the device-computed scores.
     """
+    if compute_backend not in ("host", "device"):
+        # strict, like `similarity` below: a typo ('Host', 'devcie') would
+        # otherwise silently run the f32 device path and weaken the f64
+        # init-chain invariant 'device' exists to opt out of deliberately
+        raise ValueError(
+            f"unknown compute_backend {compute_backend!r}; "
+            f"expected 'host' or 'device'")
     n = x.shape[0]
     if n == 1:
         return np.zeros(1, dtype=np.int32)

@@ -663,6 +663,15 @@ def vbx_batched_checkpointed(
         ck = np.load(checkpoint_path)
         for key, want in header.items():
             got = ck[key] if key in ck.files else None
+            if (key == "hp" and got is not None
+                    and np.asarray(got).shape == (5,)
+                    and plateau_ulps == 0.0 and plateau_iters == 2):
+                # round-2 checkpoints carried a 5-element hp (no plateau
+                # fields) and no 'plateau' array; they resume under the
+                # implied defaults (plateau off) rather than forcing a
+                # preempted long run upgraded mid-flight back to iteration
+                # 0 (ADVICE round 3)
+                want = np.asarray(want)[:5]
             if got is None or np.asarray(got).shape != np.asarray(
                     want).shape or not np.all(np.asarray(got) == want):
                 raise ValueError(
@@ -673,7 +682,8 @@ def vbx_batched_checkpointed(
         elbo_full[:, :it_done] = ck["elbo"][:, :it_done]
         converged = ck["converged"]
         last_elbo = ck["last_elbo"].astype(dt)
-        plateau = ck["plateau"].astype(np.int32)
+        plateau = (ck["plateau"].astype(np.int32) if "plateau" in ck.files
+                   else np.zeros((B,), np.int32))
         g_cur = jnp.asarray(ck["gamma"])
         pi_cur = jnp.asarray(ck["pi"])
 

@@ -58,17 +58,23 @@ class ServeResult:
 class _Request:
     __slots__ = ("recording", "x_raw", "timestamps", "signal", "vad",
                  "future", "init_future", "t_submit", "fea", "phi", "qinit",
-                 "labels", "t_init_done", "t_launch")
+                 "labels", "t_init_done", "t_launch", "no_partial")
 
     def __init__(self, recording: str, x_raw: Optional[np.ndarray],
                  timestamps: Optional[np.ndarray],
                  signal: Optional[np.ndarray] = None,
-                 vad: Optional[np.ndarray] = None):
+                 vad: Optional[np.ndarray] = None,
+                 no_partial: bool = False):
         self.recording = recording
         self.x_raw = x_raw
         self.timestamps = timestamps
         self.signal = signal
         self.vad = vad
+        # warmup-originated requests opt out of the partial-launch bound
+        # (their whole point is riding ONE chunk of the exact padded batch
+        # size); real traffic is never affected (ADVICE round 3 — this
+        # replaces the old process-global _partial_after_s suspension)
+        self.no_partial = no_partial
         self.future: Future = Future()
         self.init_future: Optional[Future] = None
         self.t_submit = time.perf_counter()
@@ -187,7 +193,8 @@ class DiarizationService:
     # -- public API ----------------------------------------------------------
 
     def submit(self, recording: str, x_raw: np.ndarray,
-               timestamps: np.ndarray) -> Future:
+               timestamps: np.ndarray, *, _no_partial: bool = False
+               ) -> Future:
         """Enqueue one recording: raw x-vectors [N, D_raw] + per-vector
         (start, end) seconds [N, 2]. Returns a Future[ServeResult]."""
         x_raw = np.asarray(x_raw)
@@ -203,7 +210,8 @@ class DiarizationService:
                 f"request {recording!r} has {len(x_raw)} x-vectors > "
                 f"max_request_xvectors={self._max_request_xvectors}; "
                 f"split the recording or raise the service limit")
-        req = _Request(recording, x_raw, timestamps)
+        req = _Request(recording, x_raw, timestamps,
+                       no_partial=_no_partial)
         # the closed check and the enqueue are one atomic step so a request
         # can never land behind the shutdown sentinel (where it would never
         # be processed and its future never complete)
@@ -267,10 +275,13 @@ class DiarizationService:
         vectors cluster to a different speaker count — round-3 serving
         battery showed a 3.5-5 s first-cohort tail from exactly that).
 
-        Partial launches are suspended for the warmup waves: each wave
-        must ride ONE chunk of exactly the padded batch size being
-        warmed, or staggered warmup inits would split the wave and skip
-        the very executable it exists to load."""
+        Warmup requests opt out of partial launches individually (a
+        per-request flag): each wave must ride ONE chunk of exactly the
+        padded batch size being warmed, or staggered warmup inits would
+        split the wave and skip the very executable it exists to load.
+        Real traffic arriving during a warmup wave keeps its head-of-line
+        bound — a mixed group partial-launches normally (ADVICE round 3
+        replaced the old process-global suspension)."""
         batch_sizes = tuple(batch_sizes)
         if not batch_sizes or any(k < 1 for k in batch_sizes):
             raise ValueError(
@@ -287,20 +298,14 @@ class DiarizationService:
             ts = np.stack([np.arange(n_xvectors) * 0.24,
                            np.arange(n_xvectors) * 0.24 + 1.44], axis=1)
         res = None
-        # serialized: two overlapping warmups could otherwise restore each
-        # other's suspended value and leave partial launches disabled for
-        # the process lifetime. (Real traffic arriving DURING a warmup
-        # wave batches under the suspension — warmup belongs at startup.)
+        # serialized: concurrent warmups would interleave their waves into
+        # each other's buckets and warm different shapes than requested
         with self._warmup_lock:
-            prev_partial = self._partial_after_s
-            self._partial_after_s = float("inf")
-            try:
-                for k in batch_sizes:
-                    futs = [self.submit(f"__warmup_{k}_{i}__", x, ts)
-                            for i in range(k)]
-                    res = [f.result() for f in futs][-1]
-            finally:
-                self._partial_after_s = prev_partial
+            for k in batch_sizes:
+                futs = [self.submit(f"__warmup_{k}_{i}__", x, ts,
+                                    _no_partial=True)
+                        for i in range(k)]
+                res = [f.result() for f in futs][-1]
         return res
 
     def stats(self) -> Dict[str, object]:
@@ -449,14 +454,26 @@ class DiarizationService:
         while pending:
             deadline = float("inf")
             if groups:
-                deadline = min(group_born.values()) + self._partial_after_s
+                deadline = min(
+                    (born + self._partial_after_s
+                     for key, born in group_born.items()
+                     if not all(r.no_partial for r in groups[key])),
+                    default=float("inf"))
             if in_flight:
                 # a launched chunk's RESULTS must not wait on unrelated
                 # stragglers either: age-bound the deferred fetch the same
                 # way (fetching blocks this thread only for the device
                 # remainder; inits keep running on the pool)
-                deadline = min(deadline,
-                               in_flight[0]["t"] + self._partial_after_s)
+                fetch_deadline = in_flight[0]["t"] + self._partial_after_s
+                if (fetch_deadline <= time.perf_counter()
+                        and not in_flight[0]["res"].gamma.is_ready()):
+                    # an aged-but-unfinished chunk would otherwise pin the
+                    # deadline permanently in the past — cf.wait(timeout=0)
+                    # returns immediately and the loop busy-spins against
+                    # the init pool for the chunk's whole device remainder
+                    # (ADVICE round 3). Poll it at a floored interval.
+                    fetch_deadline = time.perf_counter() + 0.005
+                deadline = min(deadline, fetch_deadline)
             timeout = (None if deadline == float("inf")
                        else max(0.0, deadline - time.perf_counter()))
             done, pending = cf.wait(pending, timeout=timeout,
@@ -481,7 +498,8 @@ class DiarizationService:
                     launch(groups.pop(key), *key)
                     group_born.pop(key, None)
             for key in [k for k, born in group_born.items()
-                        if now - born >= self._partial_after_s]:
+                        if now - born >= self._partial_after_s
+                        and not all(r.no_partial for r in groups[k])]:
                 launch(groups.pop(key), *key)
                 group_born.pop(key, None)
             # drain aged chunks only when the device has actually finished
