@@ -246,21 +246,34 @@ def main():
     log(f"workload: T={fea.shape[0]} S={qinit.shape[1]} D={fea.shape[1]}")
     t_ref = bench_baseline(fea, phi, qinit, hp)
     # same-process A/B (the only trustworthy comparison on the tunnel):
-    # the f32 and bf16-stream kernel paths, each quality-guarded; the
-    # headline is the fastest configuration that still reproduces the
-    # golden diarization
+    # the f32 and bf16-stream kernel paths, each quality-guarded AND
+    # traced. The headline is picked by the TRACE (on-device executable
+    # ms/batch) among configurations that reproduce the golden
+    # diarization: wall clock over the tunnel swings enough to invert the
+    # kernel ranking (BENCH_r03 recorded the f32 path 2x under the same
+    # chip's demonstrated bf16 throughput purely on tunnel noise —
+    # VERDICT r3 #1). Wall stays the honest end-to-end number in `value`;
+    # the trace keys are the tunnel-independent chip numbers.
     impls = ["structured"] if _CPU_MODE else ["pallas", "pallas_bf16"]
     results = {}
+    traces = {}
     for impl in impls:
         results[impl] = bench_tpu(fea, phi, qinit, hp, fb_impl=impl)
+        if not _CPU_MODE:
+            traces[impl] = bench_trace(fea, phi, qinit, hp, fb_impl=impl)
     ok = {i: t for i, (t, good) in results.items() if good}
     if not ok:   # nothing passed the guard: report honestly, flag loudly
         log("WARNING: no configuration reproduced the golden speaker "
             "count; reporting the fastest anyway")
         ok = {i: t for i, (t, _) in results.items()}
-    best = min(ok, key=ok.get)
+    if all(traces.get(i) is not None for i in ok):
+        best = min(ok, key=lambda i: traces[i])
+        log(f"headline configuration: fb_impl={best} (picked by trace)")
+    else:
+        best = min(ok, key=ok.get)   # CPU mode / trace capture failed
+        log(f"headline configuration: fb_impl={best} (picked by wall "
+            f"clock — no trace available)")
     t_tpu = ok[best]
-    log(f"headline configuration: fb_impl={best}")
     rec_per_sec = B / t_tpu
     vs = (B / t_tpu) / (1.0 / t_ref)
     out = {
@@ -270,11 +283,13 @@ def main():
         "vs_baseline": round(vs, 2),
     }
     if not _CPU_MODE:
-        # tunnel-independent companion: measured on-device executable time
-        trace_ms = bench_trace(fea, phi, qinit, hp, fb_impl=best)
-        if trace_ms is not None:
-            out["trace_ms_per_batch"] = round(trace_ms, 3)
-            out["trace_rec_per_sec"] = round(B / (trace_ms / 1e3), 1)
+        out["headline_impl"] = best
+        if traces.get(best) is not None:
+            out["trace_ms_per_batch"] = round(traces[best], 3)
+            out["trace_rec_per_sec"] = round(B / (traces[best] / 1e3), 1)
+        for impl, ms in traces.items():
+            if ms is not None:
+                out[f"trace_ms_{impl}"] = round(ms, 3)
     print(json.dumps(out), flush=True)
 
 

@@ -297,7 +297,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     ELBO, and pi updates never leave f32. Fixed-point accuracy is bounded
     by tests (gamma within ~2e-2 of the f32 path, identical labels on the
     golden recording); it is an opt-in throughput mode, not the default."""
-    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb_logp
+    from vbx_tpu.ops.fb_pallas import fb_scan_pallas_sb_logp_bts
 
     dtype = jnp.float32
     io_dt = jnp.dtype(io_dtype)
@@ -309,11 +309,10 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
     fmask = frame_mask.astype(dtype)                  # [B, T]
-    smask_sb = speaker_mask.astype(dtype).T           # [S, B]
     valid_tb = fmask.T                                # [T, B]
 
-    G_tb = -0.5 * (jnp.sum(X * X, axis=-1)
-                   + D * jnp.log(2 * jnp.pi).astype(dtype)).T    # [T, B]
+    G_bt = -0.5 * (jnp.sum(X * X, axis=-1)
+                   + D * jnp.log(2 * jnp.pi).astype(dtype))      # [B, T]
     rho = (X * jnp.sqrt(phi)[None, None, :]).astype(io_dt)  # [B, T, D]
     fa_over_fb = fa / fb
 
@@ -344,13 +343,23 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         first = jnp.logical_and(state.it == 0, fresh)          # [B]
         invL, alpha = m_step(state.gamma, state.counts)
 
-        cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
-                           preferred_element_type=dtype)
+        # the E-step dot stays in its NATIVE [B, T, S] output layout all
+        # the way into the w producer (fb_scan_pallas_sb_logp_bts): the
+        # [T, S, B] form cost a full f32 relayout copy per iteration.
+        # The dot's OUTPUT is materialized at the stream dtype (f32
+        # accumulation on the MXU, rounded on store): under bf16 streams
+        # the structural [B,T,S]->[T,S,B] relayout and both its readers
+        # (the max-shift reduce and the exp producer) then move half the
+        # bytes. The added rounding is the same order as the bf16 w
+        # storage the mode already has (log_p error ~fa*0.5ulp(cross),
+        # tolerance-parity contract unchanged — tests/test_pallas.py).
+        cross = jnp.einsum("btd,bsd->bts", rho, alpha.astype(io_dt),
+                           preferred_element_type=dtype).astype(io_dt)
         quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
                           preferred_element_type=dtype)
-        log_p = fa * (cross.astype(dtype) - 0.5 * quad.T[None]
-                      + G_tb[:, None, :])
-        log_p = masked_fill(log_p, speaker_mask.T[None].astype(bool))
+        log_p = fa * (cross.astype(dtype) - 0.5 * quad[:, None, :]
+                      + G_bt[:, :, None])
+        log_p = masked_fill(log_p, speaker_mask[:, None, :].astype(bool))
 
         # w is computed OUTSIDE the kernel's sequential walk on purpose
         # (moving the max/exp into the walk was measured 10% slower — the
@@ -367,21 +376,41 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # of a full-tile divide — measured 6.5% faster end-to-end on the
         # chip (5.80 vs 6.18 ms/batch same-process), 1-ulp different
         # normalization within the pallas path's tolerance contract
-        ahat, bhat, cfw, m, w = fb_scan_pallas_sb_logp(
-            log_p, smask_sb, valid_tb, col.T, pinit.T, loop_prob,
-            interpret=interpret, io_dtype=io_dtype, recip=True)
+        ahat, bhat, cfw, m, w = fb_scan_pallas_sb_logp_bts(
+            log_p, speaker_mask.astype(dtype), valid_tb, col.T, pinit.T,
+            loop_prob, interpret=interpret, io_dtype=io_dtype, recip=True)
         ab = ahat.astype(dtype) * bhat.astype(dtype)
         denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)
-        new_gamma = ((ab / denom) * valid_tb[:, None, :]).astype(io_dt)
-        # counts reduce here, where the gamma producer can fuse it — the
-        # M-step then never re-reads the gamma stream (counts are carried)
-        new_counts = jnp.sum(new_gamma.astype(dtype), axis=0)
+        keep = state.converged                        # [B]
+
+        def sel(old, new, bdim):
+            shape = [1] * old.ndim
+            shape[bdim] = keep.shape[0]
+            return jnp.where(keep.reshape(shape), old, new)
+
+        # convergence freezing is applied INSIDE the gamma producer (the
+        # select masks before the .astype(io_dt) store), so the [T, S, B]
+        # stream is written exactly once per iteration. The previous form
+        # — materialize new_gamma (it had three consumers), then
+        # sel(old, new) as a separate whole-array pass — emitted two
+        # gamma-sized copies per iteration, 15.4% of on-device time in the
+        # battery_r3 trace (VERDICT r3 #2).
+        g_next = sel(state.gamma,
+                     ((ab / denom) * valid_tb[:, None, :]).astype(io_dt), 2)
+        # counts from the SELECTED gamma (the reduce fuses into the same
+        # producer): for live lanes identical to reducing new_gamma; for
+        # frozen lanes sum(g_next) re-reduces the very io_dt values whose
+        # f32 sum produced the carried counts — bit-identical, so the
+        # counts select (and its copy) is gone too
+        new_counts = jnp.sum(g_next.astype(dtype), axis=0)
         log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)
         not_first = valid_tb.at[0].set(0.0)
         terms = (w.astype(dtype) * bhat.astype(dtype)
                  / (denom * cfw[:, None, :]))
         pi_stat_sb = jnp.sum(terms * not_first[:, None, :], axis=0)
-        gamma0_sb = new_gamma[0].astype(dtype)
+        # frozen lanes' pi update is discarded by sel below, so reading
+        # gamma[0] from g_next (old gamma there) is equivalent
+        gamma0_sb = g_next[0].astype(dtype)
 
         elbo_val = log_px + vmapped_elbo_term(invL, alpha, fb)    # [B]
         new_pi = vmapped_pi_update(gamma0_sb.T, state.pi, pi_stat_sb.T,
@@ -394,21 +423,21 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         now_conv = jnp.logical_and(jnp.logical_not(first),
                                    jnp.logical_or(delta < epsilon,
                                                   plateau_hit))
-        keep = state.converged                        # [B]
 
-        def sel(old, new, bdim):
-            shape = [1] * old.ndim
-            shape[bdim] = keep.shape[0]
-            return jnp.where(keep.reshape(shape), old, new)
+        # a frozen lane's column `it` was NaN in both branches of the old
+        # whole-array select (it converged on an EARLIER iteration, so
+        # nothing ever wrote column `it`): one NaN-masked scatter is
+        # equivalent and drops the [B, max_iters] select
+        new_elbo = state.elbo.at[:, state.it].set(
+            jnp.where(keep, jnp.asarray(jnp.nan, dtype), elbo_val))
 
         return _PState(
             it=state.it + 1,
             converged=jnp.logical_or(keep, now_conv),
-            gamma=sel(state.gamma, new_gamma, 2),
-            counts=sel(state.counts, new_counts, 1),
+            gamma=g_next,
+            counts=new_counts,
             pi=sel(state.pi, new_pi, 0),
-            elbo=sel(state.elbo,
-                     state.elbo.at[:, state.it].set(elbo_val), 0),
+            elbo=new_elbo,
             last_elbo=sel(state.last_elbo, elbo_val, 0),
             plateau=sel(state.plateau, new_plateau, 0),
         )

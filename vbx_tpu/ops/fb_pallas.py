@@ -472,6 +472,49 @@ def fb_scan_pallas_sb_logp(log_p, smask_sb, valid, col, pinit, loop_prob,
             m, wp[:T, :S, :B])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "recip", "io_dtype"))
+def fb_scan_pallas_sb_logp_bts(log_p_bts, smask_bs, valid, col, pinit,
+                               loop_prob, interpret: bool = False,
+                               recip: bool = False,
+                               io_dtype=jnp.float32):
+    """fb_scan_pallas_sb_logp that takes the log-likelihoods in the
+    E-step dot's NATIVE [B, T, S] layout. The [T, S, B] form forced XLA to
+    re-lay the dot's f32 output out before the w producer could read it —
+    a full [T, S, B] f32 relayout copy every EM iteration (~9% of
+    executable time in the round-4 trace, the copy.56 the battery_r3
+    analysis attributed to convergence freezing; VERDICT r3 #2). Here the
+    max-shift reduces over the MINOR axis of the dot output and the single
+    unavoidable transpose happens inside the w PRODUCER at io_dtype width
+    (half the f32 relayout's bytes under bfloat16 streams), fused with the
+    exp/masking/padding writes.
+
+    log_p_bts: [B, T, S] float32 (padded speakers already -inf via mask).
+    smask_bs:  [B, S] speaker validity.
+    valid:     [T, B] frame validity.
+    col/pinit: [S, B] (kernel layout, as fb_scan_pallas_sb_logp).
+    Returns (ahat, bhat, cfw [T, B], m [T, B], w [T, S, B] io_dtype).
+    """
+    B, T, S = log_p_bts.shape
+    io_dtype = jnp.dtype(io_dtype)
+    Sp, Bp, Tp, t_chunk, nt = _sb_geometry(T, S, B, io_dtype)
+
+    vmask = valid.astype(jnp.float32)                     # [T, B]
+    m_bt = jnp.max(log_p_bts, axis=2)                     # [B, T]
+    w_core = (jnp.exp(log_p_bts - m_bt[:, :, None])
+              * smask_bs[:, None, :])                     # [B, T, S]
+    wu = (jnp.transpose(w_core, (1, 2, 0)) * vmask[:, None, :]
+          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
+    wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
+    ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
+                                   Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
+                                   interpret=interpret, recip=recip,
+                                   io_dtype=io_dtype)
+    return (ahat[:T, :S, :B], bhat[:T, :S, :B], cfw_b[:T, 0, :B],
+            m_bt.T, wp[:T, :S, :B])
+
+
 def _fwd_product_kernel_sb(w_ref, col_ref, finit_ref, lp_ref,
                            fout_ref, ls_ref, fcarry_ref, lscarry_ref):
     """Forward-only walk that keeps NO per-frame stream: emits only the
