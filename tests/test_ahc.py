@@ -108,6 +108,43 @@ def test_ahc_single_vector():
     assert ahc_labels(np.ones((1, 4)), 0.0).tolist() == [0]
 
 
+def test_device_cosine_calibration_matches_host_blocked():
+    """The streamed device calibration (only scalars cross the device
+    boundary) must agree with the host f64 blocked-histogram threshold to
+    well below the ~1e-4 AHC merge-decision scale. On the CPU backend the
+    same code path runs under XLA:CPU — the numerics contract (f32 scores
+    + host-f64 EM updates) is identical."""
+    from vbx_tpu.engine.ahc import _blocked_cosine_condensed_and_thr
+    from vbx_tpu.ops.calibration import two_gmm_calib_cosine_device
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 24)) * 0.5
+    x = centers[rng.integers(0, 4, size=4500)] \
+        + 0.7 * rng.standard_normal((4500, 24))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    _, thr_host = _blocked_cosine_condensed_and_thr(xn,
+                                                    want_condensed=False)
+    thr_dev = two_gmm_calib_cosine_device(xn)
+    assert abs(thr_dev - thr_host) < 5e-5, (thr_dev, thr_host)
+
+
+def test_ahc_device_long_n_labels_match_host():
+    """ahc_labels(compute_backend='device') at N >= the blocked cutoff
+    (the streamed MXU calibration + host f64 on-demand linkage) must
+    produce the same labels as the all-host path (VERDICT r3 #4 'identical
+    final labels'); 'auto' on the CPU backend resolves to host exactly."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((5, 16)) * 0.6
+    x = centers[rng.integers(0, 5, size=4200)] \
+        + 0.5 * rng.standard_normal((4200, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    host = ahc_labels(x, 0.0, compute_backend="host")
+    dev = ahc_labels(x, 0.0, compute_backend="device")
+    auto = ahc_labels(x, 0.0, compute_backend="auto")
+    np.testing.assert_array_equal(dev, host)
+    np.testing.assert_array_equal(auto, host)
+
+
 def test_ahc_rejects_unknown_compute_backend():
     """A typo ('Host', 'devcie') must not silently fall into the f32
     device path and weaken the f64 init-chain invariant (ADVICE round 3)."""

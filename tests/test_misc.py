@@ -150,3 +150,53 @@ def test_corpus_presets_enable_plateau_stop():
     for name in ("callhome", "ami_beamformed", "ami_mixheadset", "dihard2"):
         assert DATASET_PRESETS[name].vb.plateau_ulps > 0, name
         assert DATASET_PRESETS[name].vb.plateau_iters >= 1, name
+
+
+def test_corpus_presets_engine_of_record_and_resolution():
+    """Corpus presets carry the measured engine of record (VBConfig.fb_impl
+    = 'pallas_bf16', A/B bounds in scripts/ab_corpus_engine.py); 'example'
+    stays on the reference-exact default. resolve_fb_impl: an explicit
+    argument wins, and a preset's pallas pick resolves to the engine
+    default on the CPU backend (interpret-mode pallas is not a speedup)."""
+    import jax
+
+    from vbx_tpu.config import DATASET_PRESETS
+    from vbx_tpu.engine.pipeline import resolve_fb_impl
+
+    assert DATASET_PRESETS["example"].vb.fb_impl is None
+    for name in ("callhome", "ami_beamformed", "ami_mixheadset", "dihard2"):
+        assert DATASET_PRESETS[name].vb.fb_impl == "pallas_bf16", name
+
+    ami = DATASET_PRESETS["ami_mixheadset"]
+    assert resolve_fb_impl("structured", ami) == "structured"  # explicit
+    assert resolve_fb_impl("pallas", ami) == "pallas"
+    # tests run on the CPU backend (conftest): the preset's pallas pick
+    # must resolve back to the default engine there
+    assert jax.default_backend() == "cpu"
+    assert resolve_fb_impl(None, ami) is None
+    assert resolve_fb_impl(None, DATASET_PRESETS["example"]) is None
+
+
+def test_bf16_stop_policy_resolution():
+    """effective_vb_stop: a resolved 'pallas_bf16' with bf16_run_to_max
+    (the default) disables both stop rules — its bf16-stream ELBO noise
+    fires them 3-5x early at corpus scale (VBConfig.bf16_run_to_max has
+    the chip measurements); every other engine keeps the configured
+    rules, as does bf16 with the flag off."""
+    import dataclasses
+    import math
+
+    from vbx_tpu.config import DATASET_PRESETS
+    from vbx_tpu.engine.pipeline import effective_vb_stop
+
+    ami = DATASET_PRESETS["ami_mixheadset"]
+    eps, pu, pit = effective_vb_stop(ami, "pallas_bf16")
+    assert eps == -math.inf and pu == 0.0
+
+    for fb in (None, "structured", "pallas", "assoc"):
+        eps, pu, pit = effective_vb_stop(ami, fb)
+        assert eps == ami.vb.epsilon and pu == ami.vb.plateau_ulps, fb
+
+    off = ami.replace(vb=dataclasses.replace(ami.vb, bf16_run_to_max=False))
+    eps, pu, pit = effective_vb_stop(off, "pallas_bf16")
+    assert eps == ami.vb.epsilon and pu == ami.vb.plateau_ulps

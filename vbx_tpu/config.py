@@ -38,6 +38,34 @@ class VBConfig:
     # VBx/VBx.py:122-125); the corpus presets enable it.
     plateau_ulps: float = 0.0
     plateau_iters: int = 2
+    # Forward-backward engine of record for this preset: None = the
+    # engine default ('structured' — bit-comparable batched==solo,
+    # reference-rule exact; the golden acceptance path). Corpus presets
+    # select 'pallas_bf16': measured on the chip at ~7x the structured
+    # engine's batched throughput (BENCHMARKS.md round-4 trace,
+    # 69.6k rec/s at B=256) with the corpus-tolerance bounds held at AMI
+    # scale (>=99% per-meeting label agreement vs the frozen reference
+    # oracle and corpus DER vs reference < 0.5 — the same A/B machinery
+    # that justified the plateau stop; scripts/ab_corpus_engine.py).
+    # An explicit fb_impl argument (CLI --fb-impl) always wins, and on
+    # the CPU backend a pallas selection resolves back to the structured
+    # engine (interpret-mode pallas is a debugging path, not a speedup) —
+    # see engine.pipeline.resolve_fb_impl.
+    fb_impl: str | None = None
+    # Stop-rule policy for the bf16-stream engine: its bfloat16 streams
+    # put ~sqrt(T)-scale noise on the f32 ELBO, which at corpus scale
+    # (T~1e4) fires the delta<epsilon rule AND the plateau stop 3-5x
+    # early — measured on the chip: 18 AMI-scale meetings stopped at
+    # 5-15 iterations with one meeting at 62% label agreement vs the
+    # reference (corpus DER 3.75). The bf16 FIXED POINT is excellent:
+    # run to max_iters it measured 99.92% agreement / corpus DER 0.021
+    # (better than the f32 engine's adaptive run) in LESS wall time.
+    # True (default): whenever the RESOLVED engine is 'pallas_bf16',
+    # the pipeline disables both stop rules and runs max_iters flat out
+    # (engine.pipeline.effective_vb_stop). The f32/structured engines —
+    # including this preset's own CPU fallback — keep the reference
+    # epsilon rule and the plateau stop untouched.
+    bf16_run_to_max: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,14 +78,18 @@ class AHCConfig:
     # (reference: diarization_lib.kaldi_ivector_plda_scoring_dense)
     similarity: str = "cosine"
     target_energy: float = 1.0
-    # 'host' (default): similarity + calibration in f64 NumPy — the
-    # threshold decides the cluster count, and f32 perturbations there
-    # measurably shift the VB init (engine.ahc docstring). 'device':
-    # the N x N similarity runs on the accelerator in its dtype
-    # (calibration stays f64 on host over the device scores) — an opt-in
-    # for latency-sensitive serving; labels can differ from 'host' at
-    # genuinely tied merges.
-    compute_backend: str = "host"
+    # 'auto' (default): f64 host similarity + calibration everywhere —
+    # the threshold decides the cluster count, and f32 perturbations
+    # there measurably shift the VB init (engine.ahc docstring) —
+    # EXCEPT the long-recording cosine front half (N >= 4096) when an
+    # accelerator is attached, which streams the O(N^2) calibration
+    # sweep through the MXU (threshold agreement ~1e-6, two orders
+    # below merge-decision scale; only scalars cross the device
+    # boundary). 'host' forces f64 host always; 'device' additionally
+    # runs short-recording similarity on the accelerator (serving
+    # latency opt-in; labels can differ from 'host' at genuinely tied
+    # merges).
+    compute_backend: str = "auto"
     # Long-recording AHC fallback (the reference README's own advice for
     # >30-min files, README.md:24): recordings with more than `fallback_n`
     # x-vectors skip AHC and initialize with `random_<fallback_speakers>`
@@ -113,11 +145,12 @@ def _preset(name: str, Fa: float, Fb: float, loopP: float, smoothing: float,
             sample_rate: int,
             protocols: tuple = ("forgiving", "fair", "full"),
             plateau_ulps: float = 0.0,
+            fb_impl: str | None = None,
             ) -> DiarizationConfig:
     return DiarizationConfig(
         name=name,
         vb=VBConfig(Fa=Fa, Fb=Fb, loop_prob=loopP,
-                    plateau_ulps=plateau_ulps),
+                    plateau_ulps=plateau_ulps, fb_impl=fb_impl),
         ahc=AHCConfig(threshold=-0.015, init_smoothing=smoothing),
         sample_rate=sample_rate,
         protocols=protocols,
@@ -128,27 +161,30 @@ def _preset(name: str, Fa: float, Fb: float, loopP: float, smoothing: float,
 # Corpus presets enable the f32 plateau stop (plateau_ulps=4.0): their
 # meetings reach |ELBO| scales where the f32 quantum dwarfs epsilon and a
 # quantum-cycling recording would otherwise run the whole padded batch to
-# max_iters (VBConfig.plateau_ulps). 'example' stays reference-exact
-# (golden ES2005a acceptance runs on it).
+# max_iters (VBConfig.plateau_ulps). They also select the fused
+# pallas_bf16 engine when an accelerator is attached (VBConfig.fb_impl —
+# measured bounds and the CPU fallback rule in its docstring). 'example'
+# stays reference-exact (golden ES2005a acceptance runs on it).
 DATASET_PRESETS = {
     # run_example.sh:30-34 + vbhmm.py:90-97 default smoothing 5.0
     "example": _preset("example", Fa=0.3, Fb=17.0, loopP=0.99, smoothing=5.0,
                        sample_rate=16000),
     # CALLHOME_run.sh:42-47 (8 kHz model)
     "callhome": _preset("callhome", Fa=0.4, Fb=17.0, loopP=0.40, smoothing=7.0,
-                        sample_rate=8000, plateau_ulps=4.0),
+                        sample_rate=8000, plateau_ulps=4.0,
+                        fb_impl="pallas_bf16"),
     # AMI_run.sh:6,45-49 (beamformed: Fb 64)
     "ami_beamformed": _preset("ami_beamformed", Fa=0.4, Fb=64.0, loopP=0.65,
                               smoothing=7.0, sample_rate=16000,
-                              plateau_ulps=4.0),
+                              plateau_ulps=4.0, fb_impl="pallas_bf16"),
     # AMI_run.sh:6 (Mix-Headset: Fb 68)
     "ami_mixheadset": _preset("ami_mixheadset", Fa=0.4, Fb=68.0, loopP=0.65,
                               smoothing=7.0, sample_rate=16000,
-                              plateau_ulps=4.0),
+                              plateau_ulps=4.0, fb_impl="pallas_bf16"),
     # DIHARD2_run.sh:42-47; scored fair+full only (DIHARD2_run.sh:61-62)
     "dihard2": _preset("dihard2", Fa=0.2, Fb=6.0, loopP=0.35, smoothing=7.0,
                        sample_rate=16000, protocols=("fair", "full"),
-                       plateau_ulps=4.0),
+                       plateau_ulps=4.0, fb_impl="pallas_bf16"),
 }
 
 

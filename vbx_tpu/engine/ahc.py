@@ -35,7 +35,7 @@ def ahc_labels(
     target_energy: float = 1.0,
     pca_dim: Optional[int] = None,
     linkage_backend: Optional[str] = None,
-    compute_backend: str = "host",
+    compute_backend: str = "auto",
 ) -> np.ndarray:
     """Cluster x-vectors; returns 0-based integer labels [N].
 
@@ -43,42 +43,77 @@ def ahc_labels(
     `similarity` selects cosine (reference default, vbhmm.py:135) or the
     Kaldi-equivalent dense PLDA scoring (diarization_lib.py:59-93).
 
-    `compute_backend='host'` (default) runs the similarity matrix and the
-    2-GMM calibration in float64 NumPy: the calibration threshold feeds the
-    linkage cut, so it decides the AHC cluster count, and f32 perturbations
-    there measurably shift the VB init (observed: 31 -> 32 clusters on the
-    ES2005a golden run). The init chain is O(N^2 D) once per recording —
-    host-cheap next to the VB loop. 'device' computes the similarity matrix
-    and calibration on the accelerator in its dtype (for very long
-    recordings where the N x N matmul dominates); the calibration then runs
-    in f64 on the host over the device-computed scores.
+    `compute_backend`:
+    - 'host': similarity + 2-GMM calibration in float64 NumPy. The
+      calibration threshold feeds the linkage cut, so it decides the AHC
+      cluster count, and f32 perturbations there measurably shift the VB
+      init (observed: 31 -> 32 clusters on the ES2005a golden run).
+    - 'device': N < _BLOCKED_MIN_N computes the N x N similarity on the
+      accelerator in its dtype and calibrates in f64 on host over the
+      device scores (the latency opt-in for serving-sized requests —
+      labels may differ from 'host' at genuinely tied merges).
+      N >= _BLOCKED_MIN_N streams the calibration sweep through the MXU
+      (ops.calibration.two_gmm_calib_cosine_device — only scalars cross
+      the device boundary; measured threshold agreement vs the host f64
+      path ~1e-6, two orders below the AHC merge-decision scale) while
+      the O(N*D) distance-on-demand linkage stays f64 on host. This is
+      the reference's acknowledged long-recording weakness
+      (README.md:24) moved onto the accelerator.
+    - 'auto' (default): 'host' semantics everywhere EXCEPT the
+      long-recording cosine front half (N >= _BLOCKED_MIN_N) when a
+      non-CPU accelerator is attached, which takes the streamed device
+      calibration above. Short recordings — including the golden
+      acceptance chain — keep the f64 host invariant bit-for-bit.
     """
-    if compute_backend not in ("host", "device"):
+    if compute_backend not in ("auto", "host", "device"):
         # strict, like `similarity` below: a typo ('Host', 'devcie') would
         # otherwise silently run the f32 device path and weaken the f64
         # init-chain invariant 'device' exists to opt out of deliberately
         raise ValueError(
             f"unknown compute_backend {compute_backend!r}; "
-            f"expected 'host' or 'device'")
+            f"expected 'auto', 'host' or 'device'")
     n = x.shape[0]
     if n == 1:
         return np.zeros(1, dtype=np.int32)
 
     condensed = thr = Z = None
     if similarity == "cosine":
-        if compute_backend == "device" and n >= _BLOCKED_MIN_N:
-            # the device route materializes the full N x N score matrix
-            # on host (plus the N^2/2 condensed buffer) — the exact
-            # memory wall the blocked/on-demand host path removes (10 GB
-            # at N=50k). The opt-in exists for small latency-sensitive
-            # serving requests; long recordings take the O(N*D) host
-            # route regardless, LOUDLY.
-            import warnings
-            warnings.warn(
-                f"compute_backend='device' with N={n} >= {_BLOCKED_MIN_N} "
-                f"would materialize the O(N^2) score matrix; using the "
-                f"blocked host path instead", stacklevel=2)
-            compute_backend = "host"
+        long_n = n >= _BLOCKED_MIN_N
+        if compute_backend == "auto":
+            import jax
+            compute_backend = ("device" if long_n
+                               and jax.default_backend() != "cpu"
+                               else "host")
+        if compute_backend == "device" and long_n:
+            # long-N 'device' streams the calibration sweep through the
+            # MXU (only scalars cross the device boundary — the round-2
+            # memory/transfer wall that warned this route off is gone);
+            # the O(N*D) linkage stays f64 on host
+            x64 = np.asarray(x, dtype=np.float64)
+            xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True))
+                        + 1e-32)
+            from vbx_tpu.ops.calibration import two_gmm_calib_cosine_device
+            try:
+                thr = two_gmm_calib_cosine_device(xn)
+            except Exception as exc:   # noqa: BLE001 — device down: the
+                import warnings        # recording must still diarize
+                warnings.warn(
+                    f"device AHC calibration failed ({exc!r}); falling "
+                    f"back to the blocked host path", stacklevel=2)
+                compute_backend = "host"
+            if thr is not None:
+                if linkage_backend != "scipy":
+                    try:
+                        Z = linkage_dot_avg(xn, backend="native")
+                    except RuntimeError as exc:
+                        import warnings
+                        warnings.warn(
+                            f"native linkage unavailable ({exc}); device "
+                            f"threshold + condensed host linkage",
+                            stacklevel=2)
+                if Z is None:
+                    condensed, _ = _blocked_cosine_condensed_and_thr(
+                        xn, want_thr=False)
         if compute_backend == "host":
             x64 = np.asarray(x, dtype=np.float64)
             xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True)) + 1e-32)
@@ -99,7 +134,7 @@ def ahc_labels(
                     condensed, thr = _blocked_cosine_condensed_and_thr(xn)
             else:
                 scr_mx = xn @ xn.T
-        else:
+        elif compute_backend == "device" and not long_n:
             scr_mx = np.asarray(cos_similarity(jnp.asarray(x)))
     elif similarity == "plda":
         if plda is None:
@@ -145,8 +180,9 @@ _COSINE_BINS = 1 << 16
 
 
 def _blocked_cosine_condensed_and_thr(
-        xn: np.ndarray, blk: int = 512, want_condensed: bool = True
-        ) -> Tuple[Optional[np.ndarray], float]:
+        xn: np.ndarray, blk: int = 512, want_condensed: bool = True,
+        want_thr: bool = True
+        ) -> Tuple[Optional[np.ndarray], Optional[float]]:
     """Long-recording cosine AHC front half without materializing N x N:
     stream row blocks of xn @ xn.T, accumulating (a) the full-matrix score
     histogram moments for the binned 2-GMM calibration (reference parity:
@@ -155,6 +191,8 @@ def _blocked_cosine_condensed_and_thr(
     distance vector. One pass over the N^2 scores, peak memory O(blk * N).
     want_condensed=False skips (b) entirely — the linkage_dot_avg path
     needs only the threshold, so the O(N^2) buffer is never allocated.
+    want_thr=False skips (a) — the device-calibration fallback already
+    holds the threshold and needs only the condensed distances.
 
     Bins are fixed to the cosine range [-1, 1] (scores are exactly bounded
     after l2 normalization) rather than data-tight — with exact per-bin
@@ -208,11 +246,14 @@ def _blocked_cosine_condensed_and_thr(
         # row-major boolean extraction == concatenated per-row strict-upper
         # spans == exactly this block's condensed-vector region
         upper = R[mask]
-        hist(upper)
+        if want_thr:
+            hist(upper)
         if want_condensed:
             np.negative(upper, out=cond[o:o + upper.size])
             o += upper.size
         diag[i0:i1] = np.diagonal(St)
+    if not want_thr:
+        return cond, None
     cnt *= 2.0
     ssum *= 2.0
     s2sum *= 2.0

@@ -39,6 +39,40 @@ class DiarizationOutput:
     gamma: Optional[np.ndarray]       # [N, S] final responsibilities or None
 
 
+def resolve_fb_impl(fb_impl: Optional[str],
+                    config: DiarizationConfig) -> Optional[str]:
+    """Effective forward-backward engine: an explicit argument (CLI
+    --fb-impl) always wins; otherwise the preset's engine of record
+    (VBConfig.fb_impl — corpus presets select 'pallas_bf16', measured
+    bounds in its docstring). A preset's pallas selection resolves back to
+    the engine default on the CPU backend: interpret-mode pallas is a
+    correctness/debugging path, orders of magnitude slower than the
+    structured engine XLA compiles natively on CPU."""
+    if fb_impl is not None:
+        return fb_impl
+    pick = config.vb.fb_impl
+    if pick and pick.startswith("pallas") \
+            and jax.default_backend() == "cpu":
+        return None
+    return pick
+
+
+def effective_vb_stop(config: DiarizationConfig,
+                      fb_impl: Optional[str]
+                      ) -> Tuple[float, float, int]:
+    """(epsilon, plateau_ulps, plateau_iters) for the RESOLVED engine.
+
+    The bf16-stream engine's stop rules fire on its own stream noise at
+    corpus scale, truncating the EM far from the fixed point
+    (VBConfig.bf16_run_to_max has the chip measurements); with the flag
+    set, a resolved 'pallas_bf16' runs max_iters with both rules
+    disabled. Every other engine keeps the configured rules."""
+    vb = config.vb
+    if fb_impl == "pallas_bf16" and vb.bf16_run_to_max:
+        return float("-inf"), 0.0, vb.plateau_iters
+    return vb.epsilon, vb.plateau_ulps, vb.plateau_iters
+
+
 def _parse_init(init: str) -> Tuple[str, Optional[int], bool]:
     """-> (kind, n_random_speakers, run_vb). Accepts 'AHC', 'AHC+VB',
     'random_<N>', 'random_<N>+VB'."""
@@ -142,6 +176,7 @@ class Diarizer:
         kernels run as a B=1 batch so a one-recording run still exercises
         the requested engine."""
         cfg = self.config
+        fb_impl = resolve_fb_impl(fb_impl, cfg)
         _, _, run_vb = _parse_init(cfg.init)
         x = self.transform_xvectors(x_raw)
         labels1st = self.initial_labels(x, seed=seed)
@@ -153,6 +188,7 @@ class Diarizer:
         if run_vb:
             fea, phi, qinit = self.vb_inputs(x, labels1st)
             T, S = qinit.shape
+            eps_eff, pu_eff, pi_eff = effective_vb_stop(cfg, fb_impl)
             if fb_impl is not None and fb_impl.startswith("pallas"):
                 res = vbx_batched(
                     jnp.asarray(fea, self.dtype)[None],
@@ -161,10 +197,10 @@ class Diarizer:
                     jnp.full((1, S), 1.0 / S, dtype=self.dtype),
                     jnp.ones((1, T), bool), jnp.ones((1, S), bool),
                     loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-                    max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                    max_iters=cfg.vb.max_iters, epsilon=eps_eff,
                     fb_impl=fb_impl,
-                    plateau_ulps=cfg.vb.plateau_ulps,
-                    plateau_iters=cfg.vb.plateau_iters)
+                    plateau_ulps=pu_eff,
+                    plateau_iters=pi_eff)
                 res = res._replace(gamma=res.gamma[0], elbo=res.elbo[0],
                                    n_iters=res.n_iters[0])
             else:
@@ -253,6 +289,7 @@ def diarize_ark(
     from vbx_tpu.utils.runlog import RunLog
 
     _enable_compile_cache()
+    fb_impl = resolve_fb_impl(fb_impl, config)
     diar = Diarizer.from_files(config, plda_file, transform_file)
     segs_dict = read_xvector_timing_dict(segments_file)
     os.makedirs(out_rttm_dir, exist_ok=True)
@@ -504,26 +541,29 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             SM[bi, :S] = True
         for i in idxs:
             prepped[i][3] = prepped[i][4] = None
+        mesh_fb = (fb_impl if fb_impl in ("pallas", "pallas_bf16")
+                   else None)
+        eps_eff, pu_eff, pi_eff = effective_vb_stop(
+            diar.config, mesh_fb if mesh is not None else fb_impl)
         if mesh is not None:
             from vbx_tpu.parallel.engine import vbx_sharded
             res = vbx_sharded(
                 mesh, X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
                 G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
                 loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
-                fb_impl=(fb_impl if fb_impl in ("pallas", "pallas_bf16")
-                         else None),
-                plateau_ulps=cfg.vb.plateau_ulps,
-                plateau_iters=cfg.vb.plateau_iters)
+                max_iters=cfg.vb.max_iters, epsilon=eps_eff,
+                fb_impl=mesh_fb,
+                plateau_ulps=pu_eff,
+                plateau_iters=pi_eff)
         else:
             res = vbx_batched(
                 X, jnp.asarray(phi[:cfg.lda_dim], diar.dtype),
                 G, jnp.asarray(PI), jnp.asarray(FM), jnp.asarray(SM),
                 loop_prob=cfg.vb.loop_prob, Fa=cfg.vb.Fa, Fb=cfg.vb.Fb,
-                max_iters=cfg.vb.max_iters, epsilon=cfg.vb.epsilon,
+                max_iters=cfg.vb.max_iters, epsilon=eps_eff,
                 fb_impl=fb_impl,
-                plateau_ulps=cfg.vb.plateau_ulps,
-                plateau_iters=cfg.vb.plateau_iters)
+                plateau_ulps=pu_eff,
+                plateau_iters=pi_eff)
         entry = {"idxs": idxs, "T_pad": T_pad, "S_pad": S_pad, "res": res}
         launched.append(entry)
         unawaited.append(entry)

@@ -327,13 +327,20 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
     # first slice iteration may converge against the carried ELBO
     fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)          # [B]
 
+    # f32 streams get HIGHEST-precision dots (the TPU DEFAULT rounds MXU
+    # inputs to bf16, which at corpus scale fires the stop rules early —
+    # ops/vb_steps.py module docstring has the measurement); bf16 streams
+    # keep DEFAULT (their inputs are already bf16, natively f32-accumulated)
+    prec = (jax.lax.Precision.HIGHEST if io_dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def m_step(g_tsb, counts_sb):
         # counts come pre-accumulated (f32) from the combine kernel; only
         # the cross-stats einsum still reads the gamma stream
         invL = 1.0 / (1.0 + fa_over_fb * counts_sb.T[:, :, None]
                       * phi[None, None, :])                       # [B,S,D]
         stats = jnp.einsum("tsb,btd->bsd", g_tsb, rho,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype, precision=prec)
         alpha = fa_over_fb * invL * stats.astype(dtype)
         return invL, alpha
 
@@ -354,9 +361,11 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # storage the mode already has (log_p error ~fa*0.5ulp(cross),
         # tolerance-parity contract unchanged — tests/test_pallas.py).
         cross = jnp.einsum("btd,bsd->bts", rho, alpha.astype(io_dt),
-                           preferred_element_type=dtype).astype(io_dt)
+                           preferred_element_type=dtype,
+                           precision=prec).astype(io_dt)
         quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGHEST)
         log_p = fa * (cross.astype(dtype) - 0.5 * quad[:, None, :]
                       + G_bt[:, :, None])
         log_p = masked_fill(log_p, speaker_mask[:, None, :].astype(bool))

@@ -17,6 +17,7 @@ for oracle validation.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -257,6 +258,112 @@ def two_gmm_calib_lin_binned(scores, niters: int = 20,
     nz = cnt > 0
     cnt, ssum, s2sum = cnt[nz], ssum[nz], s2sum[nz]
     return _weighted_em_threshold(cnt, ssum, s2sum, ssum / cnt, niters)
+
+
+@functools.lru_cache(maxsize=8)
+def _cosine_sweep_jit(blk: int):
+    """Jitted full pass over the implicit N x N cosine-score matrix
+    (scores = xn @ xn.T, never materialized beyond one [blk, Np] tile; a
+    device-side fori_loop walks the row blocks so the whole pass is ONE
+    dispatch — a per-block dispatch variant measured 62 s at N=50k over
+    the tunnel, ~30 ms launch latency x 98 blocks x 21 passes, vs ~1 s
+    for this form). Returns per-block partial sums [nb, 5] of
+    (g1, g1*s, g1*s^2, s, s^2) with g1 = sigmoid(s*d + c) — the only
+    statistics one shared-variance 2-GMM EM iteration needs (_em_params);
+    d=0, c=0 gives g1=0.5 so the same pass serves the init (sum_s,
+    sum_s2). The caller f64-sums the per-block rows on host (bounds the
+    f32 accumulation error to within-block, ~1e-6 relative at N=50k).
+    HIGHEST-precision matmul: the threshold feeds the AHC cut, and
+    bf16-rounded scores (~4e-3) would move it at merge-decision scale,
+    while f32 scores keep it ~1e-7 (ops/vb_steps.py has the precision
+    rationale)."""
+
+    @jax.jit
+    def full_pass(xn_pad, n_valid, d, c):
+        Np = xn_pad.shape[0]
+        nb = Np // blk
+        col_valid = (jnp.arange(Np) < n_valid)[None, :]
+
+        def body(i, acc):
+            xb = jax.lax.dynamic_slice_in_dim(xn_pad, i * blk, blk, axis=0)
+            s = jnp.dot(xb, xn_pad.T,
+                        precision=jax.lax.Precision.HIGHEST)   # [blk, Np]
+            rows = i * blk + jnp.arange(blk)
+            w = ((rows < n_valid)[:, None] & col_valid).astype(s.dtype)
+            g1 = jax.nn.sigmoid(s * d + c) * w
+            sw = s * w
+            part = jnp.stack([jnp.sum(g1), jnp.sum(g1 * s),
+                              jnp.sum(g1 * s * s),
+                              jnp.sum(sw), jnp.sum(sw * s)])
+            return acc.at[i].set(part)
+
+        return jax.lax.fori_loop(0, nb, body,
+                                 jnp.zeros((nb, 5), xn_pad.dtype))
+
+    return full_pass
+
+
+def two_gmm_calib_cosine_device(xn, niters: int = 20,
+                                blk: int = 512) -> float:
+    """Device-blocked calibration threshold for the long-recording cosine
+    AHC front half (VERDICT r3 #4): the N x N score matrix is streamed
+    through the MXU one [blk, N] tile at a time — the O(N^2) compute the
+    host spends ~19 s on at N=50k runs in ~1 s on the chip — and ONLY
+    scalars cross the device boundary (the round-2 negative result for
+    compute_backend='device' was the N x N score-matrix TRANSFER over the
+    tunnel; this path never moves it). The EM parameter updates run in
+    float64 on the host (same update alg + degenerate-variance guards as
+    _weighted_em_threshold) over exact per-iteration f32 statistics, so
+    the only approximations vs the host f64 path are f32 scores (~1e-7)
+    and per-block partial-sum rounding (~1e-6 relative) — measured
+    threshold agreement ~1e-6, two orders below the ~1e-4 AHC
+    merge-decision scale (tests/test_ahc.py).
+
+    xn: [N, D] float64/float32 L2-NORMALIZED x-vectors (the caller
+    normalizes, engine.ahc). Unlike the reference's upper-triangle
+    chunking (diarization_lib.py:203-210) every entry of the full
+    symmetric N^2 matrix (diagonal included) is computed directly —
+    matching twoGMMcalib_lin's all-N^2 semantics (vbhmm.py:137) with no
+    mirror-rounding caveat."""
+    import numpy as np
+
+    xn = np.asarray(xn, np.float32)
+    n, dd = xn.shape
+    n_pad = -(-n // blk) * blk
+    xn_pad = jnp.asarray(np.pad(xn, ((0, n_pad - n), (0, 0))))
+    sweep = _cosine_sweep_jit(blk)
+
+    def full_pass(d, c):
+        parts = np.asarray(sweep(xn_pad, n, np.float32(d), np.float32(c)),
+                           np.float64)                        # [nb, 5]
+        return parts.sum(axis=0)       # host f64 across blocks
+
+    total = float(n) * float(n)
+    _, _, _, sum_s, sum_s2 = full_pass(0.0, 0.0)
+    mean = sum_s / total
+    var = sum_s2 / total - mean ** 2
+    if not var > 1e-12 * max(1.0, mean * mean):
+        return float(mean)             # degenerate scores (see host twin)
+    weights = np.array([0.5, 0.5])
+    means = mean + np.sqrt(var) * np.array([-1.0, 1.0])
+    for _ in range(niters):
+        if not var > 1e-12 * max(1.0, mean * mean):
+            return float(mean)
+        d = (means[1] - means[0]) / var
+        c = (np.log(weights[1]) - np.log(weights[0])
+             - 0.5 * (means[1] ** 2 - means[0] ** 2) / var)
+        cnt1, s1, s2, _, _ = full_pass(d, c)
+        cnt0, s0, q0 = total - cnt1, sum_s - s1, sum_s2 - s2
+        weights = np.array([cnt0, cnt1]) / total
+        means = np.array([s0 / cnt0, s1 / cnt1])
+        second = np.array([q0 / cnt0, s2 / cnt1])
+        var = (second - means ** 2) @ weights
+    sel = np.array([1.0, -1.0])
+    with np.errstate(all="ignore"):
+        thr = float(-0.5
+                    * ((np.log(weights ** 2 / var) - means ** 2 / var) @ sel)
+                    / ((means / var) @ sel))
+    return thr if np.isfinite(thr) else float(mean)
 
 
 def two_gmm_calib_with_llrs(scores: jax.Array,

@@ -224,10 +224,14 @@ def forward_backward_dense(
     valid = _default_mask(log_p) if frame_mask is None else frame_mask
     tr_eps = tr.astype(dtype) + jnp.asarray(eps, dtype)
     ip_eps = ip.astype(dtype) + jnp.asarray(eps, dtype)
+    # HIGHEST: the general path is reference-faithful; TPU DEFAULT would
+    # round the per-step matvec inputs to bf16 (ops/vb_steps.py docstring)
     return _scaled_fb(
         log_p, ip_eps,
-        lambda prev: prev @ tr_eps,
-        lambda u: tr_eps @ u,
+        lambda prev: jnp.dot(prev, tr_eps,
+                             precision=jax.lax.Precision.HIGHEST),
+        lambda u: jnp.dot(tr_eps, u,
+                          precision=jax.lax.Precision.HIGHEST),
         valid)
 
 

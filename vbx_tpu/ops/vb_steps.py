@@ -10,6 +10,19 @@ and [T,D]x[D,S] log-liks) are the MXU work; everything else fuses into them.
 All functions are pure, jittable, vmappable; padded speakers/frames are
 handled by zeroed gamma rows/columns (their invL becomes 1 and alpha 0, so
 they contribute exactly 0 to the ELBO model term, matching an unpadded run).
+
+Every dot here is pinned to Precision.HIGHEST: these functions are the
+reference-faithful f32 path, and the TPU's DEFAULT matmul precision feeds
+the MXU bfloat16-rounded inputs. At AMI scale (T~1e4, |ELBO|~1e6) that
+rounding puts ~0.5-absolute noise on the ELBO, which fires the
+delta<epsilon stop rule (VBx/VBx.py:122) 3x early — measured on the chip:
+default precision converged 18 meetings in 5-13 iterations with one
+meeting at 62% label agreement vs the reference (corpus DER 3.78), while
+HIGHEST reproduces the CPU trajectory (9-40 iterations, >=99.2%
+agreement, corpus DER 0.09 — BENCHMARKS.md "Matmul precision at corpus
+scale", round 4). The dots are HBM-bound at these shapes, so the extra
+MXU passes are nearly free (f32 pallas corpus wall 44.9 s at HIGHEST vs
+46.6 s at DEFAULT, same battery).
 """
 
 from __future__ import annotations
@@ -45,7 +58,8 @@ def vb_m_step(gamma: jax.Array, rho: jax.Array, phi: jax.Array,
     # over the frame-sharded axis in the distributed engine)
     invL = 1.0 / (1.0 + fa_over_fb * counts[:, None] * phi[None, :].astype(dtype))
     stats = jnp.einsum("ts,td->sd", gamma, rho,
-                       preferred_element_type=dtype)  # [S, D]
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)  # [S, D]
     alpha = fa_over_fb * invL * stats
     return invL, alpha
 
@@ -57,9 +71,11 @@ def vb_log_likelihoods(rho: jax.Array, G: jax.Array, invL: jax.Array,
     (reference: VBx.py:97). Returns [T, S]."""
     dtype = rho.dtype
     fa = jnp.asarray(fa, dtype)
-    cross = jnp.einsum("td,sd->ts", rho, alpha, preferred_element_type=dtype)
+    cross = jnp.einsum("td,sd->ts", rho, alpha, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     quad = jnp.einsum("sd,d->s", invL + alpha * alpha, phi.astype(dtype),
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     return fa * (cross - 0.5 * quad[None, :] + G)
 
 

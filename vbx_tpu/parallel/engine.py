@@ -70,7 +70,8 @@ def _vb_em_sharded_single(X, phi, gamma, pi, frame_mask, speaker_mask,
         counts = jax.lax.psum(jnp.sum(state.gamma, axis=0), axis_name)
         stats = jax.lax.psum(
             jnp.einsum("ts,td->sd", state.gamma, rho,
-                       preferred_element_type=dtype), axis_name)
+                       preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST), axis_name)
         invL = 1.0 / (1.0 + fa_over_fb * counts[:, None]
                       * phi[None, :].astype(dtype))
         alpha = fa_over_fb * invL * stats
@@ -161,12 +162,19 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
     vmapped_pi_update = jax.vmap(vb_pi_update, in_axes=(0, 0, 0, None))
     fresh = last_elbo0 == jnp.asarray(NEG_INF, dtype)            # [Bl]
 
+    # f32 streams get HIGHEST-precision dots (ops/vb_steps.py module
+    # docstring has the corpus-scale measurement); bf16 streams keep
+    # DEFAULT (already bf16 inputs, natively f32-accumulated)
+    prec = (jax.lax.Precision.HIGHEST if io_dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def m_step(g_tsb, counts_sb):
         invL = 1.0 / (1.0 + fa_over_fb * counts_sb.T[:, :, None]
                       * phi[None, None, :])                      # [Bl,S,D]
         stats = jax.lax.psum(
             jnp.einsum("tsb,btd->bsd", g_tsb, rho,
-                       preferred_element_type=dtype), axis_name)
+                       preferred_element_type=dtype, precision=prec),
+            axis_name)
         alpha = fa_over_fb * invL * stats.astype(dtype)
         return invL, alpha
 
@@ -180,9 +188,10 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
         invL, alpha = m_step(gamma, counts)
 
         cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype, precision=prec)
         quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                          precision=jax.lax.Precision.HIGHEST)
         log_p = fa * (cross.astype(dtype) - 0.5 * quad.T[None]
                       + G_tb[:, None, :])
         log_p = masked_fill(log_p, smask.T[None].astype(bool))

@@ -114,7 +114,7 @@ def forward_backward_blockwise(
     def fwd_blk(carry, blk):
         v, s = carry
         Fb_, sFb = blk
-        v2 = v @ Fb_
+        v2 = jnp.dot(v, Fb_, precision=jax.lax.Precision.HIGHEST)
         c = jnp.sum(v2)
         return (v2 / c, s + sFb + jnp.log(c)), (v, s)
 
@@ -125,7 +125,7 @@ def forward_backward_blockwise(
     def bwd_blk(carry, blk):
         b, s = carry
         Fb_, sFb = blk
-        b2 = Fb_ @ b
+        b2 = jnp.dot(Fb_, b, precision=jax.lax.Precision.HIGHEST)
         c = jnp.sum(b2)
         return (b2 / c, s + sFb + jnp.log(c)), (b, s)
 
@@ -281,7 +281,8 @@ def forward_backward_blockwise_pallas(
         v, acc = carry                                       # [B,S], [B]
         Fb_, sb = blk
         ms = jnp.max(sb, axis=-1)
-        v2 = jnp.einsum("bi,bij->bj", v * jnp.exp(sb - ms[:, None]), Fb_)
+        v2 = jnp.einsum("bi,bij->bj", v * jnp.exp(sb - ms[:, None]), Fb_,
+                        precision=jax.lax.Precision.HIGHEST)
         c = jnp.sum(v2, axis=-1)
         return (v2 / c[:, None], acc + ms + jnp.log(c)), (v, acc)
 
@@ -292,7 +293,8 @@ def forward_backward_blockwise_pallas(
         b, acc = carry
         Fb_, sb = blk
         ms = jnp.max(sb, axis=-1)
-        b2 = jnp.exp(sb - ms[:, None]) * jnp.einsum("bij,bj->bi", Fb_, b)
+        b2 = jnp.exp(sb - ms[:, None]) * jnp.einsum(
+            "bij,bj->bi", Fb_, b, precision=jax.lax.Precision.HIGHEST)
         c = jnp.sum(b2, axis=-1)
         return (b2 / c[:, None], acc + ms + jnp.log(c)), (b, acc)
 

@@ -116,7 +116,8 @@ class DiarizationService:
         # dither (predict.py:163-164); concurrent extractions would race
         # it, so audio requests extract one at a time (device-bound anyway)
         self._extract_lock = threading.Lock()
-        self._fb_impl = fb_impl
+        from vbx_tpu.engine.pipeline import resolve_fb_impl
+        self._fb_impl = resolve_fb_impl(fb_impl, config)
         # pod-slice serving: a ('dp', 'sp') jax.sharding.Mesh routes every
         # bucket through the sharded engine (parallel.vbx_sharded) —
         # recordings data-parallel, frames sequence-parallel over ICI.
@@ -586,6 +587,9 @@ class DiarizationService:
             SM[b, :S] = True
         for b in range(B, Bp):
             X[b], G[b], PI[b], FM[b], SM[b] = X[0], G[0], PI[0], FM[0], SM[0]
+        from vbx_tpu.engine.pipeline import effective_vb_stop
+        eps_eff, pu_eff, pi_eff = effective_vb_stop(
+            cfg, None if self.mesh is not None else self._fb_impl)
         try:
             if self.mesh is not None:
                 from vbx_tpu.parallel.engine import vbx_sharded
@@ -603,9 +607,9 @@ class DiarizationService:
                     jnp.asarray(G), jnp.asarray(PI), jnp.asarray(FM),
                     jnp.asarray(SM), loop_prob=cfg.vb.loop_prob,
                     Fa=cfg.vb.Fa, Fb=cfg.vb.Fb, max_iters=cfg.vb.max_iters,
-                    epsilon=cfg.vb.epsilon, fb_impl=self._fb_impl,
-                    plateau_ulps=cfg.vb.plateau_ulps,
-                    plateau_iters=cfg.vb.plateau_iters)
+                    epsilon=eps_eff, fb_impl=self._fb_impl,
+                    plateau_ulps=pu_eff,
+                    plateau_iters=pi_eff)
         except Exception as exc:   # noqa: BLE001 — fail the chunk, not the
             for req in reqs:       # service
                 self._fail(req, exc)
