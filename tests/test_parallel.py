@@ -123,6 +123,53 @@ def test_blockwise_pallas_fb_matches_sequential(n_sp):
                                    np.asarray(seq.gamma[0]), atol=1e-4)
 
 
+@pytest.mark.parametrize("n_segments", [2, 4])
+def test_blockwise_pallas_segmented_operator_matches_sequential(n_segments):
+    """The segmented operator-product walk (R segments as extra kernel
+    lanes + the row-scaled compose scan, VERDICT r3 #6) must stay within
+    the pallas tolerance contract of the sequential smoother — including
+    a lane whose padding suffix leaves trailing segments entirely dead
+    (they must compose as exact identities)."""
+    rng = np.random.default_rng(17)
+    T, S, B, n_sp = 128, 5, 2, 2
+    logps, pis = [], []
+    for _ in range(B):
+        lp, pi, loop_prob = random_hmm_problem(rng, T, S)
+        logps.append(lp.astype(np.float32))
+        pis.append(pi.astype(np.float32))
+    log_p = np.stack(logps, axis=-1)
+    pi = np.stack(pis)
+    mask = np.ones((T, B), bool)
+    mask[40:, 1] = False      # lane 1: only 40 valid frames — with Tb=64
+    # and 4 segments of 16, segments 3-4 of chip 0 and all of chip 1 dead
+
+    mesh = make_mesh(n_dp=1, n_sp=n_sp)
+
+    def fn(lp, fm):
+        r = forward_backward_blockwise_pallas(
+            lp, jnp.asarray(pi), loop_prob, frame_mask=fm,
+            axis_name="sp", interpret=True, n_segments=n_segments)
+        return r.gamma, r.log_px, r.pi_stat, r.gamma0
+
+    sh = jax.shard_map(
+        fn, mesh=mesh, in_specs=(P("sp", None, None), P("sp", None)),
+        out_specs=(P("sp", None, None), P(), P(), P()), check_vma=False)
+    g, log_px, pi_stat, gamma0 = jax.jit(sh)(jnp.asarray(log_p),
+                                             jnp.asarray(mask))
+    for b in range(B):
+        Tv = int(mask[:, b].sum())
+        seq = forward_backward_structured(
+            jnp.asarray(log_p[:Tv, :, b]), jnp.asarray(pi[b]), loop_prob)
+        np.testing.assert_allclose(np.asarray(g)[:Tv, :, b],
+                                   np.asarray(seq.gamma), atol=1e-4)
+        assert np.all(np.asarray(g)[Tv:, :, b] == 0)
+        np.testing.assert_allclose(float(log_px[b]), float(seq.log_px),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(pi_stat)[:, b], np.asarray(seq.pi_stat), rtol=1e-3,
+            atol=1e-4 * float(np.max(seq.pi_stat)))
+
+
 @pytest.mark.parametrize("n_dp,n_sp", [(4, 2), (1, 8)])
 @pytest.mark.parametrize("fb_impl", ["pallas", "pallas_bf16"])
 def test_sharded_pallas_engine_matches_batched_pallas(n_dp, n_sp, fb_impl):
@@ -158,12 +205,20 @@ def test_sharded_pallas_engine_matches_batched_pallas(n_dp, n_sp, fb_impl):
                       jnp.asarray(SM), fb_impl=fb_impl, **kw)
     tol = 5e-4 if fb_impl == "pallas" else 5e-2
     for i in range(B):
-        assert int(res.n_iters[i]) == int(ref.n_iters[i]), i
+        if fb_impl == "pallas":
+            assert int(res.n_iters[i]) == int(ref.n_iters[i]), i
+        else:
+            # bf16 streams put the converged Delta-ELBO within an ulp of
+            # the epsilon crossing: solo and sharded legitimately stop one
+            # iteration apart (the fixed points below still agree — and
+            # the pipeline's corpus policy runs bf16 to max_iters anyway,
+            # VBConfig.bf16_run_to_max)
+            assert abs(int(res.n_iters[i]) - int(ref.n_iters[i])) <= 1, i
         np.testing.assert_allclose(np.asarray(res.gamma[i]),
                                    np.asarray(ref.gamma[i]), atol=tol)
         np.testing.assert_allclose(np.asarray(res.pi[i]),
                                    np.asarray(ref.pi[i]), atol=tol)
-        n = int(ref.n_iters[i])
+        n = min(int(ref.n_iters[i]), int(res.n_iters[i]))
         # the sharded log_px comes from the K-block boundary scans, the
         # single-device one from sum(m + log cfw): with bf16-quantized
         # streams the two formulas legitimately differ at ~1e-4 relative

@@ -474,11 +474,12 @@ def fb_scan_pallas_sb_logp(log_p, smask_sb, valid, col, pinit, loop_prob,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "recip", "io_dtype"))
+    static_argnames=("interpret", "recip", "io_dtype", "zero_invalid"))
 def fb_scan_pallas_sb_logp_bts(log_p_bts, smask_bs, valid, col, pinit,
                                loop_prob, interpret: bool = False,
                                recip: bool = False,
-                               io_dtype=jnp.float32):
+                               io_dtype=jnp.float32, binit=None,
+                               zero_invalid: bool = False):
     """fb_scan_pallas_sb_logp that takes the log-likelihoods in the
     E-step dot's NATIVE [B, T, S] layout. The [T, S, B] form forced XLA to
     re-lay the dot's f32 output out before the w producer could read it —
@@ -494,6 +495,10 @@ def fb_scan_pallas_sb_logp_bts(log_p_bts, smask_bs, valid, col, pinit,
     smask_bs:  [B, S] speaker validity.
     valid:     [T, B] frame validity.
     col/pinit: [S, B] (kernel layout, as fb_scan_pallas_sb_logp).
+    binit/zero_invalid: boundary-message / exact-padding-skip semantics
+    exactly as fb_scan_pallas_sb_logp (the frame-sharded blockwise path
+    passes each chip's incoming boundary messages and needs padded
+    frames literally skipped).
     Returns (ahat, bhat, cfw [T, B], m [T, B], w [T, S, B] io_dtype).
     """
     B, T, S = log_p_bts.shape
@@ -504,13 +509,19 @@ def fb_scan_pallas_sb_logp_bts(log_p_bts, smask_bs, valid, col, pinit,
     m_bt = jnp.max(log_p_bts, axis=2)                     # [B, T]
     w_core = (jnp.exp(log_p_bts - m_bt[:, :, None])
               * smask_bs[:, None, :])                     # [B, T, S]
-    wu = (jnp.transpose(w_core, (1, 2, 0)) * vmask[:, None, :]
-          + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
-    wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
+    if zero_invalid:
+        wu = (jnp.transpose(w_core, (1, 2, 0))
+              * vmask[:, None, :]).astype(io_dtype)
+        wp = jnp.pad(wu, ((0, Tp - T), (0, Sp - S), (0, Bp - B)))
+    else:
+        wu = (jnp.transpose(w_core, (1, 2, 0)) * vmask[:, None, :]
+              + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
+        wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
     ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
                                    Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
                                    interpret=interpret, recip=recip,
-                                   io_dtype=io_dtype)
+                                   io_dtype=io_dtype, binit=binit,
+                                   skip_dead=zero_invalid)
     return (ahat[:T, :S, :B], bhat[:T, :S, :B], cfw_b[:T, 0, :B],
             m_bt.T, wp[:T, :S, :B])
 

@@ -150,8 +150,8 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
     valid_tb = fmask_bt.T                                 # [Tl, Bl]
     smask = speaker_mask.astype(dtype)                    # [Bl, S]
 
-    G_tb = -0.5 * (jnp.sum(X * X, axis=-1)
-                   + D * jnp.log(2 * jnp.pi).astype(dtype)).T   # [Tl, Bl]
+    G_bt = -0.5 * (jnp.sum(X * X, axis=-1)
+                   + D * jnp.log(2 * jnp.pi).astype(dtype))     # [Bl, Tl]
     rho = (X * jnp.sqrt(phi)[None, None, :]).astype(io_dt)      # [Bl, Tl, D]
 
     gamma_tsb = (gamma_tsb.astype(dtype) * valid_tb[:, None, :]
@@ -187,21 +187,36 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
         first = jnp.logical_and(it == 0, fresh)                  # [Bl]
         invL, alpha = m_step(gamma, counts)
 
-        cross = jnp.einsum("btd,bsd->tsb", rho, alpha.astype(io_dt),
-                           preferred_element_type=dtype, precision=prec)
+        # E-step dot in its NATIVE [B,T,S] layout into the blockwise
+        # smoother (round-4 solo-engine port: the tsb form cost a full
+        # f32 relayout copy per iteration — fb_scan_pallas_sb_logp_bts)
+        cross = jnp.einsum("btd,bsd->bts", rho, alpha.astype(io_dt),
+                           preferred_element_type=dtype,
+                           precision=prec).astype(io_dt)
         quad = jnp.einsum("bsd,d->bs", invL + alpha * alpha, phi,
                           preferred_element_type=dtype,
                           precision=jax.lax.Precision.HIGHEST)
-        log_p = fa * (cross.astype(dtype) - 0.5 * quad.T[None]
-                      + G_tb[:, None, :])
-        log_p = masked_fill(log_p, smask.T[None].astype(bool))
+        log_p = fa * (cross.astype(dtype) - 0.5 * quad[:, None, :]
+                      + G_bt[:, :, None])
+        log_p = masked_fill(log_p, smask[:, None, :].astype(bool))
 
         fbr = forward_backward_blockwise_pallas(
             log_p, pi_c, loop_prob, frame_mask=valid_tb.astype(bool),
             speaker_mask=speaker_mask, axis_name=axis_name,
-            interpret=interpret, io_dtype=io_dt)
-        new_gamma = fbr.gamma.astype(io_dt)
-        new_counts = jax.lax.psum(jnp.sum(fbr.gamma, axis=0), axis_name)
+            interpret=interpret, io_dtype=io_dt, layout="bts")
+        keep = converged
+
+        def sel(old, new, bdim):
+            shape = [1] * old.ndim
+            shape[bdim] = keep.shape[0]
+            return jnp.where(keep.reshape(shape), old, new)
+
+        # freeze-select fused into the gamma producer; counts from the
+        # SELECTED gamma (bit-identical for frozen lanes — same io_dt
+        # values re-reduced; engine.vbhmm has the derivation)
+        g_next = sel(gamma, fbr.gamma.astype(io_dt), 2)
+        new_counts = jax.lax.psum(jnp.sum(g_next.astype(dtype), axis=0),
+                                  axis_name)
 
         elbo_val = fbr.log_px + vmapped_elbo_term(invL, alpha, fb)   # [Bl]
         new_pi = vmapped_pi_update(fbr.gamma0.T, pi_c, fbr.pi_stat.T,
@@ -214,19 +229,18 @@ def _vb_em_sharded_batched_pallas(X, phi, gamma_tsb, pi, frame_mask,
         now_conv = jnp.logical_and(jnp.logical_not(first),
                                    jnp.logical_or(delta < epsilon,
                                                   plateau_hit))
-        keep = converged
-
-        def sel(old, new, bdim):
-            shape = [1] * old.ndim
-            shape[bdim] = keep.shape[0]
-            return jnp.where(keep.reshape(shape), old, new)
+        # a frozen lane's elbo column `it` was NaN in both branches of a
+        # whole-array select (nothing ever wrote it); one NaN-masked
+        # scatter is equivalent (engine.vbhmm round-4)
+        new_elbo = elbo.at[:, it].set(
+            jnp.where(keep, jnp.asarray(jnp.nan, dtype), elbo_val))
 
         return (it + 1,
                 jnp.logical_or(keep, now_conv),
-                sel(gamma, new_gamma, 2),
-                sel(counts, new_counts, 1),
+                g_next,
+                new_counts,
                 sel(pi_c, new_pi, 0),
-                sel(elbo, elbo.at[:, it].set(elbo_val), 0),
+                new_elbo,
                 sel(last_elbo, elbo_val, 0),
                 sel(plateau, new_plateau, 0))
 
