@@ -79,6 +79,39 @@ def test_fbank_matches_reference(fs):
 
 
 @needs_ref
+@pytest.mark.parametrize("e_pos", ["first", "last"])
+@pytest.mark.parametrize("raw,enorm", [(True, True), (False, True),
+                                       (True, False)])
+def test_fbank_energy_options_match_reference(e_pos, raw, enorm):
+    """The HTK energy coefficient surface (_E / RAWENERGY / ENORMALISE /
+    ESCALE / SILFLOOR, reference features.py:59-117) — unused by any
+    recipe but part of the frontend's option parity (VERDICT r3 #8)."""
+    ref = _ref_features()
+    rng = np.random.default_rng(7)
+    sig = rng.standard_normal(8000) * 800.0
+    window, fbank_mx, winlen, noverlap = fbank_config(16000)
+    theirs = ref.fbank_htk(sig, window, noverlap, fbank_mx,
+                           USEPOWER=True, ZMEANSOURCE=True, _E=e_pos,
+                           RAWENERGY=raw, ENORMALISE=enorm,
+                           ESCALE=0.1, SILFLOOR=50.0)
+    ours = np.asarray(fbank_htk(
+        jnp.asarray(sig), jnp.asarray(window), jnp.asarray(fbank_mx),
+        noverlap=noverlap, use_power=True, zmean_source=True,
+        energy=e_pos, raw_energy=raw, enormalise=enorm,
+        escale=0.1, silfloor=50.0))
+    assert ours.shape == theirs.shape == (theirs.shape[0], 65)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-9)
+
+
+def test_fbank_energy_rejects_bad_position():
+    window, fbank_mx, winlen, noverlap = fbank_config(8000)
+    with pytest.raises(ValueError, match="energy"):
+        fbank_htk(jnp.zeros(4000), jnp.asarray(window),
+                  jnp.asarray(fbank_mx), noverlap=noverlap,
+                  energy="middle")
+
+
+@needs_ref
 def test_fbank_magnitude_mode():
     ref = _ref_features()
     rng = np.random.default_rng(1)

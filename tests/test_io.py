@@ -379,3 +379,104 @@ def test_segments_writer_rejects_whitespace_tokens(tmp_path):
     with pytest.raises(ValueError, match="whitespace"):
         write_segments(str(tmp_path / "s.seg"),
                        [("seg1", "my rec", 0.0, 1.0)])
+
+
+def test_kaldi_matrix_dense_roundtrip_and_ark(tmp_path):
+    """First-party Kaldi binary MATRIX codecs (reference reads these
+    through kaldi_io / kaldi_utils.py:80-106; VERDICT r3 #8): dense
+    FM/DM round-trip exactly through the archive form."""
+    from vbx_tpu.io.kaldi_matrix import read_mat_ark, write_mat_ark
+
+    rng = np.random.default_rng(0)
+    mats = {"a": rng.standard_normal((5, 7)).astype(np.float32),
+            "b": rng.standard_normal((3, 2)).astype(np.float64)}
+    path = str(tmp_path / "m.ark")
+    write_mat_ark(path, mats.items())
+    back = read_mat_ark(path)
+    assert list(back) == ["a", "b"]
+    np.testing.assert_array_equal(back["a"], mats["a"])
+    np.testing.assert_array_equal(back["b"], mats["b"])
+
+
+@pytest.mark.parametrize("compression", [1, 2, 3])
+def test_kaldi_matrix_compressed_roundtrip(tmp_path, compression):
+    """CM/CM2/CM3 decompress to within the format's quantization error:
+    range/255 per entry for the one-byte forms (CM's per-column
+    percentile mapping is finer inside the quartiles), range/65535 for
+    CM2 (format: Kaldi compressed-matrix.cc; reference delegates to
+    kaldi_io, kaldi_utils.py:84-85)."""
+    from vbx_tpu.io.kaldi_matrix import read_mat_ark, write_mat_ark
+
+    rng = np.random.default_rng(compression)
+    m = (rng.standard_normal((40, 9)) * 3.0).astype(np.float32)
+    path = str(tmp_path / "c.ark")
+    write_mat_ark(path, [("m", m)], compression=compression)
+    back = read_mat_ark(path)["m"]
+    assert back.shape == m.shape and back.dtype == np.float32
+    rng_span = float(m.max() - m.min())
+    tol = rng_span / (65535 if compression == 2 else 255) * 1.01
+    np.testing.assert_allclose(back, m, atol=tol)
+
+
+def test_kaldi_matrix_compressed_known_bytes():
+    """A hand-built CM2 byte stream decodes to the format-defined values
+    (guards the reader against a writer/reader bug cancelling out)."""
+    import io as _io
+    import struct
+
+    from vbx_tpu.io.kaldi_matrix import read_mat_binary
+
+    # 2x2 matrix, min=1.0, range=2.0, uint16 data row-major
+    buf = (b"CM2" + struct.pack("<ffii", 1.0, 2.0, 2, 2)
+           + np.array([0, 65535, 32768, 16384], "<u2").tobytes())
+    m = read_mat_binary(_io.BytesIO(buf))
+    np.testing.assert_allclose(
+        m, [[1.0, 3.0], [1.0 + 2.0 * 32768 / 65535,
+                         1.0 + 2.0 * 16384 / 65535]], rtol=1e-6)
+
+
+def test_kaldi_sparse_matrix_reader():
+    """SM wire form (reference first-party reader kaldi_utils.py:109-147):
+    hand-built stream -> csr_matrix, and the dense dispatch densifies."""
+    import io as _io
+    import struct
+
+    from vbx_tpu.io.kaldi_matrix import read_mat_binary, read_sparse_mat
+
+    def sv(dim, elems):
+        out = b"SV " + b"\x04" + struct.pack("<i", dim)
+        out += b"\x04" + struct.pack("<i", len(elems))
+        for idx, val in elems:
+            out += b"\x04" + struct.pack("<i", idx)
+            out += b"\x04" + struct.pack("<f", val)
+        return out
+
+    buf = (b"SM " + b"\x04" + struct.pack("<i", 2)
+           + sv(4, [(1, 2.5), (3, -1.0)]) + sv(4, [(0, 7.0)]))
+    sp = read_sparse_mat(_io.BytesIO(buf))
+    dense = np.array([[0, 2.5, 0, -1.0], [7.0, 0, 0, 0]], np.float32)
+    np.testing.assert_allclose(sp.toarray(), dense)
+    m = read_mat_binary(_io.BytesIO(buf))
+    np.testing.assert_allclose(m, dense)
+
+
+def test_device_probe_reports_backend():
+    """The free_gpu.sh-analogue prober (utils.devices, VERDICT r3 #8):
+    in the CPU-pinned env the probe must complete, report the cpu
+    backend as not-usable, and pick_backend must fall back to 'cpu'.
+    Skipped when the ambient env could reach the real chip — the probe
+    subprocess would claim it, which unit tests must never do
+    (CLAUDE.md)."""
+    import os
+
+    from vbx_tpu.utils.devices import pick_backend, probe_accelerator
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS") != "":
+        pytest.skip("probe subprocess would claim the real chip")
+    info = probe_accelerator(timeout_s=240)
+    assert info["probe_s"] > 0
+    # the pinned env either resolves to the cpu backend (not usable) or
+    # fails to init the disabled plugin (not usable, with the error
+    # captured); both must fall back to 'cpu'
+    assert info["usable"] is False
+    assert pick_backend(timeout_s=240) == "cpu"

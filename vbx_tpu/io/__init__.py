@@ -6,6 +6,9 @@ from vbx_tpu.io.ark import (  # noqa: F401
     read_vec_ark, write_vec_ark, iter_vec_ark, group_by_recording,
     write_txt_vectors, read_txt_vectors,
 )
+from vbx_tpu.io.kaldi_matrix import (  # noqa: F401
+    iter_mat_ark, read_mat_ark, read_mat_binary, read_sparse_mat,
+    write_mat_ark)
 from vbx_tpu.io.onnx import read_onnx  # noqa: F401
 from vbx_tpu.io.plda import read_plda  # noqa: F401
 from vbx_tpu.io.transform import read_xvec_transform  # noqa: F401

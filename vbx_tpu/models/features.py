@@ -108,33 +108,65 @@ def frame_signal(x: jax.Array, window: int, shift: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("noverlap", "nfft", "use_power",
-                                   "zmean_source", "preemcoef"))
+                                   "zmean_source", "preemcoef", "energy",
+                                   "raw_energy", "enormalise", "escale",
+                                   "silfloor"))
 def fbank_htk(x: jax.Array, window_weights: jax.Array, fbank_mx: jax.Array,
               *, noverlap: int, nfft: Optional[int] = None,
               use_power: bool = True, zmean_source: bool = False,
-              preemcoef: Optional[float] = 0.97) -> jax.Array:
+              preemcoef: Optional[float] = 0.97,
+              energy: Optional[str] = None, raw_energy: bool = True,
+              enormalise: bool = True, escale: float = 0.1,
+              silfloor: float = 50.0) -> jax.Array:
     """Log mel-filterbank features [num_frames, numchans] of a 1-D signal.
 
     Parity with features.fbank_htk (features.py:59-117) for the extractor's
     configuration (USEPOWER=True, ZMEANSOURCE=True, povey window,
     predict.py:172-173); USEPOWER=False gives magnitude spectra like the
     reference's `USEPOWER+1 != 2` path.
+
+    `energy` appends the HTK log-energy coefficient as the 'first' or
+    'last' column (reference _E, features.py:78-80,96-117; no recipe uses
+    it, but it completes the frontend's HTK option surface):
+    raw_energy computes it before pre-emphasis/windowing (RAWENERGY),
+    enormalise/escale/silfloor apply HTK's max-normalization with the
+    silence floor (ENORMALISE/ESCALE/SILFLOOR). Energy normalization
+    depends on the SEGMENT maximum, so fixed-shape batching of padded
+    segments must mask before the max — the extractor pipeline does not
+    consume energy, so this stays the documented caveat.
     """
     winlen = window_weights.shape[0]
+    if energy not in (None, "first", "last"):
+        raise ValueError(f"energy must be None, 'first' or 'last'; "
+                         f"got {energy!r}")
     if nfft is None:
         nfft = htk_nfft(winlen)
     frames = frame_signal(x, winlen, winlen - noverlap)
     if zmean_source:
         frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    log_e = None
+    if energy is not None and raw_energy:
+        log_e = jnp.log(jnp.sum(frames * frames, axis=1))
     if preemcoef is not None:
         shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - preemcoef * shifted
     frames = frames * window_weights[None, :]
+    if energy is not None and not raw_energy:
+        log_e = jnp.log(jnp.sum(frames * frames, axis=1))
     spec = jnp.fft.rfft(frames, nfft)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     if not use_power:
         power = jnp.sqrt(power)
-    return jnp.log(jnp.maximum(1.0, power @ fbank_mx))
+    out = jnp.log(jnp.maximum(1.0, power @ fbank_mx))
+    if energy is None:
+        return out
+    if enormalise:
+        log_e = (log_e - jnp.max(log_e)) * escale + 1.0
+        min_val = -jnp.log(10.0 ** (silfloor / 10.0)) * escale + 1.0
+        log_e = jnp.maximum(log_e, min_val)
+    cols = [log_e[:, None], out] if energy == "first" else [out,
+                                                            log_e[:, None]]
+    return jnp.concatenate(cols, axis=1)
 
 
 @partial(jax.jit, static_argnames=("lc", "rc", "norm_vars"))
