@@ -47,6 +47,40 @@ FB = args[2] if len(args) > 2 else "pallas"
 REF = "/root/reference"
 
 
+def _stage_attribution(runlog_path, label=""):
+    """Per-stage latency breakdown from the service runlog: init (submit ->
+    host init done), queued (init done -> device launch), device+fetch
+    (launch -> result). Printed at p50/p95 so a tail is root-caused in the
+    artifact itself (round-3's 1.9 s residual took a manual re-run with
+    the runlog enabled to attribute)."""
+    import json
+
+    try:
+        with open(runlog_path) as f:
+            recs = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        return
+    rows = [(r["wall_ms"], r.get("init_done_ms"), r.get("launched_ms"))
+            for r in recs if r.get("event") == "request"
+            and not str(r.get("recording", "")).startswith("__warmup")]
+    rows = [(w, i, la) for w, i, la in rows
+            if i is not None and la is not None]
+    if not rows:
+        return
+    arr = np.asarray(rows, np.float64)
+    init, queued, device = (arr[:, 1], arr[:, 2] - arr[:, 1],
+                            arr[:, 0] - arr[:, 2])
+
+    def pct(x, q):
+        return float(np.sort(x)[int(len(x) * q)])
+
+    print(f"{label}stage attribution (p50/p95 ms): "
+          f"init {pct(init, .5):.0f}/{pct(init, .95):.0f}, "
+          f"queued {pct(queued, .5):.0f}/{pct(queued, .95):.0f}, "
+          f"device+fetch {pct(device, .5):.0f}/{pct(device, .95):.0f} "
+          f"({len(rows)} requests)", flush=True)
+
+
 def main():
     from concurrent.futures import ThreadPoolExecutor
 
@@ -90,11 +124,19 @@ def main():
             cfg.ahc, compute_backend="device"))
 
     def run_phase(partial_ms, n, label=""):
+        import tempfile
+
+        runlog_path = os.environ.get("VBX_TPU_SERVE_RUNLOG")
+        if not runlog_path:
+            # always keep a runlog: the stage attribution below is how a
+            # tail gets root-caused (init vs queue vs device) without a
+            # re-run — VERDICT r3 #5 wants the battery itself to carry it
+            runlog_path = os.path.join(tempfile.mkdtemp(), "serve.jsonl")
         svc = DiarizationService.from_files(
             cfg, f"{REF}/VBx/models/ResNet101_16kHz/plda",
             f"{REF}/VBx/models/ResNet101_16kHz/transform.h5", fb_impl=fb,
             partial_after_ms=partial_ms,
-            runlog_path=os.environ.get("VBX_TPU_SERVE_RUNLOG"))
+            runlog_path=runlog_path)
         try:
             r = svc.diarize("warmup", x_raw, times, timeout=600)  # compile
             if AHC_DEVICE:
@@ -143,7 +185,9 @@ def main():
               f"mean device batch={np.mean(sizes):.1f} "
               f"(batches={stats['batches']}, "
               f"max_batch={stats['max_batch']})", flush=True)
+        _stage_attribution(runlog_path, label)
         return n / wall, lat[int(len(lat) * 0.95)]
+
 
     if AB:
         # same-process ABBA: partial launches off/on/on/off — the only

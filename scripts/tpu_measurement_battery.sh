@@ -70,6 +70,14 @@ log "plateau-stop A/B at AMI scale (chip)"
 timeout 560 python scripts/ab_plateau.py pallas_bf16 18 \
     2>"$OUT/ab_plateau.err" | tee -a "$OUT/summary.log"
 
+log "corpus-preset engine A/B vs the frozen AMI-scale oracle (chip)"
+timeout 590 python scripts/ab_corpus_engine.py \
+    2>"$OUT/ab_corpus_engine.err" | tee -a "$OUT/summary.log"
+
+log "long-recording AHC device front half N=50k (chip)"
+timeout 560 python scripts/ab_ahc_device.py \
+    2>"$OUT/ab_ahc_device.err" | tee -a "$OUT/summary.log"
+
 log "SP blockwise A/B at T=32768 (chip)"
 timeout 560 python scripts/ab_sp_blockwise.py \
     2>"$OUT/ab_sp.err" | tee -a "$OUT/summary.log"
