@@ -6,9 +6,11 @@ so 8-way SP would LOSE to one chip).
 
 Runs everything on however many devices are attached (mesh 1 x n_dev), so
 on the single real chip it measures the K=1 two-phase overhead: the
-blockwise-pallas engine walks each frame twice (operator-product pass +
-fused vector pass), so ~2x the single-device fused engine is parity with
-the design; the XLA 'structured' sharded engine is the old path.
+blockwise-pallas engine adds an operator-product pass on top of the fused
+vector pass. Since round 4 the operator walk is SEGMENTED (R segments as
+extra kernel lanes, Tb/R steps — parallel/fb_blockwise._auto_segments),
+so the measured overhead is ~1.15x, not the ~2x of the round-2 design
+bound; the XLA 'structured' sharded engine is the old path.
 
     timeout 590 python scripts/ab_sp_blockwise.py [T] [S] [ITERS]
 """

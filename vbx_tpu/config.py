@@ -81,8 +81,9 @@ class AHCConfig:
     # 'auto' (default): f64 host similarity + calibration everywhere —
     # the threshold decides the cluster count, and f32 perturbations
     # there measurably shift the VB init (engine.ahc docstring) —
-    # EXCEPT the long-recording cosine front half (N >= 4096) when an
-    # accelerator is attached, which streams the O(N^2) calibration
+    # EXCEPT long cosine recordings (N >= 16384, the measured
+    # device-beats-host crossover) when an accelerator is attached,
+    # which stream the O(N^2) calibration
     # sweep through the MXU (threshold agreement ~1e-6, two orders
     # below merge-decision scale; only scalars cross the device
     # boundary). 'host' forces f64 host always; 'device' additionally

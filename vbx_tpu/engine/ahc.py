@@ -59,9 +59,10 @@ def ahc_labels(
       the O(N*D) distance-on-demand linkage stays f64 on host. This is
       the reference's acknowledged long-recording weakness
       (README.md:24) moved onto the accelerator.
-    - 'auto' (default): 'host' semantics everywhere EXCEPT the
-      long-recording cosine front half (N >= _BLOCKED_MIN_N) when a
-      non-CPU accelerator is attached, which takes the streamed device
+    - 'auto' (default): 'host' semantics everywhere EXCEPT long cosine
+      recordings (N >= _DEVICE_CALIB_MIN_N = 16384, the measured
+      crossover where the device sweep beats the host) when a non-CPU
+      accelerator is attached, which take the streamed device
       calibration above. Short recordings — including the golden
       acceptance chain — keep the f64 host invariant bit-for-bit.
     """
@@ -80,8 +81,14 @@ def ahc_labels(
     if similarity == "cosine":
         long_n = n >= _BLOCKED_MIN_N
         if compute_backend == "auto":
+            # 'auto' routes to the device only where it measurably WINS:
+            # the battery_r4 A/B put the streamed device calibration at
+            # ~2 s warm vs 19.6 s host at N=50k but 4.5 s vs 1.2 s at
+            # N=8000 (tunnel dispatch + per-octave compile dominate small
+            # sweeps), crossing over around N~16k. An explicit 'device'
+            # keeps the lower _BLOCKED_MIN_N threshold.
             import jax
-            compute_backend = ("device" if long_n
+            compute_backend = ("device" if n >= _DEVICE_CALIB_MIN_N
                                and jax.default_backend() != "cpu"
                                else "host")
         if compute_backend == "device" and long_n:
@@ -172,6 +179,11 @@ def ahc_labels(
 # Blocked path cutoff: below this the full N x N materialization is cheap
 # (the calibration over it is histogram-EM for N^2 > 2^18, exact below).
 _BLOCKED_MIN_N = 4096
+# 'auto' device-calibration cutoff: where the streamed MXU sweep beats the
+# host histogram sweep on the measured hardware (battery_r4: device ~2 s
+# warm vs host 19.6 s at N=50k, but 4.5 s vs 1.2 s at N=8000 — tunnel
+# dispatch and per-octave compile dominate small sweeps).
+_DEVICE_CALIB_MIN_N = 16384
 # Fixed-range [-1, 1] bins for the blocked path's streamed histogram.
 # 2^16 matches adaptive_bins' L2-bounded cap (bin width 3e-5 -> threshold
 # error second-order, ~1e-9 — see adaptive_bins docstring measurements);

@@ -328,8 +328,12 @@ def two_gmm_calib_cosine_device(xn, niters: int = 20,
     import numpy as np
 
     xn = np.asarray(xn, np.float32)
-    n, dd = xn.shape
-    n_pad = -(-n // blk) * blk
+    n, _ = xn.shape
+    # pad rows to a power of two (>= blk): one compiled executable per
+    # OCTAVE of recording length instead of one per distinct length —
+    # the sweep itself costs ~10 ms/pass while a fresh compile costs
+    # seconds over the tunnel; the masked padded rows add < 2x flops
+    n_pad = max(blk, 1 << (n - 1).bit_length())
     xn_pad = jnp.asarray(np.pad(xn, ((0, n_pad - n), (0, 0))))
     sweep = _cosine_sweep_jit(blk)
 
