@@ -74,6 +74,10 @@ log "corpus-preset engine A/B vs the frozen AMI-scale oracle (chip)"
 timeout 590 python scripts/ab_corpus_engine.py \
     2>"$OUT/ab_corpus_engine.err" | tee -a "$OUT/summary.log"
 
+log "extractor throughput + conv-precision A/B (chip)"
+timeout 560 python scripts/extractor_bench.py 4 \
+    2>"$OUT/extractor_bench.err" | tee -a "$OUT/summary.log"
+
 log "long-recording AHC device front half N=50k (chip)"
 timeout 560 python scripts/ab_ahc_device.py \
     2>"$OUT/ab_ahc_device.err" | tee -a "$OUT/summary.log"

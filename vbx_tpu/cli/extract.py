@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "the MXU's native precision (embeddings are "
                         "length-normalized downstream, cosine agreement "
                         "with float32 > 0.999)")
-    p.add_argument("--batch-size", type=int, default=64,
+    p.add_argument("--batch-size", type=int, default=128,
                    help="extraction windows per device batch")
     return p
 

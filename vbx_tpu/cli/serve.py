@@ -76,7 +76,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ndim", type=int, default=64)
     p.add_argument("--embed-dim", type=int, default=256)
     p.add_argument("--sample-rate", type=int, default=16000)
-    p.add_argument("--extract-batch-size", type=int, default=64)
+    p.add_argument("--extract-batch-size", type=int, default=128)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8300)
     p.add_argument("--batch-window-ms", type=float, default=20.0,

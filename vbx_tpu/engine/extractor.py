@@ -51,7 +51,7 @@ class XVectorExtractor:
 
     def __init__(self, model, variables, sample_rate: int,
                  config: Optional[ExtractorConfig] = None,
-                 batch_size: int = 64,
+                 batch_size: int = 128,
                  signal_bucket_s: float = 2.0):
         self.config = config or ExtractorConfig()
         self.sample_rate = sample_rate
@@ -72,6 +72,32 @@ class XVectorExtractor:
             return model.apply(variables, feats, lengths=lengths)
 
         self._embed = embed
+
+        seg_len_ = self.config.seg_len
+        feat_dim_ = self.config.feat_dim
+
+        @jax.jit
+        def embed_windows(all_fea, starts, lengths):
+            """Window gather + ResNet forward in ONE program over the
+            DEVICE-resident feature stream. The windows overlap 6x
+            (144-frame windows at a 24-frame hop, predict.py:179), so
+            building them on host re-uploaded every feature frame ~6
+            times — 77 MB per 8 minutes of audio over a ~12 MB/s tunnel
+            was the measured extraction bottleneck. Here only the [B]
+            int32 start/length tables cross the boundary. all_fea must
+            carry >= seg_len zero rows of tail padding (dynamic_slice
+            clamps at the array end; the length mask zeroes the
+            overhang exactly like the host buf[:, :length] fill)."""
+            def one(s, ln):
+                w = jax.lax.dynamic_slice(
+                    all_fea, (s, jnp.asarray(0, s.dtype)),
+                    (seg_len_, feat_dim_))
+                mask = (jnp.arange(seg_len_) < ln)[:, None]
+                return (w * mask).T                  # [64, seg_len]
+            feats = jax.vmap(one)(starts, lengths)
+            return model.apply(variables, feats, lengths=lengths)
+
+        self._embed_windows = embed_windows
 
         winlen_ = self.winlen
         noverlap_ = self.noverlap
@@ -208,7 +234,15 @@ class XVectorExtractor:
                 # the reference's exact truncating-mirror semantics
                 host_feas[segnum] = self.segment_features(seg)
 
-        feas: Dict[int, np.ndarray] = dict(host_feas)
+        # features stay ON DEVICE: each segment becomes a (device array,
+        # row, n_true) slice reference; only the tiny host-path segments
+        # upload. The window stage gathers from the device-resident
+        # stream inside the embed jit (self._embed_windows) — features
+        # never round-trip to host and the 6x-overlapping windows are
+        # never materialized (the old host windowing re-uploaded ~77 MB
+        # per 8 min of audio over the tunnel).
+        feas: Dict[int, object] = {
+            k: (jnp.asarray(v), None, len(v)) for k, v in host_feas.items()}
         GROUP = 8       # fixed vmap width: exactly ONE compile per bucket
         for bucket, items in plans.items():
             for gi in range(0, len(items), GROUP):
@@ -217,23 +251,39 @@ class XVectorExtractor:
                 starts = jnp.asarray([it[1] for it in padded])
                 seg_lens = jnp.asarray([it[2] for it in padded])
                 n_trues = jnp.asarray([it[3] for it in padded])
-                out = np.asarray(self._seg_features_dev_batch(
-                    sig_dev, starts, seg_lens, n_trues, bucket_len=bucket))
-                for (segnum, _, _, n_true), fea in zip(group, out):
-                    feas[segnum] = fea[:n_true].astype(np.float32)
+                out = self._seg_features_dev_batch(
+                    sig_dev, starts, seg_lens, n_trues, bucket_len=bucket)
+                for row, (segnum, _, _, n_true) in enumerate(group):
+                    feas[segnum] = (out, row, n_true)
 
-        batch_feats: List[np.ndarray] = []
-        batch_lens: List[int] = []
+        # device-side concat of the per-segment valid prefixes (+ seg_len
+        # zero rows so tail-window dynamic_slices never clamp), padded to
+        # a power-of-two frame count: one embed_windows compile per octave
+        parts = []
+        offsets: Dict[int, int] = {}
+        off = 0
+        for segnum in sorted(feas):
+            arr, row, n_true = feas[segnum]
+            parts.append(arr[:n_true] if row is None else arr[row, :n_true])
+            offsets[segnum] = off
+            off += n_true
+        if not parts:
+            return []
+        t_pad = 2048
+        while t_pad < off + cfg.seg_len:
+            t_pad *= 2
+        all_fea = jnp.concatenate(
+            parts + [jnp.zeros((t_pad - off, cfg.feat_dim), jnp.float32)])
+
+        win_starts: List[int] = []
+        win_lens: List[int] = []
         meta: List[Tuple[str, float, float]] = []
         for segnum in sorted(feas):
-            fea = feas[segnum]
-            slen = len(fea)
+            slen = feas[segnum][2]
             t0 = labs[segnum, 0] / float(fs)
             for start, length in self.iter_windows(slen):
-                buf = np.zeros((cfg.feat_dim, cfg.seg_len), np.float32)
-                buf[:, :length] = fea[start:start + length].T
-                batch_feats.append(buf)
-                batch_lens.append(length)
+                win_starts.append(offsets[segnum] + start)
+                win_lens.append(length)
                 key = f"{name}_{segnum:04}-{start:08}-{start + length:08}"
                 if length == cfg.seg_len:
                     end = round(t0 + start / 100.0 + cfg.seg_len / 100.0, 3)
@@ -241,26 +291,49 @@ class XVectorExtractor:
                     end = round(labs[segnum, 1] / float(fs), 3)
                 meta.append((key, round(t0 + start / 100.0, 3), end))
 
-        return self._run_batches(batch_feats, batch_lens, meta)
+        return self._run_window_batches(all_fea, win_starts, win_lens, meta)
 
-    def _run_batches(self, feats, lengths, meta) -> List[ExtractedSegment]:
+    def _run_window_batches(self, all_fea, starts, lengths,
+                            meta) -> List[ExtractedSegment]:
+        """PIPELINED window batches over the device-resident feature
+        stream: per batch only [B] int32 start/length tables cross the
+        host->device boundary and the gather happens inside the embed
+        jit (self._embed_windows). Dispatch is asynchronous with a
+        bounded in-flight window, so launches run ahead of fetches — the
+        old per-batch dispatch-then-fetch serialized a full tunnel
+        round-trip per batch on top of re-uploading every (6x
+        overlapped) window. `max_in_flight` bounds device memory."""
+        from collections import deque
+
         out: List[ExtractedSegment] = []
         B = self.batch_size
-        for i in range(0, len(feats), B):
-            chunk = feats[i:i + B]
-            lens = lengths[i:i + B]
-            n = len(chunk)
-            if n < B:                      # pad the final chunk
-                chunk = chunk + [np.zeros_like(chunk[0])] * (B - n)
-                lens = lens + [self.config.seg_len] * (B - n)
-            emb = np.asarray(self._embed(
-                jnp.asarray(np.stack(chunk)), jnp.asarray(lens)))[:n]
-            for (key, s, e), vec in zip(meta[i:i + n], emb):
+        max_in_flight = 8
+        in_flight: deque = deque()
+
+        def drain(entry):
+            emb = np.asarray(entry["res"])[:entry["n"]]
+            for (key, s, e), vec in zip(entry["meta"], emb):
                 if np.isnan(vec).any():
                     logger.warning("NaN found, not processing: %s", key)
                     continue
                 out.append(ExtractedSegment(key, s, e,
                                             vec.astype(np.float32)))
+
+        for i in range(0, len(starts), B):
+            st = starts[i:i + B]
+            lens = lengths[i:i + B]
+            n = len(st)
+            if n < B:                      # pad the final chunk
+                st = st + [0] * (B - n)
+                lens = lens + [self.config.seg_len] * (B - n)
+            res = self._embed_windows(all_fea,
+                                      jnp.asarray(st, jnp.int32),
+                                      jnp.asarray(lens, jnp.int32))
+            in_flight.append({"res": res, "n": n, "meta": meta[i:i + n]})
+            while len(in_flight) > max_in_flight:
+                drain(in_flight.popleft())
+        while in_flight:
+            drain(in_flight.popleft())
         return out
 
 
