@@ -390,6 +390,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
             loop_prob, interpret=interpret, io_dtype=io_dtype, recip=True)
         ab = ahat.astype(dtype) * bhat.astype(dtype)
         denom = jnp.maximum(jnp.sum(ab, axis=1, keepdims=True), tiny)
+        gn = (ab / denom) * valid_tb[:, None, :]
         keep = state.converged                        # [B]
 
         def sel(old, new, bdim):
@@ -404,8 +405,7 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # sel(old, new) as a separate whole-array pass — emitted two
         # gamma-sized copies per iteration, 15.4% of on-device time in the
         # battery_r3 trace (VERDICT r3 #2).
-        g_next = sel(state.gamma,
-                     ((ab / denom) * valid_tb[:, None, :]).astype(io_dt), 2)
+        g_next = sel(state.gamma, gn.astype(io_dt), 2)
         # counts from the SELECTED gamma (the reduce fuses into the same
         # producer): for live lanes identical to reducing new_gamma; for
         # frozen lanes sum(g_next) re-reduces the very io_dt values whose
@@ -413,6 +413,12 @@ def _vbx_batched_pallas_sb_jit(X, phi, gamma, pi, frame_mask, speaker_mask,
         # counts select (and its copy) is gone too
         new_counts = jnp.sum(g_next.astype(dtype), axis=0)
         log_px = jnp.sum(valid_tb * (m + jnp.log(cfw)), axis=0)
+        # pi_stat keeps the direct w*bhat/(denom*cfw) form: the
+        # algebraically equivalent (ab/denom)/(lp*ahat_{t-1}+col) — which
+        # would reuse the gamma producer's streams — needs a SHIFTED read
+        # of ahat, and XLA materializes the shifted operand as a full
+        # f32 copy (measured: 3.68 -> 5.09 ms/batch; negative result,
+        # round 4). The separate w+bhat pass is the cheaper of the two.
         not_first = valid_tb.at[0].set(0.0)
         terms = (w.astype(dtype) * bhat.astype(dtype)
                  / (denom * cfw[:, None, :]))
