@@ -41,11 +41,13 @@ class VBConfig:
     # Forward-backward engine of record for this preset: None = the
     # engine default ('structured' — bit-comparable batched==solo,
     # reference-rule exact; the golden acceptance path). Corpus presets
-    # select 'pallas_bf16': measured on the chip at ~7x the structured
-    # engine's batched throughput (BENCHMARKS.md round-4 trace,
-    # 69.6k rec/s at B=256) with the corpus-tolerance bounds held at AMI
-    # scale (>=99% per-meeting label agreement vs the frozen reference
-    # oracle and corpus DER vs reference < 0.5 — the same A/B machinery
+    # select 'pallas_bf16': measured on the chip at 1.5-3x the structured
+    # engine's batched device throughput depending on shape (battery_r4
+    # chain_bench 0.98 vs 1.49 ms/iter at B=256/T=1025; ab_s_gt_128 8.9
+    # vs 26.6 ms/iter at B=8/T=10k; trace headline 69.6k rec/s) AND the
+    # best measured corpus QUALITY under its run-to-max stop policy
+    # (>=99.9% per-meeting label agreement vs the frozen reference
+    # oracle, corpus DER vs reference 0.021 — the same A/B machinery
     # that justified the plateau stop; scripts/ab_corpus_engine.py).
     # An explicit fb_impl argument (CLI --fb-impl) always wins, and on
     # the CPU backend a pallas selection resolves back to the structured
