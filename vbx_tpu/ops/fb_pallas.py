@@ -509,14 +509,26 @@ def fb_scan_pallas_sb_logp_bts(log_p_bts, smask_bs, valid, col, pinit,
     m_bt = jnp.max(log_p_bts, axis=2)                     # [B, T]
     w_core = (jnp.exp(log_p_bts - m_bt[:, :, None])
               * smask_bs[:, None, :])                     # [B, T, S]
+    # ALL padding happens in the dot-native [B, T, S] layout, where it
+    # fuses into the exp producer; the one structural relayout is then a
+    # single transpose writing the kernel's padded stream directly. (The
+    # earlier transpose-then-pad order materialized w twice: the relayout
+    # copy cannot fuse with the pad, so XLA emitted a separate
+    # pad_select pass over the full stream — ~43 us/iter at the headline
+    # shape.) Padded-frame rows are uniform 1/Sp across every lane
+    # exactly as _sb_pad_w writes them (module docstring has the
+    # boundary semantics).
+    vm = vmask.T[:, :, None]                              # [B, T, 1]
     if zero_invalid:
-        wu = (jnp.transpose(w_core, (1, 2, 0))
-              * vmask[:, None, :]).astype(io_dtype)
-        wp = jnp.pad(wu, ((0, Tp - T), (0, Sp - S), (0, Bp - B)))
+        w1 = (w_core * vm).astype(io_dtype)
+        w1p = jnp.pad(w1, ((0, Bp - B), (0, Tp - T), (0, Sp - S)))
     else:
-        wu = (jnp.transpose(w_core, (1, 2, 0)) * vmask[:, None, :]
-              + (1.0 - vmask[:, None, :]) / Sp).astype(io_dtype)
-        wp = _sb_pad_w(wu, Sp, Bp, Tp, io_dtype)
+        w1 = (w_core * vm + (1.0 - vm) / Sp).astype(io_dtype)
+        w1p = jnp.pad(w1, ((0, Bp - B), (0, Tp - T), (0, Sp - S)))
+        if Tp > T:
+            w1p = jnp.where((jnp.arange(Tp) < T)[None, :, None], w1p,
+                            jnp.asarray(1.0 / Sp, io_dtype))
+    wp = jnp.transpose(w1p, (1, 2, 0))                    # [Tp, Sp, Bp]
     ahat, bhat, cfw_b = _sb_pallas(wp, col, pinit, loop_prob,
                                    Sp=Sp, Bp=Bp, nt=nt, t_chunk=t_chunk,
                                    interpret=interpret, recip=recip,
