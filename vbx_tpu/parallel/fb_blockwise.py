@@ -290,12 +290,13 @@ def forward_backward_blockwise_pallas(
                          f"extent Tb={Tb}")
     Ts = Tb // R
     if layout == "bts":
-        m = jnp.max(log_p, axis=2).T                        # [Tb, B]
+        m_bt = jnp.max(log_p, axis=2)                       # [B, Tb]
+        m = m_bt.T                                          # [Tb, B]
         # the one structural [B,T,S]->[T,S,B] relayout happens HERE at
         # io_dtype width inside the w producer (the operator stream is
         # built from it below; the vector pass reads log_p natively)
         w_zero = (jnp.transpose(
-            jnp.exp(log_p - jnp.max(log_p, axis=2)[:, :, None])
+            jnp.exp(log_p - m_bt[:, :, None])
             * smask_sb.T[:, None, :], (1, 2, 0))
             * vmask[:, None, :])                            # [Tb, S, B]
     else:
