@@ -11,6 +11,7 @@ and runs the vmapped engine with per-recording convergence masking.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -37,6 +38,28 @@ class DiarizationOutput:
     n_iters: int                      # VB iterations run (0 if init-only)
     elbo: Optional[np.ndarray]        # ELBO trace (nan-padded) or None
     gamma: Optional[np.ndarray]       # [N, S] final responsibilities or None
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _top2_device(gamma: jax.Array, speaker_mask: jax.Array):
+    """[B, T, S] responsibilities -> (labels1, labels2) [B, T] int32,
+    computed ON DEVICE so result fetches move 2 small int32 planes
+    instead of the full padded gamma (x16 less device->host traffic —
+    2.2 MB -> 0.14 MB per serving chunk, ~36 MB -> ~2 MB per corpus
+    bucket; the fetch was a measured ~190 ms per chunk over the tunnel).
+    Padded speaker lanes are masked to -1 (gamma >= 0), so a frame whose
+    valid responsibilities underflow to 0 can never select a padded
+    index. Ties break to the LOWEST index (lax.top_k), deterministically
+    — the previous host np.argsort(-q) used an unstable quicksort, so
+    exactly-tied frames were platform-dependent there (and in the
+    reference, vbhmm.py:160-162)."""
+    S = gamma.shape[-1]
+    masked = jnp.where(speaker_mask[:, None, :], gamma,
+                       jnp.asarray(-1.0, gamma.dtype))
+    _, idx = jax.lax.top_k(masked, min(2, S))
+    l1 = idx[..., 0].astype(jnp.int32)
+    l2 = idx[..., 1].astype(jnp.int32) if S > 1 else l1
+    return l1, l2
 
 
 def resolve_fb_impl(fb_impl: Optional[str],
@@ -214,15 +237,18 @@ class Diarizer:
                     fb_impl=fb_impl or "structured",
                     plateau_ulps=cfg.vb.plateau_ulps,
                     plateau_iters=cfg.vb.plateau_iters)
-            q = np.asarray(res.gamma)
-            order = np.argsort(-q, axis=1)
-            labels1st = order[:, 0].astype(np.int32)
-            if q.shape[1] > 1:
-                labels2nd = order[:, 1].astype(np.int32)
+            # same device-side top-2 as the batched/serving paths, so a
+            # recording's labels are method-identical across every route
+            # (_top2_device; full gamma is fetched only on keep_gamma)
+            l1, l2 = _top2_device(res.gamma[None],
+                                  jnp.ones((1, res.gamma.shape[-1]), bool))
+            labels1st = np.asarray(l1[0])
+            if res.gamma.shape[-1] > 1:
+                labels2nd = np.asarray(l2[0])
             n_iters = int(res.n_iters)
             elbo = np.asarray(res.elbo)
             if keep_gamma:
-                gamma_out = q
+                gamma_out = np.asarray(res.gamma)
 
         return DiarizationOutput(
             recording="", labels1st=labels1st, labels2nd=labels2nd,
@@ -510,10 +536,13 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
 
     def fetch(entry: Dict[str, Any]) -> None:
         """Pull a chunk's results to host and drop the device buffers, so
-        HBM never holds more than max_unawaited chunks of gamma/inputs."""
+        HBM never holds more than max_unawaited chunks of gamma/inputs.
+        Only the device-computed top-2 label planes + iters + ELBO move
+        (_top2_device — the full padded gamma stays on device)."""
         res = entry.pop("res", None)
         if res is not None:
-            entry["q"] = np.asarray(res.gamma)
+            entry["l1"] = np.asarray(entry.pop("l1_dev"))
+            entry["l2"] = np.asarray(entry.pop("l2_dev"))
             entry["iters"] = np.asarray(res.n_iters)
             entry["elbos"] = np.asarray(res.elbo)
 
@@ -564,7 +593,9 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 fb_impl=fb_impl,
                 plateau_ulps=pu_eff,
                 plateau_iters=pi_eff)
-        entry = {"idxs": idxs, "T_pad": T_pad, "S_pad": S_pad, "res": res}
+        l1_dev, l2_dev = _top2_device(res.gamma, jnp.asarray(SM))
+        entry = {"idxs": idxs, "T_pad": T_pad, "S_pad": S_pad, "res": res,
+                 "l1_dev": l1_dev, "l2_dev": l2_dev}
         launched.append(entry)
         unawaited.append(entry)
         while len(unawaited) > max_unawaited:
@@ -641,20 +672,20 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
     for entry in launched:
         fetch(entry)
         idxs, T_pad, S_pad = entry["idxs"], entry["T_pad"], entry["S_pad"]
-        q_all, iters, elbos = entry["q"], entry["iters"], entry["elbos"]
+        l1_all, l2_all = entry["l1"], entry["l2"]
+        iters, elbos = entry["iters"], entry["elbos"]
         if stage_log is not None:
             stage_log["buckets"].append(
                 {"B": len(idxs), "T_pad": T_pad, "S_pad": S_pad,
                  "max_iters_run": int(iters.max())})
         for bi, i in enumerate(idxs):
             rec, T, S, _, _ = prepped[i]
-            q = q_all[bi, :T, :S]
-            order = np.argsort(-q, axis=1)
+            l1 = l1_all[bi, :T]
             outputs[rec] = DiarizationOutput(
                 recording=rec,
-                labels1st=order[:, 0].astype(np.int32),
-                labels2nd=(order[:, 1].astype(np.int32) if S > 1 else None),
-                n_speakers=len(np.unique(order[:, 0])),
+                labels1st=l1,
+                labels2nd=(l2_all[bi, :T] if S > 1 else None),
+                n_speakers=len(np.unique(l1)),
                 n_iters=int(iters[bi]), elbo=elbos[bi], gamma=None)
         entry.clear()   # drop this chunk's fetched arrays as we go
     if stage_log is not None:

@@ -467,7 +467,7 @@ class DiarizationService:
                 # remainder; inits keep running on the pool)
                 fetch_deadline = in_flight[0]["t"] + self._partial_after_s
                 if (fetch_deadline <= time.perf_counter()
-                        and not in_flight[0]["res"].gamma.is_ready()):
+                        and not in_flight[0]["l1"].is_ready()):
                     # an aged-but-unfinished chunk would otherwise pin the
                     # deadline permanently in the past — cf.wait(timeout=0)
                     # returns immediately and the loop busy-spins against
@@ -512,7 +512,7 @@ class DiarizationService:
             while in_flight and (
                     time.perf_counter() - in_flight[0]["t"]
                     >= self._partial_after_s
-                    and in_flight[0]["res"].gamma.is_ready()):
+                    and in_flight[0]["l1"].is_ready()):
                 self._finish_chunk(in_flight.popleft())
         for req in no_vb_done:
             self._finish(req, req.labels, n_iters=0,
@@ -614,16 +614,23 @@ class DiarizationService:
             for req in reqs:       # service
                 self._fail(req, exc)
             return None
+        # top-2 labels computed on device at launch: the result fetch
+        # then moves two small int32 planes instead of the full padded
+        # gamma (engine.pipeline._top2_device — the gamma fetch was a
+        # measured ~190 ms per chunk over the tunnel)
+        from vbx_tpu.engine.pipeline import _top2_device
+        l1, l2 = _top2_device(res.gamma, jnp.asarray(SM))
         now = time.perf_counter()
         for req in reqs:
             req.t_launch = now
-        return {"reqs": reqs, "res": res, "B": B}
+        return {"reqs": reqs, "res": res, "l1": l1, "l2": l2, "B": B}
 
     def _finish_chunk(self, entry: dict) -> None:
         cfg = self._diar.config
         reqs, B = entry["reqs"], entry["B"]
         try:
-            q = np.asarray(entry["res"].gamma)
+            l1 = np.asarray(entry["l1"])
+            l2 = np.asarray(entry["l2"])
             iters = np.asarray(entry["res"].n_iters)
         except Exception as exc:   # noqa: BLE001 — fetch failed: fail the
             for req in reqs:       # chunk, not the service
@@ -631,10 +638,8 @@ class DiarizationService:
             return
         for b, req in enumerate(reqs):
             T, S = req.qinit.shape
-            order = np.argsort(-q[b, :T, :S], axis=1)
-            labels = order[:, 0].astype(np.int32)
-            labels2 = (order[:, 1].astype(np.int32)
-                       if cfg.output_2nd and S > 1 else None)
+            labels = l1[b, :T]
+            labels2 = (l2[b, :T] if cfg.output_2nd and S > 1 else None)
             self._finish(req, labels, labels2nd=labels2,
                          n_iters=int(iters[b]), batch_size=B)
 
