@@ -230,3 +230,25 @@ def test_plateau_preset_rttm_identical_to_reference_rule(tmp_path):
         r_on = open(tmp_path / "on" / f"{rec}.rttm").read()
         r_off = open(tmp_path / "off" / f"{rec}.rttm").read()
         assert r_on == r_off, rec
+
+
+def test_top2_device_never_selects_padded_lane():
+    """_top2_device guards padded speaker lanes with a -1 fill: a frame
+    whose valid responsibilities underflow to exactly 0 must still pick
+    indices < S_true (an unmasked top_k would tie 0-valued valid lanes
+    with 0-valued padding and could emit an out-of-range label)."""
+    import jax.numpy as jnp
+
+    from vbx_tpu.engine.pipeline import _top2_device
+
+    B, T, S_true, S_pad = 2, 4, 2, 5
+    g = np.zeros((B, T, S_pad), np.float32)
+    g[:, :, 0] = 1.0
+    g[0, 1] = 0.0                       # all-zero frame (underflow case)
+    sm = np.zeros((B, S_pad), bool)
+    sm[:, :S_true] = True
+    l1, l2 = _top2_device(jnp.asarray(g), jnp.asarray(sm))
+    assert np.asarray(l1).max() < S_true
+    assert np.asarray(l2).max() < S_true
+    # deterministic lowest-index tie-break on the all-zero frame
+    assert int(l1[0, 1]) == 0 and int(l2[0, 1]) == 1
