@@ -362,7 +362,8 @@ class DiarizationService:
                     break
                 batch.append(nxt)
             try:
-                self._process(batch)
+                if self._process(batch):
+                    return             # shutdown sentinel absorbed mid-run
             except Exception as exc:   # noqa: BLE001 — never kill the worker
                 for req in batch:
                     if not req.future.done():
@@ -424,7 +425,18 @@ class DiarizationService:
             req.qinit_dev = jax.device_put(Gi)
         req.t_init_done = time.perf_counter()
 
-    def _process(self, batch: List[_Request]) -> None:
+    def _process(self, batch: List[_Request]) -> bool:
+        """Dispatch one cohort — and, under sustained load, every request
+        that ARRIVES while the cohort is in flight: each loop tick drains
+        the service queue into the working set, so a request landing
+        mid-cohort joins grouping immediately instead of waiting a full
+        cohort cycle in the queue. (Round-4 A/B: the closed-loop bench —
+        clients that submit only after their previous result — is
+        neutral on this change within tunnel noise, because its arrivals
+        cluster at cohort boundaries anyway; the structural win is for
+        OPEN-LOOP arrivals, which previously paid up to a whole cohort
+        cycle of queue wait before even entering grouping.) Returns True
+        if the shutdown sentinel was absorbed (the worker must exit)."""
         _, _, run_vb = _parse_init(self._diar.config.init)
         with self._lock:
             self._stats["batches"] += 1
@@ -467,17 +479,42 @@ class DiarizationService:
             while len(in_flight) > max_in_flight:
                 self._finish_chunk(in_flight.popleft())
 
-        no_vb_done: List[_Request] = []
         fut_to_req = {req.init_future: req for req in batch}
         pending = set(fut_to_req)
+        stop = False
+
+        def absorb():
+            """Non-blocking queue drain into the working set (new
+            requests' inits are already running — submit() launched
+            them; this only admits them to grouping)."""
+            nonlocal stop
+            while not stop:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    return
+                if nxt is _SHUTDOWN:
+                    stop = True
+                    return
+                fut_to_req[nxt.init_future] = nxt
+                pending.add(nxt.init_future)
+                with self._lock:
+                    self._stats["batched_requests"] += 1
+
         while pending:
+            absorb()
             deadline = float("inf")
+            if not stop:
+                # new arrivals don't wake cf.wait (their futures join the
+                # set only at the next absorb), so bound every wait by a
+                # short admission tick under potential traffic
+                deadline = time.perf_counter() + 0.02
             if groups:
-                deadline = min(
+                deadline = min(deadline, min(
                     (born + self._partial_after_s
                      for key, born in group_born.items()
                      if not all(r.no_partial for r in groups[key])),
-                    default=float("inf"))
+                    default=float("inf")))
             if in_flight:
                 # a launched chunk's RESULTS must not wait on unrelated
                 # stragglers either: age-bound the deferred fetch the same
@@ -506,8 +543,12 @@ class DiarizationService:
                     self._fail(req, exc)
                     continue
                 if not run_vb:
-                    no_vb_done.append(req)   # finished together below so
-                    continue                 # batch_size == survivors
+                    # init-only configs ride no device batch: finish the
+                    # moment the init lands (batch_size 1 — under the
+                    # continuous dispatcher a deferred cohort flush would
+                    # starve these on sustained traffic)
+                    self._finish(req, req.labels, n_iters=0, batch_size=1)
+                    continue
                 key = bucket_shape(*req.ts)
                 if key not in groups:
                     groups[key] = []
@@ -532,15 +573,13 @@ class DiarizationService:
                     >= self._partial_after_s
                     and in_flight[0]["l1"].is_ready()):
                 self._finish_chunk(in_flight.popleft())
-        for req in no_vb_done:
-            self._finish(req, req.labels, n_iters=0,
-                         batch_size=len(no_vb_done))
         for (t_pad, s_pad), reqs in sorted(groups.items()):
             cap = self._chunk_cap(t_pad)
             for k in range(0, len(reqs), cap):
                 launch(reqs[k:k + cap], t_pad, s_pad)
         while in_flight:
             self._finish_chunk(in_flight.popleft())
+        return stop
 
     def _chunk_cap(self, t_pad: int) -> int:
         """Requests per device chunk for a bucket of padded length t_pad.
