@@ -668,3 +668,25 @@ def test_warmup_rides_exact_batch_shapes(tmp_path):
     # and the payload really warmed the request's own (T, S) bucket:
     # the warmup result has the same label count as a direct request
     assert res.n_speakers >= 1
+
+
+@needs_assets
+def test_dispatcher_failure_fails_all_futures(tmp_path):
+    """An unexpected dispatcher failure must fail EVERY pending request's
+    future — including requests absorbed into the working set mid-cohort
+    (round-4 continuous admission) — rather than leaving them hanging."""
+    svc = DiarizationService.from_files(get_preset("example"), PLDA, H5,
+                                        batch_window_ms=100.0)
+    try:
+        svc._chunk_cap = lambda t_pad: (_ for _ in ()).throw(
+            RuntimeError("boom"))
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(64, 256)).astype(np.float32)
+        ts = np.stack([np.arange(64) * 0.24,
+                       np.arange(64) * 0.24 + 1.44], axis=1)
+        futs = [svc.submit(f"r{i}", x, ts) for i in range(4)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="boom"):
+                f.result(timeout=120)
+    finally:
+        svc.close()

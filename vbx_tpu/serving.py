@@ -483,102 +483,112 @@ class DiarizationService:
         pending = set(fut_to_req)
         stop = False
 
-        def absorb():
-            """Non-blocking queue drain into the working set (new
-            requests' inits are already running — submit() launched
-            them; this only admits them to grouping)."""
-            nonlocal stop
-            while not stop:
-                try:
-                    nxt = self._queue.get_nowait()
-                except queue.Empty:
-                    return
-                if nxt is _SHUTDOWN:
-                    stop = True
-                    return
-                fut_to_req[nxt.init_future] = nxt
-                pending.add(nxt.init_future)
-                with self._lock:
-                    self._stats["batched_requests"] += 1
+        # absorbed mid-cohort requests are only reachable through
+        # fut_to_req — a failure here must fail THEM too, not just
+        # the requests _run handed in (their futures would
+        # otherwise hang forever)
+        try:
 
-        while pending:
-            absorb()
-            deadline = float("inf")
-            if not stop:
-                # new arrivals don't wake cf.wait (their futures join the
-                # set only at the next absorb), so bound every wait by a
-                # short admission tick under potential traffic
-                deadline = time.perf_counter() + 0.02
-            if groups:
-                deadline = min(deadline, min(
-                    (born + self._partial_after_s
-                     for key, born in group_born.items()
-                     if not all(r.no_partial for r in groups[key])),
-                    default=float("inf")))
-            if in_flight:
-                # a launched chunk's RESULTS must not wait on unrelated
-                # stragglers either: age-bound the deferred fetch the same
-                # way (fetching blocks this thread only for the device
-                # remainder; inits keep running on the pool)
-                fetch_deadline = in_flight[0]["t"] + self._partial_after_s
-                if (fetch_deadline <= time.perf_counter()
-                        and not in_flight[0]["l1"].is_ready()):
-                    # an aged-but-unfinished chunk would otherwise pin the
-                    # deadline permanently in the past — cf.wait(timeout=0)
-                    # returns immediately and the loop busy-spins against
-                    # the init pool for the chunk's whole device remainder
-                    # (ADVICE round 3). Poll it at a floored interval.
-                    fetch_deadline = time.perf_counter() + 0.005
-                deadline = min(deadline, fetch_deadline)
-            timeout = (None if deadline == float("inf")
-                       else max(0.0, deadline - time.perf_counter()))
-            done, pending = cf.wait(pending, timeout=timeout,
-                                    return_when=cf.FIRST_COMPLETED)
-            now = time.perf_counter()
-            for fut in done:
-                req = fut_to_req[fut]
-                try:
-                    fut.result()
-                except Exception as exc:   # noqa: BLE001
-                    self._fail(req, exc)
-                    continue
-                if not run_vb:
-                    # init-only configs ride no device batch: finish the
-                    # moment the init lands (batch_size 1 — under the
-                    # continuous dispatcher a deferred cohort flush would
-                    # starve these on sustained traffic)
-                    self._finish(req, req.labels, n_iters=0, batch_size=1)
-                    continue
-                key = bucket_shape(*req.ts)
-                if key not in groups:
-                    groups[key] = []
-                    group_born[key] = now
-                groups[key].append(req)
-                if len(groups[key]) >= self._chunk_cap(key[0]):
+            def absorb():
+                """Non-blocking queue drain into the working set (new
+                requests' inits are already running — submit() launched
+                them; this only admits them to grouping)."""
+                nonlocal stop
+                while not stop:
+                    try:
+                        nxt = self._queue.get_nowait()
+                    except queue.Empty:
+                        return
+                    if nxt is _SHUTDOWN:
+                        stop = True
+                        return
+                    fut_to_req[nxt.init_future] = nxt
+                    pending.add(nxt.init_future)
+                    with self._lock:
+                        self._stats["batched_requests"] += 1
+
+            while pending:
+                absorb()
+                deadline = float("inf")
+                if not stop:
+                    # new arrivals don't wake cf.wait (their futures join the
+                    # set only at the next absorb), so bound every wait by a
+                    # short admission tick under potential traffic
+                    deadline = time.perf_counter() + 0.02
+                if groups:
+                    deadline = min(deadline, min(
+                        (born + self._partial_after_s
+                         for key, born in group_born.items()
+                         if not all(r.no_partial for r in groups[key])),
+                        default=float("inf")))
+                if in_flight:
+                    # a launched chunk's RESULTS must not wait on unrelated
+                    # stragglers either: age-bound the deferred fetch the same
+                    # way (fetching blocks this thread only for the device
+                    # remainder; inits keep running on the pool)
+                    fetch_deadline = in_flight[0]["t"] + self._partial_after_s
+                    if (fetch_deadline <= time.perf_counter()
+                            and not in_flight[0]["l1"].is_ready()):
+                        # an aged-but-unfinished chunk would otherwise pin the
+                        # deadline permanently in the past — cf.wait(timeout=0)
+                        # returns immediately and the loop busy-spins against
+                        # the init pool for the chunk's whole device remainder
+                        # (ADVICE round 3). Poll it at a floored interval.
+                        fetch_deadline = time.perf_counter() + 0.005
+                    deadline = min(deadline, fetch_deadline)
+                timeout = (None if deadline == float("inf")
+                           else max(0.0, deadline - time.perf_counter()))
+                done, pending = cf.wait(pending, timeout=timeout,
+                                        return_when=cf.FIRST_COMPLETED)
+                now = time.perf_counter()
+                for fut in done:
+                    req = fut_to_req[fut]
+                    try:
+                        fut.result()
+                    except Exception as exc:   # noqa: BLE001
+                        self._fail(req, exc)
+                        continue
+                    if not run_vb:
+                        # init-only configs ride no device batch: finish the
+                        # moment the init lands (batch_size 1 — under the
+                        # continuous dispatcher a deferred cohort flush would
+                        # starve these on sustained traffic)
+                        self._finish(req, req.labels, n_iters=0, batch_size=1)
+                        continue
+                    key = bucket_shape(*req.ts)
+                    if key not in groups:
+                        groups[key] = []
+                        group_born[key] = now
+                    groups[key].append(req)
+                    if len(groups[key]) >= self._chunk_cap(key[0]):
+                        launch(groups.pop(key), *key)
+                        group_born.pop(key, None)
+                for key in [k for k, born in group_born.items()
+                            if now - born >= self._partial_after_s
+                            and not all(r.no_partial for r in groups[k])]:
                     launch(groups.pop(key), *key)
                     group_born.pop(key, None)
-            for key in [k for k, born in group_born.items()
-                        if now - born >= self._partial_after_s
-                        and not all(r.no_partial for r in groups[k])]:
-                launch(groups.pop(key), *key)
-                group_born.pop(key, None)
-            # drain aged chunks only when the device has actually finished
-            # them (is_ready is non-blocking): a blocking fetch of a
-            # still-running chunk would stall THIS loop and with it every
-            # other group's partial-launch deadline — the head-of-line
-            # this bound exists to prevent. A finished chunk is picked up
-            # within one deadline tick (in_flight caps the wait timeout).
-            while in_flight and (
-                    time.perf_counter() - in_flight[0]["t"]
-                    >= self._partial_after_s
-                    and in_flight[0]["l1"].is_ready()):
+                # drain aged chunks only when the device has actually finished
+                # them (is_ready is non-blocking): a blocking fetch of a
+                # still-running chunk would stall THIS loop and with it every
+                # other group's partial-launch deadline — the head-of-line
+                # this bound exists to prevent. A finished chunk is picked up
+                # within one deadline tick (in_flight caps the wait timeout).
+                while in_flight and (
+                        time.perf_counter() - in_flight[0]["t"]
+                        >= self._partial_after_s
+                        and in_flight[0]["l1"].is_ready()):
+                    self._finish_chunk(in_flight.popleft())
+            for (t_pad, s_pad), reqs in sorted(groups.items()):
+                cap = self._chunk_cap(t_pad)
+                for k in range(0, len(reqs), cap):
+                    launch(reqs[k:k + cap], t_pad, s_pad)
+            while in_flight:
                 self._finish_chunk(in_flight.popleft())
-        for (t_pad, s_pad), reqs in sorted(groups.items()):
-            cap = self._chunk_cap(t_pad)
-            for k in range(0, len(reqs), cap):
-                launch(reqs[k:k + cap], t_pad, s_pad)
-        while in_flight:
-            self._finish_chunk(in_flight.popleft())
+        except Exception as exc:   # noqa: BLE001 — never hang a
+            for req in fut_to_req.values():   # caller's future
+                if not req.future.done():
+                    self._fail(req, exc)
         return stop
 
     def _chunk_cap(self, t_pad: int) -> int:
