@@ -690,3 +690,61 @@ def test_dispatcher_failure_fails_all_futures(tmp_path):
                 f.result(timeout=120)
     finally:
         svc.close()
+
+
+@needs_assets
+def test_dispatcher_soak_mixed_sizes_and_jitter(tmp_path):
+    """Soak the continuous-admission dispatcher: staggered submissions of
+    mixed-length requests from many threads (arrivals land mid-cohort by
+    construction), all with tight partial-launch deadlines. Every future
+    must complete and match the single-request result for its payload —
+    no hangs, no cross-request mixups, no starvation."""
+    import threading
+    import time as _time
+
+    from vbx_tpu.io.ark import group_by_recording, iter_vec_ark
+
+    _, _, x_full = next(group_by_recording(
+        iter_vec_ark(f"{REF}/exp/ES2005a.ark")))
+    rng = np.random.default_rng(0)
+    lengths = [40, 64, 170, 170, 256, 40, 300, 64, 170, 256,
+               40, 300, 170, 64, 256, 40, 170, 300, 64, 170]
+    payloads = {}
+    for i, L in enumerate(lengths):
+        off = int(rng.integers(0, len(x_full) - L))
+        x = np.asarray(x_full[off:off + L], np.float32)
+        ts = np.stack([np.arange(L) * 0.24,
+                       np.arange(L) * 0.24 + 1.44], axis=1)
+        payloads[f"req{i:02d}"] = (x, ts)
+
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            batch_window_ms=5.0, partial_after_ms=10.0) as svc:
+        # per-payload expected results, one at a time (batch-composition
+        # independence makes these the oracle for the concurrent run)
+        expected = {rec: svc.diarize(rec, x, ts, timeout=300).labels1st
+                    for rec, (x, ts) in payloads.items()}
+
+        futs = {}
+        lock = threading.Lock()
+
+        def client(recs):
+            for rec in recs:
+                x, ts = payloads[rec]
+                _time.sleep(float(rng.integers(0, 30)) / 1000.0)
+                f = svc.submit(rec + "_c", x, ts)
+                with lock:
+                    futs[rec] = f
+
+        names = list(payloads)
+        threads = [threading.Thread(target=client, args=(names[k::4],))
+                   for k in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for rec, f in futs.items():
+            res = f.result(timeout=300)
+            np.testing.assert_array_equal(res.labels1st, expected[rec],
+                                          err_msg=rec)
+        assert svc.stats()["failed"] == 0
