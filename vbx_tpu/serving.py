@@ -304,6 +304,31 @@ class DiarizationService:
         # serialized: concurrent warmups would interleave their waves into
         # each other's buckets and warm different shapes than requested
         with self._warmup_lock:
+            # Phase 1 — compile every wave's executable CONCURRENTLY
+            # (VERDICT r3 #5 follow-up): the padded-B programs otherwise
+            # compile (or cache-deserialize) serially inside the waves,
+            # one shape after another. XLA compilation is C++ work that
+            # releases the GIL, so launching each shape once from its own
+            # thread overlaps all compiles; device execution of the tiny
+            # dummy chunks serializes harmlessly. The launches go through
+            # the REAL _launch_chunk so the warmed signature can never
+            # drift from production (the round-3 warmup bug class).
+            dummy = _Request("__warmup_compile__", x, ts, no_partial=True)
+            self._init_one(dummy)
+            if dummy.ts is not None:      # init-only configs skip phase 1
+                t_pad, s_pad = bucket_shape(*dummy.ts)
+
+                def compile_one(k):
+                    entry = self._launch_chunk([dummy] * k, t_pad, s_pad)
+                    if entry is not None:
+                        np.asarray(entry["l1"])   # force load + execute
+
+                with ThreadPoolExecutor(
+                        max_workers=len(batch_sizes)) as pool:
+                    list(pool.map(compile_one, batch_sizes))
+            # Phase 2 — the end-to-end waves (now hitting warm
+            # executables): each wave still rides ONE chunk of exactly
+            # its padded batch size, verifying the path traffic will take
             for k in batch_sizes:
                 futs = [self.submit(f"__warmup_{k}_{i}__", x, ts,
                                     _no_partial=True)
@@ -717,6 +742,12 @@ class DiarizationService:
     # -- result assembly -------------------------------------------------------
 
     def _fail(self, req: _Request, exc: Exception) -> None:
+        if req.future.done():
+            # idempotent: a request can reach _fail twice (e.g. the
+            # warmup compile chunk holds the same dummy request in every
+            # lane); a second set_exception would raise InvalidStateError
+            # inside an exception handler
+            return
         with self._lock:
             self._stats["requests"] += 1
             self._stats["failed"] += 1
