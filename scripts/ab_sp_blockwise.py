@@ -89,9 +89,11 @@ def main():
                             ("sp_structured", g_struct, "solo_structured")):
         g_b = np.asarray(run(form, G).gamma)
         agree = float(np.mean(ref.argmax(-1) == g_b.argmax(-1)))
-        # maxdiff alone over-reads a single near-tied frame flipping
-        # (forced past convergence, one soft frame can read 0.86); the
-        # label agreement is the decision-level parity signal
+        # expected since round 5: BOTH matching-engine K=1 pairs read
+        # 0.00e+00 / agreement 1.0 (the K=1 mesh short-circuits the
+        # blockwise smoothers to the solo programs; the round-4 0.86 was
+        # the sequentially-accumulated log_px noise — BENCHMARKS.md
+        # round-5 correction)
         print(f"gamma maxdiff {name} vs {form}: "
               f"{np.abs(ref - g_b).max():.2e} "
               f"(label agreement {agree:.6f})", flush=True)

@@ -328,13 +328,16 @@ def vbx_sharded(
     checkpointing — vbx_batched_checkpointed(mesh=...)).
 
     fb_impl: None/'structured' (default) runs the XLA-scan blockwise
-    smoother — bit-comparable to the single-device engine at the same
-    padded shape. 'pallas' / 'pallas_bf16' run both local passes of every
-    chip's frame block through the fused Pallas kernels
-    (forward_backward_blockwise_pallas) — the throughput path for long
-    recordings, tolerance-parity (~5e-5 gamma per iteration) like the
-    single-chip pallas engine; '_bf16' additionally stores the large
-    per-iteration streams in bfloat16."""
+    smoother — BIT-identical to the single-device engine on a 1-'sp'-chip
+    mesh (the smoother short-circuits to the sequential program) and
+    reduction-order-comparable across 'sp' shards (measured at T=32768,
+    K=8: gamma <= 1e-5/iter, identical labels and n_iters, ELBO within
+    2 f32 ulps — tests/test_parallel.py long-T pin). 'pallas' /
+    'pallas_bf16' run both local passes of every chip's frame block
+    through the fused Pallas kernels (forward_backward_blockwise_pallas)
+    — the throughput path for long recordings, tolerance-parity (~5e-5
+    gamma per iteration) like the single-chip pallas engine; '_bf16'
+    additionally stores the large per-iteration streams in bfloat16."""
     dtype = X.dtype
     B = gamma.shape[0]
     if plateau0 is None:

@@ -15,13 +15,26 @@ operator chain read in both directions. Each chip therefore:
 2. all-gathers the K = |'sp'| block operators (K * S^2 numbers — tiny; this
    is the only inter-chip traffic, riding ICI),
 3. redundantly computes every block's incoming boundary messages (one K-step
-   [S]-vector scan — microseconds) and the global log-likelihood,
+   [S]-vector scan — microseconds),
 4. runs two local O(S)-per-frame vector passes to produce exact per-frame
-   posteriors for its own block.
+   posteriors for its own block, plus the global log-likelihood from the
+   passes' per-frame normalizers (tree-sum per block + psum).
 
 The result is bit-comparable (up to f32 rounding) to the sequential scaled
 smoother: gamma, pi_stat and gamma[0] are assembled from within-frame
 normalized quantities only, so precision does not degrade with T or K.
+log_px is summed from the LOCAL vector passes' per-frame normalizers
+(m_t + log c_t) with an XLA tree reduction per block and one psum across
+blocks — NOT from the operator-product scan's sequentially-accumulated
+scalar scale, whose f32 error grows O(T*eps*|log_px|) (~3.6e2 absolute at
+T=32768, |log_px|~2.3e6 — measured round 5; that noise reached the ELBO
+and fired the delta<epsilon stop rule spuriously, which was the round-4
+"sharded-structured parity regression": frozen-early lanes, gamma maxdiff
+0.86 vs solo).
+
+K=1 (a mesh with a single 'sp' chip) short-circuits to the sequential
+smoother itself — same functions, same program, bit-identical to the
+single-device engine by construction, and no dead operator-product work.
 
 Cost: the matrix pass is O(T/K * S^2) per chip vs O(T * S) sequential, so
 frame sharding wins when K exceeds ~S/2 or when the vector passes are
@@ -38,7 +51,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from vbx_tpu.ops.forward_backward import _normalize_logp
+from vbx_tpu.ops.forward_backward import (_normalize_logp,
+                                          forward_backward_structured)
 
 _TINY32 = float(jnp.finfo(jnp.float32).tiny)
 
@@ -71,12 +85,23 @@ def forward_backward_blockwise(
     Tb, S = log_p.shape
     pi = pi.astype(dtype)
     valid = (jnp.ones(Tb, bool) if frame_mask is None else frame_mask)
+
+    if jax.lax.axis_size(axis_name) == 1:
+        # single-'sp'-chip mesh: the block decomposition is pure overhead
+        # and its distinct rounding would break bit-parity with the
+        # single-device engine — run the sequential smoother itself
+        # (identical program => identical bits; tests/test_parallel.py
+        # pins this at T=16384)
+        seq = forward_backward_structured(log_p, pi, loop_prob, eps=eps,
+                                          frame_mask=valid)
+        return BlockFBResult(seq.gamma, seq.log_px, seq.pi_stat,
+                             seq.gamma[0])
+
     loop_prob = jnp.asarray(loop_prob, dtype)
     eps_c = jnp.asarray(eps, dtype)
     col = (1.0 - loop_prob) * pi + eps_c
 
     k = jax.lax.axis_index(axis_name)
-    K = jax.lax.axis_size(axis_name)
     # global-first-frame flag for each local frame
     gfirst = (jnp.arange(Tb) == 0) & (k == 0)
 
@@ -84,60 +109,50 @@ def forward_backward_blockwise(
 
     # ---- 1. local block operator product F_k = prod_t N_t --------------
     # (frame 0 of block 0 is pure emission diag(w_0): no transition before
-    # the first frame, matching lfw[0] = log_p[0] + log(pi + eps))
-    def mat_step(carry, inp):
-        A, scale = carry
-        w_t, m_t, valid_t, first_t = inp
+    # the first frame, matching lfw[0] = log_p[0] + log(pi + eps)).
+    # Max-normalized per step; the accumulated log-scale is NOT tracked:
+    # the boundary scans renormalize per block (scalar multiples cancel)
+    # and log_px comes from the local vector passes below, so nothing
+    # reads it — and its sequential f32 accumulation was the round-4 ELBO
+    # noise source (module docstring).
+    def mat_step(A, inp):
+        w_t, valid_t, first_t = inp
         rowsum = jnp.sum(A, axis=1, keepdims=True)
         A_tr = loop_prob * A + rowsum * col[None, :]
         A_new = jnp.where(first_t, A, A_tr) * w_t[None, :]
-        mx = jnp.max(A_new)
-        A_new = A_new / mx
-        new_scale = scale + m_t + jnp.log(mx)
-        return (jnp.where(valid_t, A_new, A),
-                jnp.where(valid_t, new_scale, scale)), None
+        A_new = A_new / jnp.max(A_new)
+        return jnp.where(valid_t, A_new, A), None
 
-    (F, sF), _ = jax.lax.scan(
-        mat_step,
-        (jnp.eye(S, dtype=dtype), jnp.zeros((), dtype)),
-        (w, m, valid, gfirst))
+    F, _ = jax.lax.scan(mat_step, jnp.eye(S, dtype=dtype),
+                        (w, valid, gfirst))
 
     # ---- 2. exchange block operators over ICI --------------------------
     F_all = jax.lax.all_gather(F, axis_name)       # [K, S, S]
-    sF_all = jax.lax.all_gather(sF, axis_name)     # [K]
 
     # ---- 3. boundary messages (redundant per chip; K tiny) -------------
     u0 = pi + eps_c
-    cu = jnp.sum(u0)
-    u_hat = u0 / cu
+    u_hat = u0 / jnp.sum(u0)
 
-    def fwd_blk(carry, blk):
-        v, s = carry
-        Fb_, sFb = blk
+    def fwd_blk(v, Fb_):
         v2 = jnp.dot(v, Fb_, precision=jax.lax.Precision.HIGHEST)
-        c = jnp.sum(v2)
-        return (v2 / c, s + sFb + jnp.log(c)), (v, s)
+        return v2 / jnp.sum(v2), v
 
-    (v_fin, s_fin), (v_in_all, s_in_all) = jax.lax.scan(
-        fwd_blk, (u_hat, jnp.log(cu)), (F_all, sF_all))
-    log_px = s_fin                                  # sum_s v_fin == 1
+    _, v_in_all = jax.lax.scan(fwd_blk, u_hat, F_all)
 
-    def bwd_blk(carry, blk):
-        b, s = carry
-        Fb_, sFb = blk
+    def bwd_blk(b, Fb_):
         b2 = jnp.dot(Fb_, b, precision=jax.lax.Precision.HIGHEST)
-        c = jnp.sum(b2)
-        return (b2 / c, s + sFb + jnp.log(c)), (b, s)
+        return b2 / jnp.sum(b2), b
 
     ones_hat = jnp.ones((S,), dtype) / S
-    _, (b_in_all, _) = jax.lax.scan(
-        bwd_blk, (ones_hat, jnp.log(jnp.asarray(S, dtype))),
-        (F_all, sF_all), reverse=True)
+    _, b_in_all = jax.lax.scan(bwd_blk, ones_hat, F_all, reverse=True)
 
     v_in = jax.lax.dynamic_index_in_dim(v_in_all, k, keepdims=False)
     b_in = jax.lax.dynamic_index_in_dim(b_in_all, k, keepdims=False)
 
     # ---- 4. local vector passes ----------------------------------------
+    # chip 0 starts from the UNNORMALIZED pi + eps exactly like the
+    # sequential smoother (its first frame is pure emission, so the
+    # structured identity's sum_s prev == 1 requirement doesn't apply)
     def fwd_step(prev, inp):
         w_t, valid_t, first_t = inp
         a_tr = w_t * (loop_prob * prev + col)       # sum_s prev == 1
@@ -147,7 +162,17 @@ def forward_backward_blockwise(
         cfw = jnp.where(valid_t, c, jnp.ones_like(c))
         return ahat, (ahat, cfw)
 
-    _, (ahat, cfw) = jax.lax.scan(fwd_step, v_in, (w, valid, gfirst))
+    fwd_init = jnp.where(k == 0, u0, v_in)
+    _, (ahat, cfw) = jax.lax.scan(fwd_step, fwd_init, (w, valid, gfirst))
+
+    # log_px from the local per-frame normalizers: each block's chain
+    # continues from the previous block's (approximate) normalized carry,
+    # so sum_t(m_t + log c_t) over all chips IS the global log-likelihood
+    # — tree-reduced per block, one psum across blocks (solo-engine
+    # accuracy, no T-proportional error)
+    log_px = jax.lax.psum(
+        jnp.sum(jnp.where(valid, m + jnp.log(cfw), jnp.zeros_like(m))),
+        axis_name)
 
     # backward: bhat at the local LAST frame is the incoming boundary; the
     # scan consumes (w, valid) of frames 1..Tb-1 in reverse, producing bhat
@@ -170,9 +195,11 @@ def forward_backward_blockwise(
     denom = jnp.maximum(jnp.sum(ab, axis=-1, keepdims=True), tiny)
     gamma = (ab / denom) * valid[:, None].astype(dtype)
 
-    # pi_stat over every frame except the global first
+    # pi_stat over every frame except the global first; same
+    # reciprocal-multiply grouping as ops.forward_backward._finish
     not_first = valid & ~gfirst
-    terms = w * bhat / (denom * cfw[:, None])
+    r_over_c = 1.0 / (denom[:, 0] * cfw)
+    terms = w * bhat * r_over_c[:, None]
     pi_stat = jax.lax.psum(
         jnp.sum(terms * not_first[:, None].astype(dtype), axis=0), axis_name)
 
@@ -281,125 +308,149 @@ def forward_backward_blockwise_pallas(
 
     k = jax.lax.axis_index(axis_name)
     chip0 = (k == 0)
-
-    # ---- 1. local block operator product, S-rows-as-lanes ---------------
-    R = (n_segments if n_segments is not None
-         else _auto_segments(Tb, S, B))
-    if Tb % R:
-        raise ValueError(f"n_segments={R} must divide the local frame "
-                         f"extent Tb={Tb}")
-    Ts = Tb // R
-    if layout == "bts":
-        m_bt = jnp.max(log_p, axis=2)                       # [B, Tb]
-        m = m_bt.T                                          # [Tb, B]
-        # the one structural [B,T,S]->[T,S,B] relayout happens HERE at
-        # io_dtype width inside the w producer (the operator stream is
-        # built from it below; the vector pass reads log_p natively)
-        w_zero = (jnp.transpose(
-            jnp.exp(log_p - m_bt[:, :, None])
-            * smask_sb.T[:, None, :], (1, 2, 0))
-            * vmask[:, None, :])                            # [Tb, S, B]
-    else:
-        m = jnp.max(log_p, axis=1)                          # [Tb, B]
-        w_zero = (jnp.exp(log_p - m[:, None, :]) * smask_sb[None]
-                  * vmask[:, None, :])                      # [Tb, S, B]
-    # segment-folded lane layout: lane = r*B*S + b*S + i (segment r's
-    # frames ride their own lane group, so the walk is Ts steps)
-    w_seg = jnp.transpose(w_zero.reshape(R, Ts, S, B),
-                          (1, 2, 0, 3)).reshape(Ts, S, R * B)
-    w1 = jnp.repeat(w_seg, S, axis=2)                       # [Ts, S, R*B*S]
-    col1 = jnp.repeat(jnp.tile(col.T, (1, R)), S, axis=1)   # [S, R*B*S]
-    finit1 = jnp.tile(jnp.eye(S, dtype=dtype), (1, R * B))  # e_i per lane
-    # fold the incoming transition into every segment's first frame
-    # EXCEPT the global first (segment 0 of chip 0): the walk's first
-    # frame emits w0 * finit (fb_fwd_product_pallas_sb boundary contract)
-    is_r0 = (jnp.arange(R * B * S) // (B * S) == 0)[None, :]
-    finit1_eff = jnp.where(jnp.logical_and(chip0, is_r0), finit1,
-                           loop_prob * finit1 + col1)
-    fhat, ls = fb_fwd_product_pallas_sb(
-        w1, col1, finit1_eff, loop_prob,
-        interpret=interpret, io_dtype=io_dtype)
-    Fseg = jnp.transpose(fhat.reshape(S, R, B, S),
-                         (1, 2, 3, 0))                      # [R, B, i, j]
-    msum_seg = jnp.sum((vmask * m).reshape(R, Ts, B), axis=1)  # [R, B]
-    s_seg = ls.reshape(R, B, S) + msum_seg[:, :, None]      # [R, B, i]
-    # a segment whose frames are ENTIRELY padding must contribute the
-    # identity operator: the kernel's skip_dead leaves the folded-in
-    # incoming transition (loop_prob*I + col) as F, which would bias the
-    # boundary-scan mass by ~S*eps per trailing dead segment (padding is
-    # a suffix, so dead segments only trail). The structured blockwise
-    # path returns identity per dead BLOCK; match it exactly per segment.
-    dead_seg = jnp.sum(vmask.reshape(R, Ts, B), axis=1) == 0.0  # [R, B]
-    eye = jnp.eye(S, dtype=dtype)
-    Fseg = jnp.where(dead_seg[:, :, None, None], eye[None, None], Fseg)
-    s_seg = jnp.where(dead_seg[:, :, None], 0.0, s_seg)
-
-    # compose the R per-segment operators into the block operator
-    # F_k = F_seg0 @ ... @ F_seg{R-1} (row-scaled representation:
-    # true F_r = diag(exp(s_r)) @ Fhat_r): a tiny [B, S, S] scan
-    def compose(carry, seg):
-        C, cs = carry                                       # [B,S,S],[B,S]
-        Fr, sr = seg
-        mx = jnp.max(sr, axis=-1)                           # [B]
-        inner = jnp.einsum("bik,bkj->bij",
-                           C * jnp.exp(sr - mx[:, None])[:, None, :], Fr,
-                           precision=jax.lax.Precision.HIGHEST)
-        rn = jnp.max(inner, axis=-1)                        # [B, i]
-        rn = jnp.maximum(rn, jnp.asarray(_TINY32, dtype))
-        return (inner / rn[:, :, None], cs + mx[:, None] + jnp.log(rn)), None
-
-    (F_hat, s_rows), _ = jax.lax.scan(compose, (Fseg[0], s_seg[0]),
-                                      (Fseg[1:], s_seg[1:]))
-
-    # ---- 2. exchange block summaries; K-step boundary scans -------------
-    F_all = jax.lax.all_gather(F_hat, axis_name)             # [K, B, S, S]
-    s_all = jax.lax.all_gather(s_rows, axis_name)            # [K, B, S]
-
-    u0 = pi + eps_c
-    cu = jnp.sum(u0, axis=-1)                                # [B]
-    u_hat = u0 / cu[:, None]
-
-    def fwd_blk(carry, blk):
-        v, acc = carry                                       # [B,S], [B]
-        Fb_, sb = blk
-        ms = jnp.max(sb, axis=-1)
-        v2 = jnp.einsum("bi,bij->bj", v * jnp.exp(sb - ms[:, None]), Fb_,
-                        precision=jax.lax.Precision.HIGHEST)
-        c = jnp.sum(v2, axis=-1)
-        return (v2 / c[:, None], acc + ms + jnp.log(c)), (v, acc)
-
-    (_, log_px), (v_in_all, _) = jax.lax.scan(
-        fwd_blk, (u_hat, jnp.log(cu)), (F_all, s_all))
-
-    def bwd_blk(carry, blk):
-        b, acc = carry
-        Fb_, sb = blk
-        ms = jnp.max(sb, axis=-1)
-        b2 = jnp.exp(sb - ms[:, None]) * jnp.einsum(
-            "bij,bj->bi", Fb_, b, precision=jax.lax.Precision.HIGHEST)
-        c = jnp.sum(b2, axis=-1)
-        return (b2 / c[:, None], acc + ms + jnp.log(c)), (b, acc)
-
     Sf = jnp.asarray(S, dtype)
-    _, (b_in_all, _) = jax.lax.scan(
-        bwd_blk, (jnp.full((B, S), 1.0 / Sf), jnp.full((B,), jnp.log(Sf))),
-        (F_all, s_all), reverse=True)
+    u0 = pi + eps_c                                          # [B, S]
 
-    v_in = jax.lax.dynamic_index_in_dim(v_in_all, k, keepdims=False)
-    b_in = jax.lax.dynamic_index_in_dim(b_in_all, k, keepdims=False)
+    if jax.lax.axis_size(axis_name) == 1:
+        # single-'sp'-chip mesh: no boundaries to exchange — skip the
+        # operator walk and boundary scans entirely (they were the
+        # measured 1.15-1.24x K=1 two-phase overhead) and run the fused
+        # vector-pass kernel exactly as the single-device engine does:
+        # pinit = pi + eps (solo's arithmetic) and a uniform backward
+        # boundary. log_px comes from the kernel normalizers below.
+        finit_eff = u0
+        b_in = jnp.full((B, S), 1.0 / Sf, dtype)
+    else:
+        # ---- 1. local block operator product, S-rows-as-lanes -----------
+        R = (n_segments if n_segments is not None
+             else _auto_segments(Tb, S, B))
+        if Tb % R:
+            raise ValueError(f"n_segments={R} must divide the local frame "
+                             f"extent Tb={Tb}")
+        Ts = Tb // R
+        if layout == "bts":
+            m_bt = jnp.max(log_p, axis=2)                   # [B, Tb]
+            m_op = m_bt.T                                   # [Tb, B]
+            # the one structural [B,T,S]->[T,S,B] relayout happens HERE at
+            # io_dtype width inside the w producer (the operator stream is
+            # built from it below; the vector pass reads log_p natively)
+            w_zero = (jnp.transpose(
+                jnp.exp(log_p - m_bt[:, :, None])
+                * smask_sb.T[:, None, :], (1, 2, 0))
+                * vmask[:, None, :])                        # [Tb, S, B]
+        else:
+            m_op = jnp.max(log_p, axis=1)                   # [Tb, B]
+            w_zero = (jnp.exp(log_p - m_op[:, None, :]) * smask_sb[None]
+                      * vmask[:, None, :])                  # [Tb, S, B]
+        # segment-folded lane layout: lane = r*B*S + b*S + i (segment r's
+        # frames ride their own lane group, so the walk is Ts steps)
+        w_seg = jnp.transpose(w_zero.reshape(R, Ts, S, B),
+                              (1, 2, 0, 3)).reshape(Ts, S, R * B)
+        w1 = jnp.repeat(w_seg, S, axis=2)                   # [Ts, S, R*B*S]
+        col1 = jnp.repeat(jnp.tile(col.T, (1, R)), S, axis=1)  # [S, R*B*S]
+        finit1 = jnp.tile(jnp.eye(S, dtype=dtype), (1, R * B))  # e_i / lane
+        # fold the incoming transition into every segment's first frame
+        # EXCEPT the global first (segment 0 of chip 0): the walk's first
+        # frame emits w0 * finit (fb_fwd_product_pallas_sb boundary
+        # contract)
+        is_r0 = (jnp.arange(R * B * S) // (B * S) == 0)[None, :]
+        finit1_eff = jnp.where(jnp.logical_and(chip0, is_r0), finit1,
+                               loop_prob * finit1 + col1)
+        fhat, ls = fb_fwd_product_pallas_sb(
+            w1, col1, finit1_eff, loop_prob,
+            interpret=interpret, io_dtype=io_dtype)
+        Fseg = jnp.transpose(fhat.reshape(S, R, B, S),
+                             (1, 2, 3, 0))                  # [R, B, i, j]
+        msum_seg = jnp.sum((vmask * m_op).reshape(R, Ts, B), axis=1)
+        s_seg = ls.reshape(R, B, S) + msum_seg[:, :, None]  # [R, B, i]
+        # a segment whose frames are ENTIRELY padding must contribute the
+        # identity operator: the kernel's skip_dead leaves the folded-in
+        # incoming transition (loop_prob*I + col) as F, which would bias
+        # the boundary-scan mass by ~S*eps per trailing dead segment
+        # (padding is a suffix, so dead segments only trail). The
+        # structured blockwise path returns identity per dead BLOCK; match
+        # it exactly per segment.
+        dead_seg = jnp.sum(vmask.reshape(R, Ts, B), axis=1) == 0.0  # [R, B]
+        eye = jnp.eye(S, dtype=dtype)
+        Fseg = jnp.where(dead_seg[:, :, None, None], eye[None, None], Fseg)
+        s_seg = jnp.where(dead_seg[:, :, None], 0.0, s_seg)
+
+        # compose the R per-segment operators into the block operator
+        # F_k = F_seg0 @ ... @ F_seg{R-1} (row-scaled representation:
+        # true F_r = diag(exp(s_r)) @ Fhat_r): a tiny [B, S, S] scan
+        def compose(carry, seg):
+            C, cs = carry                                   # [B,S,S],[B,S]
+            Fr, sr = seg
+            mx = jnp.max(sr, axis=-1)                       # [B]
+            inner = jnp.einsum("bik,bkj->bij",
+                               C * jnp.exp(sr - mx[:, None])[:, None, :],
+                               Fr, precision=jax.lax.Precision.HIGHEST)
+            rn = jnp.max(inner, axis=-1)                    # [B, i]
+            rn = jnp.maximum(rn, jnp.asarray(_TINY32, dtype))
+            return (inner / rn[:, :, None],
+                    cs + mx[:, None] + jnp.log(rn)), None
+
+        (F_hat, s_rows), _ = jax.lax.scan(compose, (Fseg[0], s_seg[0]),
+                                          (Fseg[1:], s_seg[1:]))
+
+        # ---- 2. exchange block summaries; K-step boundary scans ---------
+        # (per-ROW scales s_all weight the rows of each operator, so they
+        # stay in the application; the boundary messages renormalize per
+        # block and log_px no longer reads the accumulated scale — see the
+        # module docstring on the round-4 sequential-accumulation noise)
+        F_all = jax.lax.all_gather(F_hat, axis_name)         # [K, B, S, S]
+        s_all = jax.lax.all_gather(s_rows, axis_name)        # [K, B, S]
+
+        u_hat = u0 / jnp.sum(u0, axis=-1)[:, None]
+
+        def fwd_blk(v, blk):
+            Fb_, sb = blk
+            ms = jnp.max(sb, axis=-1)
+            v2 = jnp.einsum("bi,bij->bj", v * jnp.exp(sb - ms[:, None]),
+                            Fb_, precision=jax.lax.Precision.HIGHEST)
+            return v2 / jnp.sum(v2, axis=-1)[:, None], v
+
+        _, v_in_all = jax.lax.scan(fwd_blk, u_hat, (F_all, s_all))
+
+        def bwd_blk(b, blk):
+            Fb_, sb = blk
+            ms = jnp.max(sb, axis=-1)
+            b2 = jnp.exp(sb - ms[:, None]) * jnp.einsum(
+                "bij,bj->bi", Fb_, b, precision=jax.lax.Precision.HIGHEST)
+            return b2 / jnp.sum(b2, axis=-1)[:, None], b
+
+        _, b_in_all = jax.lax.scan(
+            bwd_blk, jnp.full((B, S), 1.0 / Sf), (F_all, s_all),
+            reverse=True)
+
+        v_in = jax.lax.dynamic_index_in_dim(v_in_all, k, keepdims=False)
+        b_in = jax.lax.dynamic_index_in_dim(b_in_all, k, keepdims=False)
+
+        # chip 0 starts from the UNNORMALIZED pi + eps exactly like the
+        # single-device engine (the kernel's first frame emits
+        # normalize(w0 * pinit), so only the rounding differs — align it)
+        finit_eff = jnp.where(chip0, u0, loop_prob * v_in + col)  # [B, S]
 
     # ---- 3. both local vector passes in the fused kernel walk -----------
-    finit_eff = jnp.where(chip0, u_hat, loop_prob * v_in + col)   # [B, S]
     if layout == "bts":
-        ahat, bhat, cfw, _, w = fb_scan_pallas_sb_logp_bts(
+        ahat, bhat, cfw, m_k, w = fb_scan_pallas_sb_logp_bts(
             log_p, smask_sb.T, valid, col.T, finit_eff.T, loop_prob,
             interpret=interpret, recip=recip, io_dtype=io_dtype,
             binit=b_in.T, zero_invalid=True)
     else:
-        ahat, bhat, cfw, _, w = fb_scan_pallas_sb_logp(
+        ahat, bhat, cfw, m_k, w = fb_scan_pallas_sb_logp(
             log_p, smask_sb, valid, col.T, finit_eff.T, loop_prob,
             interpret=interpret, recip=recip, io_dtype=io_dtype,
             binit=b_in.T, zero_invalid=True)
+
+    # log_px from the local per-frame normalizers (m_t + log c_t): each
+    # block's chain continues from its incoming normalized boundary, so
+    # the psum of per-block tree-sums is the global log-likelihood at the
+    # single-device engine's accuracy (the old operator-scale form
+    # accumulated f32 error O(T*eps*|log_px|) — module docstring)
+    log_px = jax.lax.psum(
+        jnp.sum(vmask * (m_k.astype(dtype) + jnp.log(cfw.astype(dtype))),
+                axis=0), axis_name)
 
     tiny = jnp.asarray(_TINY32, dtype)
     ab = ahat.astype(dtype) * bhat.astype(dtype)
