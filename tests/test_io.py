@@ -459,6 +459,16 @@ def test_kaldi_sparse_matrix_reader():
     m = read_mat_binary(_io.BytesIO(buf))
     np.testing.assert_allclose(m, dense)
 
+    # a corrupt per-element size byte (anything but 4/8) must fail loudly
+    # instead of silently misreading and desynchronizing the stream
+    # (ADVICE round 4)
+    bad = (b"SM " + b"\x04" + struct.pack("<i", 1)
+           + b"SV " + b"\x04" + struct.pack("<i", 4)
+           + b"\x04" + struct.pack("<i", 1)
+           + b"\x02" + b"\x00\x00")
+    with pytest.raises(ValueError, match=r"size byte 2"):
+        read_sparse_mat(_io.BytesIO(bad))
+
 
 def test_device_probe_reports_backend():
     """The free_gpu.sh-analogue prober (utils.devices, VERDICT r3 #8):

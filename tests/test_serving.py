@@ -748,3 +748,37 @@ def test_dispatcher_soak_mixed_sizes_and_jitter(tmp_path):
             np.testing.assert_array_equal(res.labels1st, expected[rec],
                                           err_msg=rec)
         assert svc.stats()["failed"] == 0
+
+
+@needs_assets
+def test_admission_bound_sheds_load(tmp_path):
+    """max_pending_requests back-pressure (ADVICE round 4): every admitted
+    VB request pins padded device planes from init time until launch, so
+    the admitted-but-unfinished working set is bounded — submit() raises
+    ServiceOverloaded at the cap instead of growing HBM without bound,
+    and completions release their slot."""
+    from vbx_tpu.serving import ServiceOverloaded, _Request
+
+    _, _, names, recs = _corpus_requests(tmp_path, n_rec=2)
+    x_raw, ts = recs[names[0]]
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            max_pending_requests=2) as svc:
+        # deterministically saturate the accounting (submission timing
+        # would race real completions): claim both slots...
+        _probe_a = _Request("probe_a", x_raw, ts)
+        _probe_b = _Request("probe_b", x_raw, ts)
+        with svc._lock:
+            svc._admit(_probe_a)
+            svc._admit(_probe_b)
+        # ...then the next real submit must shed load loudly
+        with pytest.raises(ServiceOverloaded, match="max_pending_requests"):
+            svc.submit(names[0], x_raw, ts)
+        assert svc.stats()["pending"] == 2
+        # releasing a slot re-opens admission; a real request then runs
+        # to completion and releases itself
+        svc._release(_probe_a)
+        svc._release(_probe_b)
+        fut = svc.submit(names[0], x_raw, ts)
+        assert fut.result(timeout=300).n_speakers >= 1
+        assert svc.stats()["pending"] == 0

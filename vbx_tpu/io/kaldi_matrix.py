@@ -112,10 +112,20 @@ def read_sparse_mat(fd: BinaryIO, _header_consumed: bool = False):
         n = _read_i32(fd, "sparse nnz")
         max_dim = max(max_dim, dim)
         for _ in range(n):
+            # the per-element size byte admits exactly 4 or 8; anything
+            # else is a corrupt/truncated archive and a silent best-guess
+            # read would desynchronize the rest of the stream (ADVICE
+            # round 4 — fail loudly like _expect)
             size = fd.read(1)[0]
+            if size not in (4, 8):
+                raise ValueError(
+                    f"sparse-vector index size byte {size} not in (4, 8)")
             idx = int(np.frombuffer(fd.read(size),
                                     dtype="<i4" if size == 4 else "<i8")[0])
             size = fd.read(1)[0]
+            if size not in (4, 8):
+                raise ValueError(
+                    f"sparse-vector value size byte {size} not in (4, 8)")
             val = float(np.frombuffer(fd.read(size),
                                       dtype="<f4" if size == 4 else "<f8")[0])
             rows.append(i)

@@ -55,11 +55,20 @@ class ServeResult:
     rttm_2nd: Optional[str] = None
 
 
+class ServiceOverloaded(RuntimeError):
+    """submit() under backlog: the admitted-but-unfinished working set is
+    at max_pending_requests. Every admitted VB request pins its padded
+    feature/qinit planes in device HBM from init time until launch, so an
+    unbounded backlog would grow device memory without bound (ADVICE
+    round 4). Callers should shed load or retry after results drain."""
+
+
 class _Request:
     __slots__ = ("recording", "x_raw", "timestamps", "signal", "vad",
                  "future", "init_future", "t_submit", "fea", "phi", "qinit",
                  "fea_dev", "qinit_dev", "ts",
-                 "labels", "t_init_done", "t_launch", "no_partial")
+                 "labels", "t_init_done", "t_launch", "no_partial",
+                 "admitted", "released")
 
     def __init__(self, recording: str, x_raw: Optional[np.ndarray],
                  timestamps: Optional[np.ndarray],
@@ -82,6 +91,11 @@ class _Request:
         self.fea = self.phi = self.qinit = self.labels = None
         self.fea_dev = self.qinit_dev = self.ts = None
         self.t_init_done = self.t_launch = None
+        # admission accounting (max_pending_requests back-pressure):
+        # only submit()-admitted requests count; warmup's synthetic
+        # requests bypass submit and must not decrement on completion
+        self.admitted = False
+        self.released = False
 
 
 _SHUTDOWN = object()
@@ -106,7 +120,8 @@ class DiarizationService:
                  init_workers: int = 4,
                  runlog_path: Optional[str] = None,
                  max_request_xvectors: int = 200_000,
-                 partial_after_ms: float = 50.0):
+                 partial_after_ms: float = 50.0,
+                 max_pending_requests: int = 256):
         import os
 
         from vbx_tpu.utils.compile_cache import enable as _enable_cache
@@ -146,6 +161,13 @@ class DiarizationService:
         # with request length (200k x-vectors ~ 13 h of audio — far past
         # any single-recording use; raise the cap deliberately if needed)
         self._max_request_xvectors = max(1, max_request_xvectors)
+        # bound the admitted working set: every admitted VB request pins
+        # its padded device planes (_init_one uploads at init time) until
+        # its chunk launches, so backlog depth IS device-memory depth —
+        # under open-loop overload submit() sheds load loudly
+        # (ServiceOverloaded) instead of OOMing the chip (ADVICE round 4)
+        self._max_pending = max(1, max_pending_requests)
+        self._pending = 0
         self._queue: "queue.Queue" = queue.Queue()
         self._warmup_lock = threading.Lock()
         init_workers = max(1, init_workers)
@@ -221,6 +243,7 @@ class DiarizationService:
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
+            self._admit(req)
             # host init (f64 transform + AHC) starts NOW, not when the
             # dispatcher picks the batch up: it overlaps the batching
             # window and any in-flight device batch, so under sustained
@@ -254,6 +277,7 @@ class DiarizationService:
         with self._lock:
             if self._closed:
                 raise RuntimeError("service is closed")
+            self._admit(req)
             req.init_future = self._init_pool.submit(self._init_one, req)
             self._queue.put(req)
         return req.future
@@ -341,6 +365,9 @@ class DiarizationService:
             s = dict(self._stats)
         s["uptime_s"] = round(time.time() - self._t_start, 3)
         s["queue_depth"] = self._queue.qsize()
+        with self._lock:
+            s["pending"] = self._pending
+        s["max_pending_requests"] = self._max_pending
         return s
 
     def close(self) -> None:
@@ -514,32 +541,42 @@ class DiarizationService:
         # otherwise hang forever)
         try:
 
-            def absorb():
+            def absorb() -> int:
                 """Non-blocking queue drain into the working set (new
                 requests' inits are already running — submit() launched
-                them; this only admits them to grouping)."""
+                them; this only admits them to grouping). Returns the
+                number of requests admitted."""
                 nonlocal stop
+                n = 0
                 while not stop:
                     try:
                         nxt = self._queue.get_nowait()
                     except queue.Empty:
-                        return
+                        break
                     if nxt is _SHUTDOWN:
                         stop = True
-                        return
+                        break
                     fut_to_req[nxt.init_future] = nxt
                     pending.add(nxt.init_future)
+                    n += 1
                     with self._lock:
                         self._stats["batched_requests"] += 1
+                return n
 
+            # admission tick with idle backoff (ADVICE round 4): new
+            # arrivals don't wake cf.wait (their futures join the set only
+            # at the next absorb), so waits are bounded by a short tick —
+            # but a quiet queue under a multi-minute host init (e.g. audio
+            # extraction) would wake this thread 50x/s for nothing, so
+            # consecutive empty drains stretch the tick up to 250 ms (an
+            # admitted request's init is running from submit() regardless;
+            # the tick only delays grouping eligibility)
+            tick = 0.02
             while pending:
-                absorb()
+                tick = 0.02 if absorb() else min(tick * 2.0, 0.25)
                 deadline = float("inf")
                 if not stop:
-                    # new arrivals don't wake cf.wait (their futures join the
-                    # set only at the next absorb), so bound every wait by a
-                    # short admission tick under potential traffic
-                    deadline = time.perf_counter() + 0.02
+                    deadline = time.perf_counter() + tick
                 if groups:
                     deadline = min(deadline, min(
                         (born + self._partial_after_s
@@ -741,7 +778,29 @@ class DiarizationService:
 
     # -- result assembly -------------------------------------------------------
 
+    def _admit(self, req: _Request) -> None:
+        """Count one submit()-admitted request against the working-set
+        bound. Caller holds self._lock."""
+        if self._pending >= self._max_pending:
+            raise ServiceOverloaded(
+                f"{self._pending} requests admitted and unfinished "
+                f">= max_pending_requests={self._max_pending}; every "
+                f"admitted request pins padded device planes until its "
+                f"chunk launches — shed load or retry after results "
+                f"drain")
+        self._pending += 1
+        req.admitted = True
+
+    def _release(self, req: _Request) -> None:
+        """Terminal accounting for an admitted request (idempotent; safe
+        on warmup's non-admitted synthetic requests)."""
+        with self._lock:
+            if req.admitted and not req.released:
+                req.released = True
+                self._pending -= 1
+
     def _fail(self, req: _Request, exc: Exception) -> None:
+        self._release(req)
         if req.future.done():
             # idempotent: a request can reach _fail twice (e.g. the
             # warmup compile chunk holds the same dummy request in every
@@ -762,6 +821,7 @@ class DiarizationService:
     def _finish(self, req: _Request, labels: np.ndarray, *, n_iters: int,
                 batch_size: int,
                 labels2nd: Optional[np.ndarray] = None) -> None:
+        self._release(req)
         if not req.future.set_running_or_notify_cancel():
             with self._lock:      # cancelled while queued/in flight
                 self._stats["requests"] += 1
