@@ -15,7 +15,12 @@ VBx/vbhmm.py:147-158 — run to convergence.
   slope (see bench_tpu docstring).
 
 Prints ONE JSON line: recordings/sec with vs_baseline = speedup over the
-reference (per-recording wall time ratio). Details go to stderr.
+reference (per-recording time ratio). Since round 5 `value` is the
+TUNNEL-PROOF on-device trace number (the chained wall slope swung 1.8x
+same-day on tunnel state while the trace held constant — VERDICT r4 #6);
+the wall slope stays as `wall_rec_per_sec`, and `e2e_rec_per_hour` /
+`e2e_s_per_recording` carry the full warm ark->RTTM pipeline (host init
+chain + VB + write) at re-checked golden DER. Details go to stderr.
 """
 
 import json
@@ -203,6 +208,43 @@ def bench_trace(fea, phi, qinit, hp, fb_impl):
     return ms
 
 
+def bench_e2e(cfg, n_reps: int = 3):
+    """Full-pipeline stage (VERDICT r4 #4): ark -> transform -> AHC init
+    -> VB -> RTTM through the SHIPPED diarize_ark, warm cache — the
+    reference's actual unit of work (AMI_run.sh:38-67: one vbhmm.py
+    process per recording, ark to RTTM) and BASELINE.json's metric of
+    record (recordings/hour at matched DER). The EM-executable headline
+    above measures the device loop alone; this number carries the host
+    init chain (f64 transform, cosine+calibration, linkage) and the RTTM
+    write, i.e. everything a production run pays.
+
+    Returns (seconds_per_recording, der) — der re-checked every run so
+    the e2e number is at matched accuracy by construction."""
+    import tempfile
+
+    from vbx_tpu.engine.pipeline import diarize_ark
+    from vbx_tpu.metrics.der import der_from_rttm_files
+
+    der = None
+    with tempfile.TemporaryDirectory() as d:
+        # warm: first call compiles / populates caches
+        diarize_ark(ARK, f"{REF}/exp/ES2005a.seg", d, cfg, PLDA, H5,
+                    verbose=False)
+        t0 = time.perf_counter()
+        for _ in range(n_reps):
+            diarize_ark(ARK, f"{REF}/exp/ES2005a.seg", d, cfg, PLDA, H5,
+                        verbose=False)
+        t = (time.perf_counter() - t0) / n_reps
+        _, tot = der_from_rttm_files(
+            f"{REF}/example/rttm/ES2005a.rttm",
+            os.path.join(d, "ES2005a.rttm"), collar=0.25,
+            ignore_overlaps=True)
+        der = round(tot.der, 2)
+    log(f"e2e ark->RTTM (warm, {n_reps} reps): {t:.3f}s/recording "
+        f"-> {3600.0 / t:,.0f} recordings/hour at DER {der}")
+    return t, der
+
+
 def _device_preflight(timeout_s: int = 240) -> bool:
     """Probe the default accelerator in a SUBPROCESS (a dead/claimed tunnel
     chip hangs at backend init, which cannot be interrupted in-process).
@@ -273,14 +315,33 @@ def main():
         best = min(ok, key=ok.get)   # CPU mode / trace capture failed
         log(f"headline configuration: fb_impl={best} (picked by wall "
             f"clock — no trace available)")
+    t_e2e, e2e_der = bench_e2e(cfg)
     t_tpu = ok[best]
-    rec_per_sec = B / t_tpu
-    vs = (B / t_tpu) / (1.0 / t_ref)
+    wall_rec_per_sec = B / t_tpu
+    # the LEADING number is tunnel-proof (VERDICT r4 #6): the chained
+    # wall slope swung 1.8x same-day on tunnel state while the on-device
+    # trace held constant, so `value` is the trace-based recordings/s
+    # whenever a trace exists; the wall slope stays in the JSON as
+    # wall_rec_per_sec (the honest end-to-end dispatch number).
+    # vs_baseline divides the SAME number by the same-process reference
+    # baseline (f64 NumPy oracle, one recording at a time, this host).
+    if traces.get(best) is not None:
+        rec_per_sec = B / (traces[best] / 1e3)
+        value_src = "trace"
+    else:
+        rec_per_sec = wall_rec_per_sec
+        value_src = "wall"
+    vs = rec_per_sec * t_ref
     out = {
         "metric": "vb_diarization_throughput",
         "value": round(rec_per_sec, 3),
         "unit": "recordings/s",
         "vs_baseline": round(vs, 2),
+        "value_source": value_src,
+        "wall_rec_per_sec": round(wall_rec_per_sec, 3),
+        "e2e_s_per_recording": round(t_e2e, 4),
+        "e2e_rec_per_hour": round(3600.0 / t_e2e, 1),
+        "e2e_der": e2e_der,
     }
     if not _CPU_MODE:
         out["headline_impl"] = best
