@@ -1,0 +1,176 @@
+"""Device-resident NN-chain average linkage over the cluster-sums identity.
+
+The reference's acknowledged long-recording weakness is AHC itself
+(README.md:24: >30-min files "can become very slow"); round 4 moved the
+2-GMM calibration onto the MXU, leaving the O(N^2 * D) linkage scans as
+~70% of the long-N front half (66 s of ~95 s at N=50k on the 4-core host —
+VERDICT r4 #3). Those scans are matmul-shaped: with average linkage over
+d(i, j) = -(x_i . x_j), the chain's nearest-neighbor scan against every
+active cluster is ONE [N, D] @ [D] matvec on the cluster-sum matrix
+(clustering/native/linkage.cpp: nn_chain_dot_avg_impl runs the same scans
+on the host at ~38 GB/s of memory bandwidth — the measured bound).
+
+Design: the ENTIRE Muellner NN-chain walk runs on the device as one jitted
+`lax.while_loop`; each iteration is one masked-argmin matvec scan plus
+O(D) merge/chain updates, and only the final merge list ([N-1] triples)
+crosses the device boundary, once. No per-merge host round-trips — over
+the tunnel a single dispatch costs more than the scan it would launch.
+
+Parity contract: scan order, lowest-index-on-tie argmin, and the
+chain-predecessor tie preference mirror the native host implementation
+exactly; distances are f32 on device (HIGHEST-precision dots) vs the
+host's f64, so a merge whose two candidate distances are closer than
+~1e-7 relative can flip order — the same class (and roughly the same
+magnitude) of deviation as the host path's own documented divergence from
+the iterated Lance-Williams recursion, and two-plus orders below the AHC
+cut's ~1e-4 decision scale. tests/test_clustering.py pins label equality
+on randomized inputs; scripts/ab_ahc_device.py re-checks at N=50k on the
+chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def _round_up(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+@functools.lru_cache(maxsize=32)
+def _nn_chain_jit(Np: int, D: int, n_merges: int):
+    import jax
+    import jax.numpy as jnp
+
+    inf = jnp.float32(jnp.inf)
+
+    def run(sums0, sizes0, active0):
+        idx = jnp.arange(Np, dtype=jnp.int32)
+
+        def cond(st):
+            return st[0] < n_merges
+
+        def body(st):
+            (k, clen, chain, sums, sizes, active, ma, mb, md) = st
+
+            # seed an empty chain with the lowest active index
+            # (host: `chain.push_back(act.front())`)
+            seeded = clen == 0
+            first_active = jnp.argmax(active).astype(jnp.int32)
+            chain = jnp.where(seeded, chain.at[0].set(first_active), chain)
+            clen = jnp.where(seeded, 1, clen)
+            a = chain[clen - 1]
+
+            # one scan: distance of chain tip `a` to every active cluster,
+            # d(a, x) = -(S_a . S_x) / (|a||x|) — the [Np, D] @ [D] matvec
+            sa = jax.lax.dynamic_index_in_dim(sums, a, keepdims=False)
+            na = sizes[a]
+            dots = jnp.dot(sums, sa,
+                           precision=jax.lax.Precision.HIGHEST)   # [Np]
+            dist = -dots / (sizes * na)
+            valid = jnp.logical_and(active, idx != a)
+            dist = jnp.where(valid, dist, inf)
+            dmin = jnp.min(dist)
+            b0 = jnp.argmin(dist).astype(jnp.int32)   # lowest index on ties
+
+            # chain-predecessor preference: the host scan starts from the
+            # predecessor and replaces only on STRICT improvement, so the
+            # predecessor wins ties — and an unimproved predecessor means
+            # a and it are reciprocal nearest neighbors (merge)
+            has_prev = clen >= 2
+            prev = chain[jnp.maximum(clen - 2, 0)]
+            d_prev = dist[prev]
+            use_prev = jnp.logical_and(has_prev, d_prev <= dmin)
+            b = jnp.where(use_prev, prev, b0)
+            bd = jnp.where(use_prev, d_prev, dmin)
+            is_merge = use_prev                       # b == predecessor
+
+            # merge branch: S_b += S_a is the WHOLE Lance-Williams update
+            mf = is_merge.astype(jnp.float32)
+            sums = sums.at[b].add(mf * sa)
+            sizes = sizes.at[b].add(mf * na)
+            active = active.at[a].set(
+                jnp.logical_and(active[a], jnp.logical_not(is_merge)))
+            ma = ma.at[k].set(jnp.where(is_merge, a, ma[k]))
+            mb = mb.at[k].set(jnp.where(is_merge, b, mb[k]))
+            md = md.at[k].set(jnp.where(is_merge, bd, md[k]))
+            k = k + is_merge.astype(jnp.int32)
+
+            # chain: pop both on merge, push b otherwise
+            chain = jnp.where(is_merge, chain, chain.at[clen].set(b))
+            clen = jnp.where(is_merge, clen - 2, clen + 1)
+            return (k, clen, chain, sums, sizes, active, ma, mb, md)
+
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.zeros((Np + 2,), jnp.int32), sums0, sizes0, active0,
+                jnp.zeros((n_merges,), jnp.int32),
+                jnp.zeros((n_merges,), jnp.int32),
+                jnp.zeros((n_merges,), jnp.float32))
+        final = jax.lax.while_loop(cond, body, init)
+        return final[6], final[7], final[8]
+
+    return jax.jit(run)
+
+
+def _finalize(ma: np.ndarray, mb: np.ndarray, md: np.ndarray, n: int
+              ) -> np.ndarray:
+    """Merge triples (chain order) -> SciPy linkage matrix: stable sort by
+    distance (keeps NN-chain order on ties — valid by reducibility) +
+    union-find relabeling, exactly native finalize_linkage's semantics."""
+    order = np.argsort(md, kind="stable")
+    a_s, b_s, d_s = ma[order], mb[order], md[order]
+    parent = np.full(2 * n - 1, -1, np.int64)
+    size = np.ones(2 * n - 1, np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != -1:
+            root = parent[root]
+        while parent[x] != -1:
+            parent[x], x = root, parent[x]
+        return root
+
+    Z = np.empty((n - 1, 4), np.float64)
+    for k in range(n - 1):
+        la, lb = find(a_s[k]), find(b_s[k])
+        if la > lb:
+            la, lb = lb, la
+        label = n + k
+        parent[la] = label
+        parent[lb] = label
+        size[label] = size[la] + size[lb]
+        Z[k] = (la, lb, d_s[k], size[label])
+    return Z
+
+
+def linkage_dot_avg_device(xn: np.ndarray) -> np.ndarray:
+    """Average linkage over d(i, j) = -(x_i . x_j) with the NN-chain walk
+    on the default accelerator (module docstring). xn: [N, D] l2-normalized
+    rows. Returns the SciPy-compatible [N-1, 4] linkage matrix.
+
+    The jitted program is cached per padded (N, D); the while_loop runs
+    ~3N data-dependent iterations of one [N, D] matvec each — at N=50k
+    that is ~26 MB of HBM per scan, ~5 s total on one v5e vs 66 s for the
+    same scans on the 4-core host (bandwidth ratio), with ONE transfer
+    each way.
+    """
+    import jax.numpy as jnp
+
+    xn = np.ascontiguousarray(xn, dtype=np.float64)
+    n, d = xn.shape
+    if n < 2:
+        return np.empty((0, 4), np.float64)
+    Np = _round_up(n, 128)
+    sums0 = np.zeros((Np, d), np.float32)
+    sums0[:n] = xn
+    sizes0 = np.ones((Np,), np.float32)
+    active0 = np.zeros((Np,), bool)
+    active0[:n] = True
+
+    fn = _nn_chain_jit(Np, d, n - 1)
+    ma, mb, md = fn(jnp.asarray(sums0), jnp.asarray(sizes0),
+                    jnp.asarray(active0))
+    return _finalize(np.asarray(ma), np.asarray(mb),
+                     np.asarray(md, np.float64), n)

