@@ -33,6 +33,8 @@ args = sys.argv[1:]
 PARTIAL_MS = 50.0
 AB = "--ab" in args
 args = [a for a in args if a != "--ab"]
+ENGINES = "--engines" in args
+args = [a for a in args if a != "--engines"]
 if "--partial-ms" in args:
     i = args.index("--partial-ms")
     PARTIAL_MS = float(args[i + 1])
@@ -43,7 +45,10 @@ BUCKET_WARMUP = "--no-bucket-warmup" not in args
 args = [a for a in args if a != "--no-bucket-warmup"]
 N = int(args[0]) if len(args) > 0 else 256
 K = int(args[1]) if len(args) > 1 else 16
-FB = args[2] if len(args) > 2 else "pallas"
+# default: exercise the SHIPPED serving default (fb_impl=None resolves
+# inside DiarizationService — round-5 engine-of-record); pass an explicit
+# engine name to pin one
+FB = args[2] if len(args) > 2 else None
 REF = "/root/reference"
 
 
@@ -106,7 +111,8 @@ def main():
     from vbx_tpu.serving import DiarizationService
 
     fb = FB
-    if jax.default_backend() == "cpu" and FB.startswith("pallas"):
+    if (jax.default_backend() == "cpu" and FB is not None
+            and FB.startswith("pallas")):
         # the pallas kernels only run interpreted on CPU — orders of
         # magnitude slower; the structured engine is the CPU path
         fb = "structured"
@@ -123,7 +129,7 @@ def main():
         cfg = cfg.replace(ahc=dataclasses.replace(
             cfg.ahc, compute_backend="device"))
 
-    def run_phase(partial_ms, n, label=""):
+    def run_phase(partial_ms, n, label="", cfg_run=None, fb_run="unset"):
         import tempfile
 
         runlog_path = os.environ.get("VBX_TPU_SERVE_RUNLOG")
@@ -133,8 +139,10 @@ def main():
             # re-run — VERDICT r3 #5 wants the battery itself to carry it
             runlog_path = os.path.join(tempfile.mkdtemp(), "serve.jsonl")
         svc = DiarizationService.from_files(
-            cfg, f"{REF}/VBx/models/ResNet101_16kHz/plda",
-            f"{REF}/VBx/models/ResNet101_16kHz/transform.h5", fb_impl=fb,
+            cfg if cfg_run is None else cfg_run,
+            f"{REF}/VBx/models/ResNet101_16kHz/plda",
+            f"{REF}/VBx/models/ResNet101_16kHz/transform.h5",
+            fb_impl=fb if fb_run == "unset" else fb_run,
             partial_after_ms=partial_ms,
             runlog_path=runlog_path)
         try:
@@ -201,6 +209,28 @@ def main():
               f"partial {min(b1[1], b2[1]):.0f}ms; req/s: off "
               f"{max(a1[0], a2[0]):.1f} vs partial "
               f"{max(b1[0], b2[0]):.1f} (best of 2 each)", flush=True)
+    elif ENGINES:
+        # engine-of-record A/B (VERDICT r4 #5): which engine should a
+        # serving daemon DEFAULT to? The corpus default (bf16 run-to-max,
+        # 40 iters) optimizes batch throughput; a single request converges
+        # in 6-8 f32 iterations, so it is the wrong latency choice. Phases
+        # run same-process (fresh service each) in a mirrored sequence so
+        # tunnel drift cancels: f32 / bf16-max / bf16-cap12 / bf16-cap12 /
+        # bf16-max / f32.
+        import dataclasses
+
+        cfg12 = cfg.replace(vb=dataclasses.replace(cfg.vb, max_iters=12))
+        phases = [("pallas_f32", cfg, "pallas"),
+                  ("bf16_run_to_max", cfg, "pallas_bf16"),
+                  ("bf16_cap12", cfg12, "pallas_bf16")]
+        res = {}
+        for name, c, f in phases + phases[::-1]:
+            r = run_phase(PARTIAL_MS, N, f"[{name}] ", cfg_run=c, fb_run=f)
+            res.setdefault(name, []).append(r)
+        for name, rs in res.items():
+            print(f"engine {name}: best req/s "
+                  f"{max(r[0] for r in rs):.1f}, best p95 "
+                  f"{min(r[1] for r in rs):.0f}ms", flush=True)
     else:
         run_phase(PARTIAL_MS, N)
 

@@ -782,3 +782,23 @@ def test_admission_bound_sheds_load(tmp_path):
         fut = svc.submit(names[0], x_raw, ts)
         assert fut.result(timeout=300).n_speakers >= 1
         assert svc.stats()["pending"] == 0
+
+
+@needs_assets
+def test_serving_default_engine_overrides_corpus_bf16(monkeypatch):
+    """Round-5 engine-of-record: a daemon built on a corpus preset must
+    NOT default to the preset's bf16 run-to-max engine (a batch-throughput
+    choice that runs every request max_iters with stops disabled);
+    fb_impl=None resolves to the f32 adaptive pallas engine on an
+    accelerator. An explicit fb_impl always wins."""
+    import vbx_tpu.engine.pipeline as pl
+    from vbx_tpu.config import get_preset
+
+    monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+    cfg = get_preset("ami_mixheadset")
+    assert cfg.vb.fb_impl == "pallas_bf16"
+    with DiarizationService.from_files(cfg, PLDA, H5) as svc:
+        assert svc._fb_impl == "pallas"
+    with DiarizationService.from_files(cfg, PLDA, H5,
+                                       fb_impl="pallas_bf16") as svc:
+        assert svc._fb_impl == "pallas_bf16"

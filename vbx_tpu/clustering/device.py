@@ -39,14 +39,24 @@ def _round_up(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
+# Np padding quantum: coarse enough that a corpus of nearby-N meetings
+# shares one compiled while_loop (the dynamic merge count handles the
+# rest), fine enough that masked pad rows stay a small scan overhead
+# (<= ~25% at N >= 8k).
+_NP_QUANTUM = 2048
+
+
 @functools.lru_cache(maxsize=32)
-def _nn_chain_jit(Np: int, D: int, n_merges: int):
+def _nn_chain_jit(Np: int, D: int):
+    """One cached program per PADDED shape: the merge count is a dynamic
+    scalar (a corpus of meetings with different N would otherwise compile
+    one while_loop per recording — Np buckets at _NP_QUANTUM instead)."""
     import jax
     import jax.numpy as jnp
 
     inf = jnp.float32(jnp.inf)
 
-    def run(sums0, sizes0, active0):
+    def run(sums0, sizes0, active0, n_merges):
         idx = jnp.arange(Np, dtype=jnp.int32)
 
         def cond(st):
@@ -105,9 +115,9 @@ def _nn_chain_jit(Np: int, D: int, n_merges: int):
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                 jnp.zeros((Np + 2,), jnp.int32), sums0, sizes0, active0,
-                jnp.zeros((n_merges,), jnp.int32),
-                jnp.zeros((n_merges,), jnp.int32),
-                jnp.zeros((n_merges,), jnp.float32))
+                jnp.zeros((Np - 1,), jnp.int32),
+                jnp.zeros((Np - 1,), jnp.int32),
+                jnp.zeros((Np - 1,), jnp.float32))
         final = jax.lax.while_loop(cond, body, init)
         return final[6], final[7], final[8]
 
@@ -162,15 +172,18 @@ def linkage_dot_avg_device(xn: np.ndarray) -> np.ndarray:
     n, d = xn.shape
     if n < 2:
         return np.empty((0, 4), np.float64)
-    Np = _round_up(n, 128)
+    # pad N to a coarse quantum: one compiled while_loop serves a whole
+    # corpus of nearby-N meetings (the padded inactive rows cost only
+    # masked scan lanes); the compile cache then amortizes across runs
+    Np = _round_up(n, _NP_QUANTUM)
     sums0 = np.zeros((Np, d), np.float32)
     sums0[:n] = xn
     sizes0 = np.ones((Np,), np.float32)
     active0 = np.zeros((Np,), bool)
     active0[:n] = True
 
-    fn = _nn_chain_jit(Np, d, n - 1)
+    fn = _nn_chain_jit(Np, d)
     ma, mb, md = fn(jnp.asarray(sums0), jnp.asarray(sizes0),
-                    jnp.asarray(active0))
-    return _finalize(np.asarray(ma), np.asarray(mb),
-                     np.asarray(md, np.float64), n)
+                    jnp.asarray(active0), jnp.asarray(n - 1, jnp.int32))
+    return _finalize(np.asarray(ma)[:n - 1], np.asarray(mb)[:n - 1],
+                     np.asarray(md, np.float64)[:n - 1], n)
