@@ -360,3 +360,38 @@ def test_ahc_ondemand_route_matches_condensed_labels(monkeypatch):
     monkeypatch.setattr(ahc, "linkage_dot_avg", no_ondemand)
     lab_condensed = ahc.ahc_labels(x, -0.015)
     assert np.array_equal(lab_ondemand, lab_condensed)
+
+
+def test_auto_routes_mid_n_linkage_to_device(monkeypatch):
+    """Round-5 routing: under 'auto' with an accelerator attached, the
+    mid-N band [6144, 16384) runs host calibration + DEVICE linkage
+    (measured crossover, BENCHMARKS round-5); explicit 'host' never
+    touches the device; below the band the host chain runs as before."""
+    import jax
+
+    import vbx_tpu.clustering.device as dev
+    from vbx_tpu.clustering import linkage_dot_avg
+    from vbx_tpu.engine.ahc import ahc_labels
+
+    calls = []
+
+    def spy(xn):
+        calls.append(len(xn))
+        # delegate to the host chain so the test stays fast and exact on
+        # the CPU backend (the routing, not the kernel, is under test)
+        return linkage_dot_avg(xn)
+
+    monkeypatch.setattr(dev, "linkage_dot_avg_device", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((6, 32))
+    x = centers[rng.integers(0, 6, 6500)] \
+        + 0.5 * rng.standard_normal((6500, 32))
+    lab_auto = ahc_labels(x, 0.0, compute_backend="auto")
+    assert calls == [6500]
+    lab_host = ahc_labels(x, 0.0, compute_backend="host")
+    assert calls == [6500]              # explicit host: no device call
+    np.testing.assert_array_equal(lab_auto, lab_host)
+    ahc_labels(x[:5000], 0.0, compute_backend="auto")
+    assert calls == [6500]              # below the band: host chain

@@ -86,6 +86,7 @@ def ahc_labels(
         return np.zeros(1, dtype=np.int32)
 
     condensed = thr = Z = None
+    requested_backend = compute_backend
     if similarity == "cosine":
         long_n = n >= _BLOCKED_MIN_N
         if compute_backend == "auto":
@@ -153,17 +154,42 @@ def ahc_labels(
             xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True)) + 1e-32)
             if n >= _BLOCKED_MIN_N:
                 if linkage_backend != "scipy":
-                    try:
-                        # O(N.D)-memory path (VERDICT r2 #3): calibration
-                        # from the streamed histogram sweep, linkage via
-                        # the cluster-sums identity — the 10 GB condensed
-                        # buffer at N=50k never exists (measured: 52 s /
-                        # 0.3 GB vs 183 s / 10 GB, BENCHMARKS.md)
-                        Z = linkage_dot_avg(xn, backend="native")
+                    if (requested_backend == "auto"
+                            and n >= _DEVICE_LINKAGE_MIN_N):
+                        # 'auto' mid-N band [6144, 16384): calibration
+                        # stays on the host (the device sweep only wins
+                        # from ~16k) but the LINKAGE walk already wins on
+                        # the accelerator from ~N=6k — measured warm
+                        # 0.74 s vs 1.66 s (4-core) / 6.94 s
+                        # (single-thread, the corpus init-pool context)
+                        # at N=10k (BENCHMARKS round-5 crossover sweep).
+                        # Explicit 'host' never takes this route.
+                        import jax
+                        if jax.default_backend() != "cpu":
+                            try:
+                                from vbx_tpu.clustering.device import (
+                                    linkage_dot_avg_device)
+                                Z = linkage_dot_avg_device(xn)
+                            except Exception as exc:  # noqa: BLE001
+                                import warnings
+                                warnings.warn(
+                                    f"device linkage failed ({exc!r}); "
+                                    f"falling back to the host NN-chain",
+                                    stacklevel=2)
+                    if Z is None:
+                        try:
+                            # O(N.D)-memory path (VERDICT r2 #3):
+                            # calibration from the streamed histogram
+                            # sweep, linkage via the cluster-sums identity
+                            # — the 10 GB condensed buffer at N=50k never
+                            # exists (measured: 52 s / 0.3 GB vs 183 s /
+                            # 10 GB, BENCHMARKS.md)
+                            Z = linkage_dot_avg(xn, backend="native")
+                        except RuntimeError:   # native library unavailable
+                            Z = None
+                    if Z is not None:
                         _, thr = _blocked_cosine_condensed_and_thr(
                             xn, want_condensed=False)
-                    except RuntimeError:   # native library unavailable
-                        Z = None
                 if Z is None:
                     condensed, thr = _blocked_cosine_condensed_and_thr(xn)
             else:
@@ -211,6 +237,12 @@ _BLOCKED_MIN_N = 4096
 # warm vs host 19.6 s at N=50k, but 4.5 s vs 1.2 s at N=8000 — tunnel
 # dispatch and per-octave compile dominate small sweeps).
 _DEVICE_CALIB_MIN_N = 16384
+# 'auto' device-LINKAGE cutoff (round 5, decoupled from the calibration
+# cutoff): the device NN-chain walk beats the 4-core host from ~N=6k and
+# the single-threaded corpus-init-pool host by ~10x at N=10k (measured
+# warm: 0.47/0.74/1.37 s device vs 0.55/1.66/4.87 s host-4-core vs
+# 2.23/6.94/19.2 s host-1-thread at N=6000/10000/16384).
+_DEVICE_LINKAGE_MIN_N = 6144
 # Fixed-range [-1, 1] bins for the blocked path's streamed histogram.
 # 2^16 matches adaptive_bins' L2-bounded cap (bin width 3e-5 -> threshold
 # error second-order, ~1e-9 — see adaptive_bins docstring measurements);
