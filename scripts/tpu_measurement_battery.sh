@@ -42,12 +42,12 @@ log "bench.py (headline, same-process f32/bf16 A/B)"
 timeout 590 python bench.py 2>"$OUT/bench.err" | tee "$OUT/bench.json" -a "$OUT/summary.log"
 tail -8 "$OUT/bench.err" >> "$OUT/summary.log"
 
-log "serving_bench 256 requests / 16 clients (pallas)"
-timeout 590 python scripts/serving_bench.py 256 16 pallas \
+log "serving_bench 256 requests / 16 clients (shipped default engine)"
+timeout 590 python scripts/serving_bench.py 256 16 \
     2>"$OUT/serving_bench.err" | tee -a "$OUT/summary.log"
 
-log "serving_bench 256 requests / 16 clients (pallas_bf16)"
-timeout 590 python scripts/serving_bench.py 256 16 pallas_bf16 \
+log "serving engine-of-record A/B (f32 vs bf16-max vs bf16-cap12)"
+timeout 590 python scripts/serving_bench.py 96 16 --engines \
     2>>"$OUT/serving_bench.err" | tee -a "$OUT/summary.log"
 
 log "profiler trace of the headline workload (measured HBM/op times)"
@@ -73,6 +73,10 @@ timeout 560 python scripts/ab_plateau.py pallas_bf16 18 \
 log "corpus-preset engine A/B vs the frozen AMI-scale oracle (chip)"
 timeout 590 python scripts/ab_corpus_engine.py \
     2>"$OUT/ab_corpus_engine.err" | tee -a "$OUT/summary.log"
+
+log "AMI-scale 18-meeting e2e corpus wall (chip; device mid-N linkage)"
+timeout 570 python scripts/ami_scale_bench.py \
+    2>"$OUT/ami_scale.err" | tee -a "$OUT/summary.log"
 
 log "extractor throughput + conv-precision A/B (chip)"
 timeout 560 python scripts/extractor_bench.py 4 \

@@ -802,3 +802,41 @@ def test_serving_default_engine_overrides_corpus_bf16(monkeypatch):
     with DiarizationService.from_files(cfg, PLDA, H5,
                                        fb_impl="pallas_bf16") as svc:
         assert svc._fb_impl == "pallas_bf16"
+
+
+@needs_assets
+def test_http_overload_returns_503(tmp_path):
+    """Back-pressure surfaces as HTTP 503 + Retry-After (an operational
+    state for load balancers to act on), not a 500 server fault."""
+    import urllib.error
+
+    from vbx_tpu.cli.serve import make_handler
+
+    _, _, names, recs = _corpus_requests(tmp_path, n_rec=2)
+    x_raw, ts = recs[names[0]]
+    svc = DiarizationService.from_files(get_preset("example"), PLDA, H5,
+                                        max_pending_requests=1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with svc._lock:          # deterministically saturate the bound
+            svc._pending = svc._max_pending
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/diarize",
+            data=json.dumps({"recording": "r",
+                             "xvectors": x_raw[:4].tolist(),
+                             "timestamps": ts[:4].tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=60):
+                raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers.get("Retry-After") == "1"
+            assert "max_pending_requests" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        with svc._lock:
+            svc._pending = 0
+        svc.close()

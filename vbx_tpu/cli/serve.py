@@ -35,7 +35,7 @@ import numpy as np
 
 from vbx_tpu.cli.diarize import config_from_args
 from vbx_tpu.config import DATASET_PRESETS
-from vbx_tpu.serving import DiarizationService
+from vbx_tpu.serving import DiarizationService, ServiceOverloaded
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -113,11 +113,14 @@ def make_handler(service: DiarizationService):
         def log_message(self, fmt, *args):   # noqa: N802 (stdlib name)
             print(f"{self.address_string()} {fmt % args}", file=sys.stderr)
 
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict,
+                   extra_headers: dict = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -162,6 +165,12 @@ def make_handler(service: DiarizationService):
                         "error": "need 'xvectors'+'timestamps', "
                                  "'xvec_ark_file'+'segments_file', or "
                                  "'wav_file'+('lab_file'|'vad')"})
+            except ServiceOverloaded as exc:
+                # back-pressure is an expected operational state, not a
+                # server fault: 503 + Retry-After so load balancers and
+                # clients shed/retry instead of treating it as a crash
+                self._reply(503, {"error": str(exc)},
+                            extra_headers={"Retry-After": "1"})
             except (ValueError, KeyError, OSError) as exc:
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
             except Exception as exc:   # noqa: BLE001 — engine failure
