@@ -416,15 +416,15 @@ def test_plateau_checkpointed_slicing_is_exact(iters_per_slice):
 
 def test_checkpointed_pallas_s_gt_128_keeps_engine_dtype():
     """Round-3 review: requesting fb_impl='pallas' above the kernels'
-    128-speaker lane capacity must resolve the structured fallback BEFORE
-    committing to the pallas f32 state dtype — an f64 structured
-    trajectory checkpointed in f32 would quantize sub-f32 ELBO deltas to
-    zero and converge early. One warning, then bit-equality with the
-    structured checkpointed run."""
+    speaker capacity (256 on the sb path since round 5) must resolve the
+    structured fallback BEFORE committing to the pallas f32 state dtype —
+    an f64 structured trajectory checkpointed in f32 would quantize
+    sub-f32 ELBO deltas to zero and converge early. One warning, then
+    bit-equality with the structured checkpointed run."""
     from vbx_tpu.engine.vbhmm import vbx_batched_checkpointed
 
     rng = np.random.default_rng(2)
-    B, T, S, D = 2, 24, 130, 6
+    B, T, S, D = 2, 24, 258, 6
     X = jnp.asarray(rng.standard_normal((B, T, D)))            # f64
     phi = jnp.asarray(rng.uniform(0.5, 2.0, D))
     G = jnp.asarray(rng.dirichlet(np.ones(S), size=(B, T)))
@@ -434,7 +434,7 @@ def test_checkpointed_pallas_s_gt_128_keeps_engine_dtype():
     kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=8, epsilon=1e-9)
     ref = vbx_batched_checkpointed(X, phi, G, PI, FM, SM, **kw,
                                    iters_per_slice=3)
-    with pytest.warns(UserWarning, match="128 speakers"):
+    with pytest.warns(UserWarning, match="256 speakers"):
         out = vbx_batched_checkpointed(X, phi, G, PI, FM, SM, **kw,
                                        iters_per_slice=3,
                                        fb_impl="pallas")

@@ -353,24 +353,46 @@ def test_fused_sb_recip_normalization_matches():
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), rtol=1e-6)
 
 
-def test_pallas_s_over_128_falls_back_with_warning():
-    """VERDICT r1 #5: the fused kernel holds speakers on the 128-lane
-    axis; S>128 must fall back to the structured engine WITH a warning
-    (was silent), and the result must equal the structured run exactly."""
+def test_pallas_s_over_cap_falls_back_with_warning():
+    """The sb kernel holds speakers on sublanes — S up to 256 runs the
+    kernel since round 5 (the old 128 cap was the lanes-layout limit);
+    past 256 the engine must fall back to the structured engine WITH a
+    warning, and the result must equal the structured run exactly."""
     rng = np.random.default_rng(129)
-    T, S, D = 48, 129, 6
+    T, S, D = 48, 257, 6
     X, phi, gamma, pi = random_vb_problem(rng, T, S, D)
     args = (jnp.asarray(X, jnp.float32), jnp.asarray(phi, jnp.float32),
             jnp.asarray(gamma, jnp.float32)[None],
             jnp.asarray(pi, jnp.float32)[None],
             jnp.ones((1, T), bool), jnp.ones((1, S), bool))
     kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=4, epsilon=1e-6)
-    with pytest.warns(UserWarning, match="128 speakers"):
+    with pytest.warns(UserWarning, match="256 speakers"):
         res = vbx_batched(args[0][None], *args[1:], fb_impl="pallas", **kw)
     ref = vbx_batched(args[0][None], *args[1:], fb_impl="structured", **kw)
     np.testing.assert_array_equal(np.asarray(res.gamma),
                                   np.asarray(ref.gamma))
     assert int(res.n_iters[0]) == int(ref.n_iters[0])
+
+
+def test_pallas_s_in_extended_range_matches_structured():
+    """Round-5 cap raise (VERDICT r4 #9): S in (128, 256] runs the sb
+    kernel (speakers are SUBLANE tiles there, not lanes) at the pallas
+    path's usual tolerance contract vs the structured engine."""
+    rng = np.random.default_rng(160)
+    T, S, D = 64, 160, 8
+    X, phi, gamma, pi = random_vb_problem(rng, T, S, D)
+    args = (jnp.asarray(X, jnp.float32)[None],
+            jnp.asarray(phi, jnp.float32),
+            jnp.asarray(gamma, jnp.float32)[None],
+            jnp.asarray(pi, jnp.float32)[None],
+            jnp.ones((1, T), bool), jnp.ones((1, S), bool))
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=4, epsilon=-1.0)
+    res = vbx_batched(*args, fb_impl="pallas", **kw)
+    ref = vbx_batched(*args, fb_impl="structured", **kw)
+    np.testing.assert_allclose(np.asarray(res.gamma),
+                               np.asarray(ref.gamma), atol=5e-5)
+    assert np.array_equal(np.asarray(res.gamma[0]).argmax(-1),
+                          np.asarray(ref.gamma[0]).argmax(-1))
 
 
 @pytest.mark.parametrize("io_dtype", [jnp.float32, jnp.bfloat16])

@@ -539,9 +539,11 @@ def vbx_batched(
     kernel path with the large per-iteration streams stored in bfloat16 —
     f32 accumulation throughout; lowest HBM traffic, tolerance-parity
     only — see _vbx_batched_pallas_sb_jit), or 'assoc' (work-parallel
-    associative scan for very long recordings). The pallas kernels hold
-    speakers on the 128-lane axis: S>128 falls back to 'structured' with
-    a UserWarning (the reference NumPy loop has no S limit, VBx.py:97-98).
+    associative scan for very long recordings). The pallas sb kernel
+    holds speakers on SUBLANES — S up to 256 runs the kernel (round 5;
+    the old 128 cap was the lanes-layout limit); past 256 the engine
+    falls back to 'structured' with a UserWarning (the reference NumPy
+    loop has no S limit, VBx.py:97-98).
 
     converged0/last_elbo0 resume a run from engine-state checkpointing
     (vbx_batched_checkpointed): a resumed slice behaves exactly as the
@@ -570,15 +572,16 @@ def vbx_batched(
         last_elbo0 = jnp.full((B,), NEG_INF, X.dtype)
     if fb_impl is None:
         fb_impl = "structured"
-    if fb_impl in ("pallas", "pallas_bf16") and gamma.shape[-1] > 128:
-        # the fused kernel holds speakers on the 128-lane axis; fall back
-        # to the structured engine — LOUDLY, so a user benchmarking
-        # "pallas*" on a many-speaker corpus knows a different engine ran
+    from vbx_tpu.ops.fb_pallas import S_PAD_SB
+    if fb_impl in ("pallas", "pallas_bf16") and gamma.shape[-1] > S_PAD_SB:
+        # beyond the sb kernel's sublane extent; fall back to the
+        # structured engine — LOUDLY, so a user benchmarking "pallas*"
+        # on a many-speaker corpus knows a different engine ran
         # (the reference NumPy loop has no S limit, VBx/VBx.py:97-98)
         import warnings
         warnings.warn(
-            f"fb_impl={fb_impl!r} supports at most 128 speakers (the "
-            f"kernel holds speakers on the 128-lane axis); got "
+            f"fb_impl={fb_impl!r} supports at most {S_PAD_SB} speakers "
+            f"(the kernel holds speakers on sublanes); got "
             f"S={gamma.shape[-1]} — falling back to fb_impl='structured'",
             stacklevel=2)
         fb_impl = "structured"
@@ -589,17 +592,31 @@ def vbx_batched(
         # independent up to float rounding (XLA blocks the einsums shape-
         # dependently; tests bound the drift at ~1e-5) — for bit-exact
         # batched==streaming behavior use the default 'structured' path.
-        return _vbx_batched_pallas_sb_jit(
-            X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
-            jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
-            jnp.float32(epsilon), jnp.asarray(converged0, bool),
-            jnp.asarray(last_elbo0, jnp.float32),
-            jnp.float32(plateau_ulps),
-            jnp.asarray(plateau_iters, jnp.int32),
-            jnp.asarray(plateau0, jnp.int32),
-            max_iters=max_iters, interpret=interpret,
-            io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
-                      else "float32"))
+        try:
+            return _vbx_batched_pallas_sb_jit(
+                X, jnp.asarray(phi), gamma, pi, frame_mask, speaker_mask,
+                jnp.float32(loop_prob), jnp.float32(Fa), jnp.float32(Fb),
+                jnp.float32(epsilon), jnp.asarray(converged0, bool),
+                jnp.asarray(last_elbo0, jnp.float32),
+                jnp.float32(plateau_ulps),
+                jnp.asarray(plateau_iters, jnp.int32),
+                jnp.asarray(plateau0, jnp.int32),
+                max_iters=max_iters, interpret=interpret,
+                io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
+                          else "float32"))
+        except Exception:
+            if gamma.shape[-1] <= 128:
+                raise   # the long-proven range: surface the real bug
+            # the S in (128, 256] extension is interpret-validated; if a
+            # backend's Mosaic rejects the wider sublane extent at
+            # compile time, degrade to the structured engine instead of
+            # failing the recording (round 5 — safety net for the cap
+            # raise)
+            import warnings
+            warnings.warn(
+                f"pallas engine failed to compile at S={gamma.shape[-1]}"
+                f" — falling back to fb_impl='structured'", stacklevel=2)
+            fb_impl = "structured"
     dtype = X.dtype
     return _vbx_batched_jit(
         X, jnp.asarray(phi, dtype), gamma, pi, frame_mask, speaker_mask,
@@ -665,8 +682,10 @@ def vbx_batched_checkpointed(
     # regardless of input, the structured path runs in X.dtype (f64 on
     # CPU) — an f32 downcast there would quantize sub-f32 ELBO deltas to
     # zero and flag convergence early
-    if S > 128 and (fb_impl or "").startswith("pallas"):
-        # the engines fall back to 'structured' above the kernels' lane
+    from vbx_tpu.ops.fb_pallas import S_PAD_SB
+    s_cap = 128 if mesh is not None else S_PAD_SB   # sharded kernels: 128
+    if S > s_cap and (fb_impl or "").startswith("pallas"):
+        # the engines fall back to 'structured' above the kernels'
         # capacity; committing to the pallas f32 state dtype (and a
         # '+pallas' checkpoint header) here would quantize an f64
         # structured trajectory's deltas and misdescribe the run. Warn
@@ -674,9 +693,9 @@ def vbx_batched_checkpointed(
         # calls don't re-warn either.
         import warnings
         warnings.warn(
-            f"fb_impl={fb_impl!r} supports at most 128 speakers; got "
-            f"S={S} — checkpointed run proceeds with the structured "
-            f"engine", stacklevel=2)
+            f"fb_impl={fb_impl!r} supports at most {s_cap} speakers "
+            f"here; got S={S} — checkpointed run proceeds with the "
+            f"structured engine", stacklevel=2)
         fb_impl = None
     fb = fb_impl or "structured"
     mesh_pallas = mesh is not None and fb in ("pallas", "pallas_bf16")

@@ -58,7 +58,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B_BLK = 8        # f32 sublane tile (two-pass kernels)
-S_PAD = 128      # lane tile
+S_PAD = 128      # lane tile (the [T, B, S->128] layout's structural cap)
+# The sb layout holds speakers on SUBLANES, where the extent is just a
+# tile count — S up to 256 lowers and matches the structured engine at
+# tolerance (round 5; interpret-validated, VMEM bounded by t_chunk).
+# Beyond 256 the VMEM slots shrink t_chunk toward the latency-bound
+# regime and no diarization corpus comes close — the engine falls back
+# to 'structured' with a warning there (VBx.py:97-98 has no S limit).
+S_PAD_SB = 256
 T_CHUNK = 512    # (two-pass kernels)
 
 _TINY = 1e-37
@@ -318,8 +325,8 @@ def fb_scan_pallas_sb(w: jax.Array, valid: jax.Array, col: jax.Array,
 
 def _sb_geometry(T: int, S: int, B: int, io_dtype):
     """(Sp, Bp, Tp, t_chunk, nt) for the sb kernel's padded streams."""
-    if S > S_PAD:
-        raise ValueError(f"S={S} > {S_PAD}; shard speakers first")
+    if S > S_PAD_SB:
+        raise ValueError(f"S={S} > {S_PAD_SB}; shard speakers first")
     # bf16 tiles pack sublane pairs: the second-minor axis tiles at 16
     Sp = _round_up(S, 8 if io_dtype.itemsize == 4 else 16)
     Bp = _round_up(B, 128)
