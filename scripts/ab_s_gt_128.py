@@ -1,15 +1,16 @@
-"""S > 128 fallback cost, measured (VERDICT r2 #8: "decide S>128 with
-data"). The fused Pallas kernels hold speakers on the 128-lane axis, so
-S > 128 falls back to the structured XLA engine with a UserWarning. No
-reference corpus exceeds ~40 speakers (AMI meetings are 4-5; DIHARD2 peaks
-in the 20s; the golden ES2005a AHC init is 31), so this regime is outside
-diarization's envelope — this harness prices the fallback anyway so the
-decision is a number, not a warning.
+"""S > 128 engine pricing, measured (VERDICT r2 #8 / r4 #9). Since
+round 5 the solo sb kernel accepts S up to 256 (speakers are SUBLANE
+tiles, not lanes); past 256 the engine falls back to the structured XLA
+engine with a UserWarning. No reference corpus exceeds ~40 speakers
+(AMI meetings are 4-5; DIHARD2 peaks in the 20s; the golden ES2005a AHC
+init is 31), so this regime is outside diarization's envelope — this
+harness prices it anyway so the decision is a number, not a warning.
 
 Same-process A/B on one chip (chained fetch-forced slopes, forced-iteration
 EM so convergence can't truncate a configuration early):
   S=128 pallas vs S=128 structured   -> what the kernel is worth in-range
-  S=256 structured                   -> what the fallback costs out-of-range
+  S=160/256 pallas vs S=256 structured -> the round-5 extended range
+  + an S=160 label-agreement spot-check vs the structured engine
 
     timeout 560 python scripts/ab_s_gt_128.py [T] [B] [iters]
 """
@@ -86,11 +87,26 @@ def main():
     t128_p = bench(128, "pallas_bf16")
     t128_s = bench(128, "structured")
     t256_s = bench(256, "structured")
+    # round 5: the sb kernel's cap is 256 (speakers are SUBLANE tiles);
+    # price the extended range directly + a correctness spot-check
+    t256_p = bench(256, "pallas_bf16")
+    t160_p = bench(160, "pallas_bf16")
     print(f"\nkernel speedup in-range (S=128): {t128_s / t128_p:.1f}x\n"
-          f"fallback cost out-of-range: S=256 structured runs "
-          f"{t256_s * 1e3:.0f} ms vs S=128 pallas {t128_p * 1e3:.0f} ms "
-          f"({t256_s / t128_p:.1f}x) — for a speaker count no diarization "
-          f"corpus reaches", flush=True)
+          f"extended range (round 5): S=256 pallas {t256_p * 1e3:.0f} ms "
+          f"vs S=256 structured {t256_s * 1e3:.0f} ms "
+          f"({t256_s / t256_p:.1f}x); S=160 pallas {t160_p * 1e3:.0f} ms "
+          f"— for speaker counts no diarization corpus reaches",
+          flush=True)
+
+    # label agreement at S=160 vs structured (tolerance contract)
+    Xb, phi, Gb, PI, FM, SM = make(160)
+    kw = dict(loop_prob=0.9, Fa=0.3, Fb=17.0, max_iters=5, epsilon=0.0)
+    rp = vbx_batched(Xb, phi, Gb, PI, FM, SM, fb_impl="pallas_bf16", **kw)
+    rs = vbx_batched(Xb, phi, Gb, PI, FM, SM, fb_impl="structured", **kw)
+    agree = float(np.mean(np.asarray(rp.gamma[0]).argmax(-1)
+                          == np.asarray(rs.gamma[0]).argmax(-1)))
+    print(f"S=160 pallas vs structured label agreement: {agree:.6f}",
+          flush=True)
 
 
 if __name__ == "__main__":
