@@ -252,3 +252,60 @@ def test_top2_device_never_selects_padded_lane():
     assert np.asarray(l2).max() < S_true
     # deterministic lowest-index tie-break on the all-zero frame
     assert int(l1[0, 1]) == 0 and int(l2[0, 1]) == 1
+
+
+def test_batched_pre_stage_linkage_matches_unbatched(tmp_path, monkeypatch):
+    """Round-5 corpus pre-stage: eligible mid-N recordings' NN-chain
+    walks run as ONE batched device call before the init pool; the
+    resulting labels/RTTMs must equal the all-host pipeline's. Activated
+    here on CPU by shrinking the eligibility band and faking a non-CPU
+    backend for the pipeline's gate (the batched walk itself runs fine on
+    the CPU backend at test sizes)."""
+    import vbx_tpu.engine.ahc as ahc_mod
+    import vbx_tpu.engine.pipeline as pl
+
+    rng = np.random.default_rng(0)
+    out_vecs, out_rows = [], []
+    for r in range(3):
+        T = 700 + 30 * r
+        centers = rng.standard_normal((3, 256)) * 0.5
+        x = centers[rng.integers(0, 3, T)] \
+            + 0.7 * rng.standard_normal((T, 256))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        for i in range(T):
+            out_vecs.append((f"rec{r}_{i:06d}", x[i].astype(np.float32)))
+            out_rows.append((f"rec{r}_{i:06d}", f"rec{r}",
+                             round(i * 0.24, 3), round(i * 0.24 + 1.44, 3)))
+    ark = str(tmp_path / "p.ark")
+    seg = str(tmp_path / "p.seg")
+    write_vec_ark(ark, out_vecs)
+    write_segments(seg, out_rows)
+    cfg = get_preset("example")
+    plda = f"{REF}/VBx/models/ResNet101_16kHz/plda"
+    h5 = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
+
+    ref = diarize_ark(ark, seg, str(tmp_path / "host"), cfg, plda, h5,
+                      verbose=False)
+
+    # activate the pre-stage: recordings of ~700 frames become "mid-N"
+    monkeypatch.setattr(ahc_mod, "_BLOCKED_MIN_N", 512)
+    monkeypatch.setattr(ahc_mod, "_DEVICE_LINKAGE_MIN_N", 512)
+    monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+    calls = []
+    from vbx_tpu.clustering import device as dev
+    real = dev.linkage_dot_avg_device_batched
+
+    def spy(xns):
+        calls.append(len(xns))
+        return real(xns)
+
+    monkeypatch.setattr(dev, "linkage_dot_avg_device_batched", spy)
+    got = diarize_ark(ark, seg, str(tmp_path / "pre"), cfg, plda, h5,
+                      verbose=False)
+    assert calls == [3]          # one batched call covering all three
+    for rec in ref:
+        np.testing.assert_array_equal(got[rec].labels1st,
+                                      ref[rec].labels1st)
+        a = open(str(tmp_path / "host" / f"{rec}.rttm")).read()
+        b = open(str(tmp_path / "pre" / f"{rec}.rttm")).read()
+        assert a == b

@@ -124,6 +124,127 @@ def _nn_chain_jit(Np: int, D: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=16)
+def _nn_chain_batched_jit(M: int, Np: int, D: int):
+    """Batched form: M recordings' NN-chains advance in LOCKSTEP lanes of
+    one while_loop — each iteration is one batched [M, Np, D] x [M, D]
+    matvec instead of M serialized dispatches (the corpus init pool's
+    per-meeting device walks serialize on the device; batching trades
+    idle dispatch gaps + finished-lane waste for one fused scan stream).
+    Per-lane state freezes once that recording's merges are done."""
+    import jax
+    import jax.numpy as jnp
+
+    inf = jnp.float32(jnp.inf)
+
+    def lane_body(st):
+        (k, clen, chain, sums, sizes, active, ma, mb, md, n_merges) = st
+        done = k >= n_merges
+        idx = jnp.arange(Np, dtype=jnp.int32)
+
+        seeded = clen == 0
+        first_active = jnp.argmax(active).astype(jnp.int32)
+        chain = jnp.where(seeded, chain.at[0].set(first_active), chain)
+        clen = jnp.where(seeded, 1, clen)
+        a = chain[clen - 1]
+
+        sa = jax.lax.dynamic_index_in_dim(sums, a, keepdims=False)
+        na = sizes[a]
+        dots = jnp.dot(sums, sa, precision=jax.lax.Precision.HIGHEST)
+        dist = -dots / (sizes * na)
+        valid = jnp.logical_and(active, idx != a)
+        dist = jnp.where(valid, dist, inf)
+        dmin = jnp.min(dist)
+        b0 = jnp.argmin(dist).astype(jnp.int32)
+
+        has_prev = clen >= 2
+        prev = chain[jnp.maximum(clen - 2, 0)]
+        d_prev = dist[prev]
+        use_prev = jnp.logical_and(has_prev, d_prev <= dmin)
+        b = jnp.where(use_prev, prev, b0)
+        bd = jnp.where(use_prev, d_prev, dmin)
+        is_merge = jnp.logical_and(use_prev, jnp.logical_not(done))
+
+        mf = is_merge.astype(jnp.float32)
+        sums = sums.at[b].add(mf * sa)
+        sizes = sizes.at[b].add(mf * na)
+        active = active.at[a].set(
+            jnp.logical_and(active[a], jnp.logical_not(is_merge)))
+        ma = ma.at[k].set(jnp.where(is_merge, a, ma[k]))
+        mb = mb.at[k].set(jnp.where(is_merge, b, mb[k]))
+        md = md.at[k].set(jnp.where(is_merge, bd, md[k]))
+        k = k + is_merge.astype(jnp.int32)
+
+        push = jnp.logical_and(jnp.logical_not(is_merge),
+                               jnp.logical_not(done))
+        chain = jnp.where(push, chain.at[clen].set(b), chain)
+        clen = jnp.where(done, clen,
+                         jnp.where(is_merge, clen - 2, clen + 1))
+        return (k, clen, chain, sums, sizes, active, ma, mb, md, n_merges)
+
+    def run(sums0, sizes0, active0, n_merges):
+        def cond(st):
+            return jnp.any(st[0] < st[9])
+
+        def body(st):
+            return jax.vmap(lane_body)(st)
+
+        init = (jnp.zeros((M,), jnp.int32), jnp.zeros((M,), jnp.int32),
+                jnp.zeros((M, Np + 2), jnp.int32), sums0, sizes0, active0,
+                jnp.zeros((M, Np - 1), jnp.int32),
+                jnp.zeros((M, Np - 1), jnp.int32),
+                jnp.zeros((M, Np - 1), jnp.float32), n_merges)
+        final = jax.lax.while_loop(cond, body, init)
+        return final[6], final[7], final[8]
+
+    return jax.jit(run)
+
+
+def linkage_dot_avg_device_batched(xns) -> list:
+    """Batched `linkage_dot_avg_device` over a list of [N_i, D] matrices
+    (one recording each; shared D). All chains advance in lockstep lanes
+    of one device while_loop (see _nn_chain_batched_jit) — the corpus
+    init pool's per-meeting serialization collapses into one call.
+    Returns one SciPy linkage matrix per input, each identical to its
+    solo `linkage_dot_avg_device` run up to batched-dot rounding (same
+    f32 HIGHEST scans; tests pin label equality vs the host chain)."""
+    import jax.numpy as jnp
+
+    xns = [np.ascontiguousarray(x, dtype=np.float64) for x in xns]
+    if not xns:
+        return []
+    D = xns[0].shape[1]
+    if any(x.shape[1] != D for x in xns):
+        raise ValueError("all recordings must share the feature dim")
+    M = len(xns)
+    Mp = _round_up(M, 4)
+    Np = _round_up(max(x.shape[0] for x in xns), _NP_QUANTUM)
+    sums0 = np.zeros((Mp, Np, D), np.float32)
+    sizes0 = np.ones((Mp, Np), np.float32)
+    active0 = np.zeros((Mp, Np), bool)
+    n_merges = np.zeros((Mp,), np.int32)
+    for m, x in enumerate(xns):
+        n = x.shape[0]
+        sums0[m, :n] = x
+        active0[m, :n] = True
+        n_merges[m] = max(n - 1, 0)
+
+    fn = _nn_chain_batched_jit(Mp, Np, D)
+    ma, mb, md = fn(jnp.asarray(sums0), jnp.asarray(sizes0),
+                    jnp.asarray(active0), jnp.asarray(n_merges))
+    ma, mb = np.asarray(ma), np.asarray(mb)
+    md = np.asarray(md, np.float64)
+    out = []
+    for m, x in enumerate(xns):
+        n = x.shape[0]
+        if n < 2:
+            out.append(np.empty((0, 4), np.float64))
+        else:
+            out.append(_finalize(ma[m, :n - 1], mb[m, :n - 1],
+                                 md[m, :n - 1], n))
+    return out
+
+
 def _finalize(ma: np.ndarray, mb: np.ndarray, md: np.ndarray, n: int
               ) -> np.ndarray:
     """Merge triples (chain order) -> SciPy linkage matrix: stable sort by

@@ -41,6 +41,7 @@ def ahc_labels(
     pca_dim: Optional[int] = None,
     linkage_backend: Optional[str] = None,
     compute_backend: str = "auto",
+    precomputed_Z: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Cluster x-vectors; returns 0-based integer labels [N].
 
@@ -87,7 +88,20 @@ def ahc_labels(
 
     condensed = thr = Z = None
     requested_backend = compute_backend
-    if similarity == "cosine":
+    if (precomputed_Z is not None and similarity == "cosine"
+            and n >= _BLOCKED_MIN_N):
+        # corpus pre-stage (engine.pipeline round 5): the caller already
+        # ran this recording's NN-chain in one BATCHED device call
+        # (clustering.device.linkage_dot_avg_device_batched); only the
+        # calibration threshold remains — the same host blocked sweep
+        # the mid-N 'auto' route runs, so labels are identical to the
+        # unbatched path (tests/test_pipeline_batched.py)
+        x64 = np.asarray(x, dtype=np.float64)
+        xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True))
+                    + 1e-32)
+        _, thr = _blocked_cosine_condensed_and_thr(xn, want_condensed=False)
+        Z = precomputed_Z
+    elif similarity == "cosine":
         long_n = n >= _BLOCKED_MIN_N
         if compute_backend == "auto":
             # 'auto' routes to the device only where it measurably WINS:

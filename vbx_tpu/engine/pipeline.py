@@ -160,7 +160,9 @@ class Diarizer:
         y /= np.sqrt((y * y).sum(axis=1, keepdims=True))
         return y
 
-    def initial_labels(self, x: np.ndarray, seed: int = 0) -> np.ndarray:
+    def initial_labels(self, x: np.ndarray, seed: int = 0,
+                       precomputed_Z: Optional[np.ndarray] = None
+                       ) -> np.ndarray:
         kind, n_rand, _ = _parse_init(self.config.init)
         ahc_cfg = self.config.ahc
         if kind == "AHC":
@@ -180,7 +182,8 @@ class Diarizer:
                 similarity=ahc_cfg.similarity,
                 plda=self.raw_plda,
                 target_energy=ahc_cfg.target_energy,
-                compute_backend=ahc_cfg.compute_backend)
+                compute_backend=ahc_cfg.compute_backend,
+                precomputed_Z=precomputed_Z)
         return random_labels(len(x), n_rand, seed=seed)
 
     def vb_inputs(self, x: np.ndarray, labels: np.ndarray):
@@ -500,10 +503,69 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
     cfg = diar.config
     n = len(recs)
 
+    # round-5 pre-stage: eligible mid-N recordings' NN-chain walks run as
+    # ONE batched device call (clustering.device) instead of serializing
+    # per-meeting device while_loops through the init pool — measured
+    # ~0.76 s x 18 serial -> one ~4 s batched walk at AMI scale. Only the
+    # band the mid-N 'auto' route already sends to the device is
+    # eligible, so labels are identical to the unbatched pipeline (the
+    # per-recording calibration + cut stay exactly where they were).
+    pre_xz: Dict[int, tuple] = {}
+    _t_pre = _time.perf_counter()
+    _kind0, _, _ = _parse_init(cfg.init)
+    if (_kind0 == "AHC" and cfg.ahc.similarity == "cosine"
+            and cfg.ahc.compute_backend == "auto"
+            and jax.default_backend() != "cpu"):
+        from vbx_tpu.engine.ahc import (_DEVICE_CALIB_MIN_N,
+                                        _DEVICE_LINKAGE_MIN_N)
+        elig = [i for i in range(n)
+                if _DEVICE_LINKAGE_MIN_N <= len(recs[i][2])
+                < _DEVICE_CALIB_MIN_N
+                and not (0 < cfg.ahc.fallback_n < len(recs[i][2]))]
+        if len(elig) >= 2:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            def _pre_transform(i):
+                return i, diar.transform_xvectors(recs[i][2])
+
+            xs = {}
+            with _TPE(max_workers=min(8, len(elig))) as _pool:
+                for fut in [_pool.submit(_pre_transform, i) for i in elig]:
+                    try:
+                        i, x = fut.result()
+                        xs[i] = x
+                    except Exception:   # noqa: BLE001 — prep() will
+                        pass            # re-run and isolate the failure
+            try:
+                from vbx_tpu.clustering.device import (
+                    linkage_dot_avg_device_batched)
+                order = sorted(xs)
+                xns = [np.ascontiguousarray(
+                    xs[i] / (np.sqrt((xs[i] * xs[i]).sum(
+                        axis=1, keepdims=True)) + 1e-32))
+                    for i in order]
+                Zs = linkage_dot_avg_device_batched(xns)
+                pre_xz = {i: (xs[i], Z) for i, Z in zip(order, Zs)}
+            except Exception as exc:    # noqa: BLE001 — fall back to the
+                import warnings         # per-recording route
+                warnings.warn(
+                    f"batched device linkage failed ({exc!r}); recordings "
+                    f"fall back to the per-recording init path",
+                    stacklevel=2)
+                pre_xz = {}
+    if stage_log is not None and pre_xz:
+        stage_log["pre_linkage_s"] = round(_time.perf_counter() - _t_pre, 3)
+        stage_log["pre_linkage_recordings"] = len(pre_xz)
+
     def prep(i):
         rec, _, x_raw = recs[i]
-        x = diar.transform_xvectors(x_raw)
-        labels = diar.initial_labels(x)
+        pre = pre_xz.pop(i, None)
+        if pre is not None:
+            x, Z_pre = pre
+            labels = diar.initial_labels(x, precomputed_Z=Z_pre)
+        else:
+            x = diar.transform_xvectors(x_raw)
+            labels = diar.initial_labels(x)
         fea, phi, qinit = diar.vb_inputs(x, labels)
         T, S = qinit.shape
         key = bucket_shape(T, S)
