@@ -15,6 +15,8 @@ Design: the ENTIRE Muellner NN-chain walk runs on the device as one jitted
 O(D) merge/chain updates, and only the final merge list ([N-1] triples)
 crosses the device boundary, once. No per-merge host round-trips — over
 the tunnel a single dispatch costs more than the scan it would launch.
+There is exactly ONE kernel body: the solo entry point runs the batched
+program at M=1, so the parity-critical chain logic has a single source.
 
 Parity contract: scan order, lowest-index-on-tie argmin, and the
 chain-predecessor tie preference mirror the native host implementation
@@ -26,6 +28,17 @@ the iterated Lance-Williams recursion, and two-plus orders below the AHC
 cut's ~1e-4 decision scale. tests/test_clustering.py pins label equality
 on randomized inputs; scripts/ab_ahc_device.py re-checks at N=50k on the
 chip.
+
+Failure containment: NN-chain correctness rests on reducibility
+(d(x, a+b) >= min(d(x, a), d(x, b))), which f32 rounding can in principle
+violate at pathological near-ties — a stale chain entry could then become
+the tip AFTER its cluster merged away, and the walk would silently record
+merges of dead clusters (in-jit scatters drop out-of-bounds writes rather
+than raising). The kernel therefore carries a per-lane `bad` flag (tip
+must be an active cluster) and the wrapper raises RuntimeError when any
+lane trips it; every caller (engine.ahc routing, the corpus pre-stage)
+already falls back to the host f64 chain on exception, so the failure
+mode is a loud slow path, never a wrong dendrogram.
 """
 
 from __future__ import annotations
@@ -47,107 +60,40 @@ _NP_QUANTUM = 2048
 
 
 @functools.lru_cache(maxsize=32)
-def _nn_chain_jit(Np: int, D: int):
-    """One cached program per PADDED shape: the merge count is a dynamic
-    scalar (a corpus of meetings with different N would otherwise compile
-    one while_loop per recording — Np buckets at _NP_QUANTUM instead)."""
-    import jax
-    import jax.numpy as jnp
-
-    inf = jnp.float32(jnp.inf)
-
-    def run(sums0, sizes0, active0, n_merges):
-        idx = jnp.arange(Np, dtype=jnp.int32)
-
-        def cond(st):
-            return st[0] < n_merges
-
-        def body(st):
-            (k, clen, chain, sums, sizes, active, ma, mb, md) = st
-
-            # seed an empty chain with the lowest active index
-            # (host: `chain.push_back(act.front())`)
-            seeded = clen == 0
-            first_active = jnp.argmax(active).astype(jnp.int32)
-            chain = jnp.where(seeded, chain.at[0].set(first_active), chain)
-            clen = jnp.where(seeded, 1, clen)
-            a = chain[clen - 1]
-
-            # one scan: distance of chain tip `a` to every active cluster,
-            # d(a, x) = -(S_a . S_x) / (|a||x|) — the [Np, D] @ [D] matvec
-            sa = jax.lax.dynamic_index_in_dim(sums, a, keepdims=False)
-            na = sizes[a]
-            dots = jnp.dot(sums, sa,
-                           precision=jax.lax.Precision.HIGHEST)   # [Np]
-            dist = -dots / (sizes * na)
-            valid = jnp.logical_and(active, idx != a)
-            dist = jnp.where(valid, dist, inf)
-            dmin = jnp.min(dist)
-            b0 = jnp.argmin(dist).astype(jnp.int32)   # lowest index on ties
-
-            # chain-predecessor preference: the host scan starts from the
-            # predecessor and replaces only on STRICT improvement, so the
-            # predecessor wins ties — and an unimproved predecessor means
-            # a and it are reciprocal nearest neighbors (merge)
-            has_prev = clen >= 2
-            prev = chain[jnp.maximum(clen - 2, 0)]
-            d_prev = dist[prev]
-            use_prev = jnp.logical_and(has_prev, d_prev <= dmin)
-            b = jnp.where(use_prev, prev, b0)
-            bd = jnp.where(use_prev, d_prev, dmin)
-            is_merge = use_prev                       # b == predecessor
-
-            # merge branch: S_b += S_a is the WHOLE Lance-Williams update
-            mf = is_merge.astype(jnp.float32)
-            sums = sums.at[b].add(mf * sa)
-            sizes = sizes.at[b].add(mf * na)
-            active = active.at[a].set(
-                jnp.logical_and(active[a], jnp.logical_not(is_merge)))
-            ma = ma.at[k].set(jnp.where(is_merge, a, ma[k]))
-            mb = mb.at[k].set(jnp.where(is_merge, b, mb[k]))
-            md = md.at[k].set(jnp.where(is_merge, bd, md[k]))
-            k = k + is_merge.astype(jnp.int32)
-
-            # chain: pop both on merge, push b otherwise
-            chain = jnp.where(is_merge, chain, chain.at[clen].set(b))
-            clen = jnp.where(is_merge, clen - 2, clen + 1)
-            return (k, clen, chain, sums, sizes, active, ma, mb, md)
-
-        init = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-                jnp.zeros((Np + 2,), jnp.int32), sums0, sizes0, active0,
-                jnp.zeros((Np - 1,), jnp.int32),
-                jnp.zeros((Np - 1,), jnp.int32),
-                jnp.zeros((Np - 1,), jnp.float32))
-        final = jax.lax.while_loop(cond, body, init)
-        return final[6], final[7], final[8]
-
-    return jax.jit(run)
-
-
-@functools.lru_cache(maxsize=16)
 def _nn_chain_batched_jit(M: int, Np: int, D: int):
-    """Batched form: M recordings' NN-chains advance in LOCKSTEP lanes of
-    one while_loop — each iteration is one batched [M, Np, D] x [M, D]
-    matvec instead of M serialized dispatches (the corpus init pool's
-    per-meeting device walks serialize on the device; batching trades
-    idle dispatch gaps + finished-lane waste for one fused scan stream).
-    Per-lane state freezes once that recording's merges are done."""
+    """The NN-chain walk: M recordings' chains advance in LOCKSTEP lanes
+    of one while_loop — each iteration one batched [M, Np, D] x [M, D]
+    matvec instead of M serialized dispatches. Per-lane state freezes
+    once that recording's merges are done; merge counts are dynamic
+    scalars so one compiled program serves a whole corpus of nearby-N
+    recordings (Np buckets at _NP_QUANTUM). M=1 is the solo case."""
     import jax
     import jax.numpy as jnp
 
     inf = jnp.float32(jnp.inf)
 
     def lane_body(st):
-        (k, clen, chain, sums, sizes, active, ma, mb, md, n_merges) = st
+        (k, clen, chain, sums, sizes, active, ma, mb, md, n_merges,
+         bad) = st
         done = k >= n_merges
         idx = jnp.arange(Np, dtype=jnp.int32)
 
+        # seed an empty chain with the lowest active index
+        # (host: `chain.push_back(act.front())`)
         seeded = clen == 0
         first_active = jnp.argmax(active).astype(jnp.int32)
         chain = jnp.where(seeded, chain.at[0].set(first_active), chain)
         clen = jnp.where(seeded, 1, clen)
         a = chain[clen - 1]
+        # reducibility guard (module docstring): the tip must be a LIVE
+        # cluster; a dead tip means f32 rounding broke the NN-chain
+        # invariant and the lane's output cannot be trusted
+        bad = jnp.logical_or(bad,
+                             jnp.logical_and(jnp.logical_not(done),
+                                             jnp.logical_not(active[a])))
 
+        # one scan: distance of chain tip `a` to every active cluster,
+        # d(a, x) = -(S_a . S_x) / (|a||x|) — the [Np, D] @ [D] matvec
         sa = jax.lax.dynamic_index_in_dim(sums, a, keepdims=False)
         na = sizes[a]
         dots = jnp.dot(sums, sa, precision=jax.lax.Precision.HIGHEST)
@@ -155,8 +101,12 @@ def _nn_chain_batched_jit(M: int, Np: int, D: int):
         valid = jnp.logical_and(active, idx != a)
         dist = jnp.where(valid, dist, inf)
         dmin = jnp.min(dist)
-        b0 = jnp.argmin(dist).astype(jnp.int32)
+        b0 = jnp.argmin(dist).astype(jnp.int32)   # lowest index on ties
 
+        # chain-predecessor preference: the host scan starts from the
+        # predecessor and replaces only on STRICT improvement, so the
+        # predecessor wins ties — and an unimproved predecessor means
+        # a and it are reciprocal nearest neighbors (merge)
         has_prev = clen >= 2
         prev = chain[jnp.maximum(clen - 2, 0)]
         d_prev = dist[prev]
@@ -165,6 +115,7 @@ def _nn_chain_batched_jit(M: int, Np: int, D: int):
         bd = jnp.where(use_prev, d_prev, dmin)
         is_merge = jnp.logical_and(use_prev, jnp.logical_not(done))
 
+        # merge branch: S_b += S_a is the WHOLE Lance-Williams update
         mf = is_merge.astype(jnp.float32)
         sums = sums.at[b].add(mf * sa)
         sizes = sizes.at[b].add(mf * na)
@@ -175,12 +126,14 @@ def _nn_chain_batched_jit(M: int, Np: int, D: int):
         md = md.at[k].set(jnp.where(is_merge, bd, md[k]))
         k = k + is_merge.astype(jnp.int32)
 
+        # chain: pop both on merge, push b otherwise (done lanes freeze)
         push = jnp.logical_and(jnp.logical_not(is_merge),
                                jnp.logical_not(done))
         chain = jnp.where(push, chain.at[clen].set(b), chain)
         clen = jnp.where(done, clen,
                          jnp.where(is_merge, clen - 2, clen + 1))
-        return (k, clen, chain, sums, sizes, active, ma, mb, md, n_merges)
+        return (k, clen, chain, sums, sizes, active, ma, mb, md,
+                n_merges, bad)
 
     def run(sums0, sizes0, active0, n_merges):
         def cond(st):
@@ -193,21 +146,36 @@ def _nn_chain_batched_jit(M: int, Np: int, D: int):
                 jnp.zeros((M, Np + 2), jnp.int32), sums0, sizes0, active0,
                 jnp.zeros((M, Np - 1), jnp.int32),
                 jnp.zeros((M, Np - 1), jnp.int32),
-                jnp.zeros((M, Np - 1), jnp.float32), n_merges)
+                jnp.zeros((M, Np - 1), jnp.float32), n_merges,
+                jnp.zeros((M,), bool))
         final = jax.lax.while_loop(cond, body, init)
-        return final[6], final[7], final[8]
+        return final[6], final[7], final[8], final[10]
 
     return jax.jit(run)
 
 
+def linkage_dot_avg_device(xn: np.ndarray) -> np.ndarray:
+    """Average linkage over d(i, j) = -(x_i . x_j) with the NN-chain walk
+    on the default accelerator (module docstring). xn: [N, D] l2-normalized
+    rows. Returns the SciPy-compatible [N-1, 4] linkage matrix.
+
+    Runs the batched program at M=1 (one kernel body for solo and
+    batched — the parity-critical chain logic has a single source). At
+    N=50k this is ~3N while_loop iterations of one ~26 MB HBM scan each:
+    ~5 s warm on one v5e vs 66 s for the same scans on the 4-core host,
+    with ONE transfer each way.
+    """
+    return linkage_dot_avg_device_batched([xn])[0]
+
+
 def linkage_dot_avg_device_batched(xns) -> list:
-    """Batched `linkage_dot_avg_device` over a list of [N_i, D] matrices
-    (one recording each; shared D). All chains advance in lockstep lanes
-    of one device while_loop (see _nn_chain_batched_jit) — the corpus
-    init pool's per-meeting serialization collapses into one call.
-    Returns one SciPy linkage matrix per input, each identical to its
-    solo `linkage_dot_avg_device` run up to batched-dot rounding (same
-    f32 HIGHEST scans; tests pin label equality vs the host chain)."""
+    """Batched NN-chain walk over a list of [N_i, D] matrices (one
+    recording each; shared D). All chains advance in lockstep lanes of
+    one device while_loop (_nn_chain_batched_jit) — the corpus init
+    pool's per-meeting serialization collapses into one call. Returns
+    one SciPy linkage matrix per input. Raises RuntimeError if any
+    lane's reducibility guard trips (module docstring) — callers fall
+    back to the host f64 chain."""
     import jax.numpy as jnp
 
     xns = [np.ascontiguousarray(x, dtype=np.float64) for x in xns]
@@ -217,7 +185,10 @@ def linkage_dot_avg_device_batched(xns) -> list:
     if any(x.shape[1] != D for x in xns):
         raise ValueError("all recordings must share the feature dim")
     M = len(xns)
-    Mp = _round_up(M, 4)
+    # small M compiles exact-width programs (M=1 IS the solo entry
+    # point); larger corpora pad to lane quanta so one program serves
+    # varying meeting counts
+    Mp = M if M < 4 else _round_up(M, 4)
     Np = _round_up(max(x.shape[0] for x in xns), _NP_QUANTUM)
     sums0 = np.zeros((Mp, Np, D), np.float32)
     sizes0 = np.ones((Mp, Np), np.float32)
@@ -230,8 +201,14 @@ def linkage_dot_avg_device_batched(xns) -> list:
         n_merges[m] = max(n - 1, 0)
 
     fn = _nn_chain_batched_jit(Mp, Np, D)
-    ma, mb, md = fn(jnp.asarray(sums0), jnp.asarray(sizes0),
-                    jnp.asarray(active0), jnp.asarray(n_merges))
+    ma, mb, md, bad = fn(jnp.asarray(sums0), jnp.asarray(sizes0),
+                         jnp.asarray(active0), jnp.asarray(n_merges))
+    bad = np.asarray(bad)
+    if bad[:M].any():
+        raise RuntimeError(
+            f"device NN-chain reducibility guard tripped on "
+            f"{int(bad[:M].sum())}/{M} recording(s) (f32 near-tie broke "
+            f"the chain invariant); use the host f64 chain")
     ma, mb = np.asarray(ma), np.asarray(mb)
     md = np.asarray(md, np.float64)
     out = []
@@ -274,37 +251,3 @@ def _finalize(ma: np.ndarray, mb: np.ndarray, md: np.ndarray, n: int
         size[label] = size[la] + size[lb]
         Z[k] = (la, lb, d_s[k], size[label])
     return Z
-
-
-def linkage_dot_avg_device(xn: np.ndarray) -> np.ndarray:
-    """Average linkage over d(i, j) = -(x_i . x_j) with the NN-chain walk
-    on the default accelerator (module docstring). xn: [N, D] l2-normalized
-    rows. Returns the SciPy-compatible [N-1, 4] linkage matrix.
-
-    The jitted program is cached per padded (N, D); the while_loop runs
-    ~3N data-dependent iterations of one [N, D] matvec each — at N=50k
-    that is ~26 MB of HBM per scan, ~5 s total on one v5e vs 66 s for the
-    same scans on the 4-core host (bandwidth ratio), with ONE transfer
-    each way.
-    """
-    import jax.numpy as jnp
-
-    xn = np.ascontiguousarray(xn, dtype=np.float64)
-    n, d = xn.shape
-    if n < 2:
-        return np.empty((0, 4), np.float64)
-    # pad N to a coarse quantum: one compiled while_loop serves a whole
-    # corpus of nearby-N meetings (the padded inactive rows cost only
-    # masked scan lanes); the compile cache then amortizes across runs
-    Np = _round_up(n, _NP_QUANTUM)
-    sums0 = np.zeros((Np, d), np.float32)
-    sums0[:n] = xn
-    sizes0 = np.ones((Np,), np.float32)
-    active0 = np.zeros((Np,), bool)
-    active0[:n] = True
-
-    fn = _nn_chain_jit(Np, d)
-    ma, mb, md = fn(jnp.asarray(sums0), jnp.asarray(sizes0),
-                    jnp.asarray(active0), jnp.asarray(n - 1, jnp.int32))
-    return _finalize(np.asarray(ma)[:n - 1], np.asarray(mb)[:n - 1],
-                     np.asarray(md, np.float64)[:n - 1], n)

@@ -32,6 +32,26 @@ from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
 from vbx_tpu.ops.similarity import cos_similarity, kaldi_plda_scoring_dense
 
 
+def _try_device_linkage(xn: np.ndarray):
+    """NN-chain walk on the accelerator, or None when there is no
+    non-CPU backend or the walk fails (callers fall back to the host f64
+    chain). ONE definition keeps the >=16384 'device' branch and the
+    mid-N 'auto' branch in lockstep — the fallback policy is
+    parity-critical."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        from vbx_tpu.clustering.device import linkage_dot_avg_device
+        return linkage_dot_avg_device(xn)
+    except Exception as exc:   # noqa: BLE001 — the recording must diarize
+        import warnings
+        warnings.warn(
+            f"device linkage failed ({exc!r}); falling back to the host "
+            f"NN-chain", stacklevel=3)
+        return None
+
+
 def ahc_labels(
     x: np.ndarray,
     threshold_bias: float,
@@ -133,24 +153,13 @@ def ahc_labels(
                 compute_backend = "host"
             if thr is not None:
                 if linkage_backend != "scipy":
-                    import jax
-                    if jax.default_backend() != "cpu":
-                        # round 5 (VERDICT r4 #3): the NN-chain walk itself
-                        # runs on the accelerator — every nearest-neighbor
-                        # scan is one [N, D] matvec on the cluster-sum
-                        # matrix, 12.8x the 4-core host's bandwidth at
-                        # N=50k (66.4 s -> ~5 s warm; labels identical,
-                        # clustering/device.py has the parity contract)
-                        try:
-                            from vbx_tpu.clustering.device import (
-                                linkage_dot_avg_device)
-                            Z = linkage_dot_avg_device(xn)
-                        except Exception as exc:  # noqa: BLE001 — the
-                            import warnings       # recording must diarize
-                            warnings.warn(
-                                f"device linkage failed ({exc!r}); "
-                                f"falling back to the host NN-chain",
-                                stacklevel=2)
+                    # round 5 (VERDICT r4 #3): the NN-chain walk itself
+                    # runs on the accelerator — every nearest-neighbor
+                    # scan is one [N, D] matvec on the cluster-sum
+                    # matrix, 12.8x the 4-core host's bandwidth at
+                    # N=50k (66.4 s -> ~5 s warm; labels identical,
+                    # clustering/device.py has the parity contract)
+                    Z = _try_device_linkage(xn)
                     if Z is None:
                         try:
                             Z = linkage_dot_avg(xn, backend="native")
@@ -178,18 +187,7 @@ def ahc_labels(
                         # (single-thread, the corpus init-pool context)
                         # at N=10k (BENCHMARKS round-5 crossover sweep).
                         # Explicit 'host' never takes this route.
-                        import jax
-                        if jax.default_backend() != "cpu":
-                            try:
-                                from vbx_tpu.clustering.device import (
-                                    linkage_dot_avg_device)
-                                Z = linkage_dot_avg_device(xn)
-                            except Exception as exc:  # noqa: BLE001
-                                import warnings
-                                warnings.warn(
-                                    f"device linkage failed ({exc!r}); "
-                                    f"falling back to the host NN-chain",
-                                    stacklevel=2)
+                        Z = _try_device_linkage(xn)
                     if Z is None:
                         try:
                             # O(N.D)-memory path (VERDICT r2 #3):

@@ -552,10 +552,15 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                     f"batched device linkage failed ({exc!r}); recordings "
                     f"fall back to the per-recording init path",
                     stacklevel=2)
-                pre_xz = {}
+                # keep the already-computed f64 transforms: prep() then
+                # runs the normal per-recording AHC on them instead of
+                # paying the O(N*256*128) transform twice on the
+                # failure path
+                pre_xz = {i: (x, None) for i, x in xs.items()}
     if stage_log is not None and pre_xz:
         stage_log["pre_linkage_s"] = round(_time.perf_counter() - _t_pre, 3)
-        stage_log["pre_linkage_recordings"] = len(pre_xz)
+        stage_log["pre_linkage_recordings"] = sum(
+            1 for v in pre_xz.values() if v[1] is not None)
 
     def prep(i):
         rec, _, x_raw = recs[i]

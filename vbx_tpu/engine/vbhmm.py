@@ -524,6 +524,7 @@ def vbx_batched(
     plateau_ulps: float = 0.0,
     plateau_iters: int = 2,
     plateau0: Optional[jax.Array] = None,     # [B] resume: carried counter
+    _pallas_strict: bool = False,
 ) -> VBxResult:
     """Batched VB-HMM over padded recordings with per-recording convergence.
 
@@ -605,8 +606,13 @@ def vbx_batched(
                 io_dtype=("bfloat16" if fb_impl == "pallas_bf16"
                           else "float32"))
         except Exception:
-            if gamma.shape[-1] <= 128:
-                raise   # the long-proven range: surface the real bug
+            if gamma.shape[-1] <= 128 or _pallas_strict:
+                # the long-proven range: surface the real bug. Strict
+                # callers (vbx_batched_checkpointed) must see the failure
+                # themselves — a silent engine swap here would leave them
+                # committed to the pallas f32 state dtype and '+pallas'
+                # checkpoint header while structured actually ran.
+                raise
             # the S in (128, 256] extension is interpret-validated; if a
             # backend's Mosaic rejects the wider sublane extent at
             # compile time, degrade to the structured engine instead of
@@ -765,13 +771,40 @@ def vbx_batched_checkpointed(
                 plateau_ulps=plateau_ulps, plateau_iters=plateau_iters,
                 plateau0=jnp.asarray(plateau))
         else:
-            res = vbx_batched(
-                X, phi, g_cur, pi_cur, frame_mask, speaker_mask,
-                loop_prob, Fa, Fb, max_iters=k, epsilon=epsilon,
-                fb_impl=fb_impl, converged0=jnp.asarray(converged),
-                last_elbo0=jnp.asarray(last_elbo),
-                plateau_ulps=plateau_ulps, plateau_iters=plateau_iters,
-                plateau0=jnp.asarray(plateau))
+            try:
+                # strict: a pallas compile failure must surface HERE, not
+                # silently swap engines inside vbx_batched — this run is
+                # committed to the pallas state dtype and checkpoint
+                # header (the round-5 S>128 safety net would otherwise
+                # recreate the f32-quantized-structured-trajectory bug
+                # the S-cap guard above exists to prevent)
+                res = vbx_batched(
+                    X, phi, g_cur, pi_cur, frame_mask, speaker_mask,
+                    loop_prob, Fa, Fb, max_iters=k, epsilon=epsilon,
+                    fb_impl=fb_impl, converged0=jnp.asarray(converged),
+                    last_elbo0=jnp.asarray(last_elbo),
+                    plateau_ulps=plateau_ulps, plateau_iters=plateau_iters,
+                    plateau0=jnp.asarray(plateau), _pallas_strict=True)
+            except Exception:
+                if (it_done == 0 and 128 < S
+                        and (fb_impl or "").startswith("pallas")):
+                    # nothing persisted yet: restart the whole
+                    # checkpointed run on the structured engine with the
+                    # correct state dtype and header
+                    import warnings
+                    warnings.warn(
+                        f"pallas engine failed to compile at S={S} — "
+                        f"restarting the checkpointed run on "
+                        f"fb_impl='structured'", stacklevel=2)
+                    return vbx_batched_checkpointed(
+                        X, phi, gamma, pi, frame_mask, speaker_mask,
+                        loop_prob, Fa, Fb, max_iters=max_iters,
+                        epsilon=epsilon, fb_impl=None,
+                        iters_per_slice=iters_per_slice,
+                        checkpoint_path=checkpoint_path, mesh=mesh,
+                        plateau_ulps=plateau_ulps,
+                        plateau_iters=plateau_iters)
+                raise
         g_cur, pi_cur = res.gamma, res.pi
         elbo_k = np.asarray(res.elbo).astype(dt, copy=False)  # [B, k]
         n_k = np.sum(~np.isnan(elbo_k), axis=1)            # per-rec iters

@@ -144,8 +144,18 @@ class DiarizationService:
             # golden-request scale the two measured tied (p95 832 vs
             # 814 ms, K=16 — the tunnel dominates), so the default takes
             # the engine with reference-exact per-request stop semantics
-            # and iteration-count scaling at long T. An EXPLICIT
-            # fb_impl='pallas_bf16' still wins.
+            # and iteration-count scaling at long T. Overridden LOUDLY
+            # (the constructor cannot tell a preset default from a
+            # deliberate config choice); an EXPLICIT fb_impl=
+            # 'pallas_bf16' argument still wins.
+            import warnings
+            warnings.warn(
+                "DiarizationService: overriding the config's "
+                "fb_impl='pallas_bf16' (a corpus batch-throughput "
+                "engine: max_iters per request, stops disabled) with "
+                "the serving engine-of-record 'pallas'; pass "
+                "fb_impl='pallas_bf16' explicitly to keep it",
+                stacklevel=2)
             self._fb_impl = "pallas"
         # pod-slice serving: a ('dp', 'sp') jax.sharding.Mesh routes every
         # bucket through the sharded engine (parallel.vbx_sharded) —
