@@ -343,6 +343,12 @@ def main():
         "e2e_rec_per_hour": round(3600.0 / t_e2e, 1),
         "e2e_der": e2e_der,
     }
+    if _CPU_MODE:
+        # the accelerator preflight failed (dead/claimed tunnel chip) and
+        # this is the honest CPU fallback — flag it so the artifact is
+        # never read as a TPU regression (the chip numbers of record are
+        # in BENCHMARKS.md / bench_artifacts/battery_r5/bench.json)
+        out["backend"] = "cpu_fallback"
     if not _CPU_MODE:
         out["headline_impl"] = best
         if traces.get(best) is not None:
