@@ -443,3 +443,50 @@ def test_checkpointed_pallas_s_gt_128_keeps_engine_dtype():
     np.testing.assert_array_equal(np.asarray(out.gamma),
                                   np.asarray(ref.gamma))
     assert out.elbo.dtype == ref.elbo.dtype            # f64 state kept
+
+
+def test_pallas_compile_failure_fallback_and_strict(monkeypatch):
+    """Round-5 S-cap safety net: a pallas compile failure in the extended
+    range (128, 256] degrades vbx_batched to the structured engine with a
+    warning; _pallas_strict re-raises instead (so checkpointed callers
+    never get a silent engine swap under a committed pallas header); and
+    vbx_batched_checkpointed restarts itself on the structured engine
+    with the correct state dtype when its first slice hits the failure."""
+    import vbx_tpu.engine.vbhmm as vb
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic mosaic rejection")
+
+    monkeypatch.setattr(vb, "_vbx_batched_pallas_sb_jit", boom)
+
+    rng = np.random.default_rng(3)
+    B, T, S, D = 2, 30, 160, 6
+    X = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    phi = jnp.asarray(rng.uniform(0.5, 2.0, D), jnp.float32)
+    G = jnp.asarray(rng.dirichlet(np.ones(S), size=(B, T)), jnp.float32)
+    PI = jnp.full((B, S), 1.0 / S, jnp.float32)
+    FM = jnp.ones((B, T), bool)
+    SM = jnp.ones((B, S), bool)
+    kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=4, epsilon=1e-6)
+
+    ref = vb.vbx_batched(X, phi, G, PI, FM, SM, fb_impl="structured", **kw)
+    with pytest.warns(UserWarning, match="failed to compile"):
+        res = vb.vbx_batched(X, phi, G, PI, FM, SM, fb_impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(res.gamma),
+                                  np.asarray(ref.gamma))
+
+    with pytest.raises(RuntimeError, match="synthetic mosaic"):
+        vb.vbx_batched(X, phi, G, PI, FM, SM, fb_impl="pallas",
+                       _pallas_strict=True, **kw)
+
+    # checkpointed: f64 inputs — the restart must keep the f64 state
+    X64 = jnp.asarray(np.asarray(X), jnp.float64)
+    ref_ck = vb.vbx_batched_checkpointed(
+        X64, phi, G, PI, FM, SM, iters_per_slice=2, **kw)
+    with pytest.warns(UserWarning, match="restarting the checkpointed"):
+        out_ck = vb.vbx_batched_checkpointed(
+            X64, phi, G, PI, FM, SM, iters_per_slice=2,
+            fb_impl="pallas", **kw)
+    np.testing.assert_array_equal(np.asarray(out_ck.gamma),
+                                  np.asarray(ref_ck.gamma))
+    assert out_ck.elbo.dtype == ref_ck.elbo.dtype
