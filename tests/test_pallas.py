@@ -374,7 +374,8 @@ def test_pallas_s_over_cap_falls_back_with_warning():
     assert int(res.n_iters[0]) == int(ref.n_iters[0])
 
 
-def test_pallas_s_in_extended_range_matches_structured():
+@pytest.mark.parametrize("fb_impl", ["pallas", "pallas_bf16"])
+def test_pallas_s_in_extended_range_matches_structured(fb_impl):
     """Round-5 cap raise (VERDICT r4 #9): S in (128, 256] runs the sb
     kernel (speakers are SUBLANE tiles there, not lanes) at the pallas
     path's usual tolerance contract vs the structured engine."""
@@ -387,10 +388,11 @@ def test_pallas_s_in_extended_range_matches_structured():
             jnp.asarray(pi, jnp.float32)[None],
             jnp.ones((1, T), bool), jnp.ones((1, S), bool))
     kw = dict(loop_prob=0.9, Fa=0.4, Fb=11.0, max_iters=4, epsilon=-1.0)
-    res = vbx_batched(*args, fb_impl="pallas", **kw)
+    res = vbx_batched(*args, fb_impl=fb_impl, **kw)
     ref = vbx_batched(*args, fb_impl="structured", **kw)
+    tol = 5e-5 if fb_impl == "pallas" else 2e-2
     np.testing.assert_allclose(np.asarray(res.gamma),
-                               np.asarray(ref.gamma), atol=5e-5)
+                               np.asarray(ref.gamma), atol=tol)
     assert np.array_equal(np.asarray(res.gamma[0]).argmax(-1),
                           np.asarray(ref.gamma[0]).argmax(-1))
 
