@@ -309,3 +309,48 @@ def test_batched_pre_stage_linkage_matches_unbatched(tmp_path, monkeypatch):
         a = open(str(tmp_path / "host" / f"{rec}.rttm")).read()
         b = open(str(tmp_path / "pre" / f"{rec}.rttm")).read()
         assert a == b
+
+
+def test_batched_pre_stage_groups_by_size(tmp_path, monkeypatch):
+    """A batched linkage call pads every lane to the group's max N, so
+    recordings whose padded extents differ by >2x split into separate
+    batched calls (one hour-long file must not inflate a dozen short
+    meetings' lanes)."""
+    import vbx_tpu.engine.ahc as ahc_mod
+    import vbx_tpu.engine.pipeline as pl
+
+    rng = np.random.default_rng(1)
+    out_vecs, out_rows = [], []
+    for r, T in enumerate((600, 640, 1500)):
+        centers = rng.standard_normal((3, 256)) * 0.5
+        x = centers[rng.integers(0, 3, T)] \
+            + 0.7 * rng.standard_normal((T, 256))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        for i in range(T):
+            out_vecs.append((f"rec{r}_{i:06d}", x[i].astype(np.float32)))
+            out_rows.append((f"rec{r}_{i:06d}", f"rec{r}",
+                             round(i * 0.24, 3), round(i * 0.24 + 1.44, 3)))
+    ark = str(tmp_path / "g.ark")
+    seg = str(tmp_path / "g.seg")
+    write_vec_ark(ark, out_vecs)
+    write_segments(seg, out_rows)
+    cfg = get_preset("example")
+    plda = f"{REF}/VBx/models/ResNet101_16kHz/plda"
+    h5 = f"{REF}/VBx/models/ResNet101_16kHz/transform.h5"
+
+    monkeypatch.setattr(ahc_mod, "_BLOCKED_MIN_N", 512)
+    monkeypatch.setattr(ahc_mod, "_DEVICE_LINKAGE_MIN_N", 512)
+    monkeypatch.setattr(pl.jax, "default_backend", lambda: "tpu")
+    calls = []
+    from vbx_tpu.clustering import device as dev
+    real = dev.linkage_dot_avg_device_batched
+
+    def spy(xns):
+        calls.append(sorted(len(x) for x in xns))
+        return real(xns)
+
+    monkeypatch.setattr(dev, "linkage_dot_avg_device_batched", spy)
+    out = diarize_ark(ark, seg, str(tmp_path / "o"), cfg, plda, h5,
+                      verbose=False)
+    assert calls == [[600, 640], [1500]]
+    assert len(out) == 3

@@ -113,13 +113,30 @@ def ahc_labels(
         # corpus pre-stage (engine.pipeline round 5): the caller already
         # ran this recording's NN-chain in one BATCHED device call
         # (clustering.device.linkage_dot_avg_device_batched); only the
-        # calibration threshold remains — the same host blocked sweep
-        # the mid-N 'auto' route runs, so labels are identical to the
-        # unbatched path (tests/test_pipeline_batched.py)
+        # calibration threshold remains, routed exactly as the unbatched
+        # 'auto' path would route it (host blocked sweep in the mid-N
+        # band, MXU-streamed device sweep from _DEVICE_CALIB_MIN_N), so
+        # labels are identical to the unbatched pipeline
+        # (tests/test_pipeline_batched.py)
         x64 = np.asarray(x, dtype=np.float64)
         xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True))
                     + 1e-32)
-        _, thr = _blocked_cosine_condensed_and_thr(xn, want_condensed=False)
+        if n >= _DEVICE_CALIB_MIN_N:
+            import jax
+            if jax.default_backend() != "cpu":
+                from vbx_tpu.ops.calibration import (
+                    two_gmm_calib_cosine_device)
+                try:
+                    thr = two_gmm_calib_cosine_device(xn)
+                except Exception as exc:   # noqa: BLE001
+                    import warnings
+                    warnings.warn(
+                        f"device AHC calibration failed ({exc!r}); "
+                        f"falling back to the blocked host sweep",
+                        stacklevel=2)
+        if thr is None:
+            _, thr = _blocked_cosine_condensed_and_thr(
+                xn, want_condensed=False)
         Z = precomputed_Z
     elif similarity == "cosine":
         long_n = n >= _BLOCKED_MIN_N

@@ -516,11 +516,9 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
     if (_kind0 == "AHC" and cfg.ahc.similarity == "cosine"
             and cfg.ahc.compute_backend == "auto"
             and jax.default_backend() != "cpu"):
-        from vbx_tpu.engine.ahc import (_DEVICE_CALIB_MIN_N,
-                                        _DEVICE_LINKAGE_MIN_N)
+        from vbx_tpu.engine.ahc import _DEVICE_LINKAGE_MIN_N
         elig = [i for i in range(n)
-                if _DEVICE_LINKAGE_MIN_N <= len(recs[i][2])
-                < _DEVICE_CALIB_MIN_N
+                if len(recs[i][2]) >= _DEVICE_LINKAGE_MIN_N
                 and not (0 < cfg.ahc.fallback_n < len(recs[i][2]))]
         if len(elig) >= 2:
             from concurrent.futures import ThreadPoolExecutor as _TPE
@@ -539,13 +537,27 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
             try:
                 from vbx_tpu.clustering.device import (
                     linkage_dot_avg_device_batched)
-                order = sorted(xs)
-                xns = [np.ascontiguousarray(
-                    xs[i] / (np.sqrt((xs[i] * xs[i]).sum(
-                        axis=1, keepdims=True)) + 1e-32))
-                    for i in order]
-                Zs = linkage_dot_avg_device_batched(xns)
-                pre_xz = {i: (xs[i], Z) for i, Z in zip(order, Zs)}
+                # size-aware grouping: a batched call pads every lane to
+                # the group's max N, so one hour-long recording must not
+                # inflate a dozen 8k-meeting lanes — greedily pack
+                # recordings whose padded extents stay within 2x
+                order = sorted(xs, key=lambda i: len(xs[i]))
+                groups, cur = [], []
+                for i in order:
+                    if cur and len(xs[i]) > 2 * len(xs[cur[0]]):
+                        groups.append(cur)
+                        cur = []
+                    cur.append(i)
+                if cur:
+                    groups.append(cur)
+                for grp in groups:
+                    xns = [np.ascontiguousarray(
+                        xs[i] / (np.sqrt((xs[i] * xs[i]).sum(
+                            axis=1, keepdims=True)) + 1e-32))
+                        for i in grp]
+                    Zs = linkage_dot_avg_device_batched(xns)
+                    pre_xz.update(
+                        {i: (xs[i], Z) for i, Z in zip(grp, Zs)})
             except Exception as exc:    # noqa: BLE001 — fall back to the
                 import warnings         # per-recording route
                 warnings.warn(
@@ -554,9 +566,10 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                     stacklevel=2)
                 # keep the already-computed f64 transforms: prep() then
                 # runs the normal per-recording AHC on them instead of
-                # paying the O(N*256*128) transform twice on the
-                # failure path
-                pre_xz = {i: (x, None) for i, x in xs.items()}
+                # paying the O(N*256*128) transform twice on the failure
+                # path (recordings already pre-linkaged keep their Z)
+                for i, x in xs.items():
+                    pre_xz.setdefault(i, (x, None))
     if stage_log is not None and pre_xz:
         stage_log["pre_linkage_s"] = round(_time.perf_counter() - _t_pre, 3)
         stage_log["pre_linkage_recordings"] = sum(
