@@ -584,3 +584,62 @@ def test_sharded_structured_long_t_parity():
     n = int(solo.n_iters[0])
     np.testing.assert_allclose(np.asarray(sh8.elbo[0, :n]),
                                np.asarray(solo.elbo[0, :n]), rtol=1e-5)
+
+
+def test_sharded_engine_shape_fuzz():
+    """Round-5 confidence sweep over the blockwise changes: random
+    (B, T, S, mesh, padding) configurations through the sharded
+    STRUCTURED engine vs the solo batched engine. Contract at K>1 (the
+    documented reduction-order scope, CLAUDE.md invariants): identical
+    labels, ELBO within rounding over the common iteration prefix, and
+    the stop rule firing within one iteration (a psum'd f32 ELBO can
+    quantize across epsilon one iteration apart — same nuance as the
+    cross-pad-shape case). K=1 meshes are exact (the long-T pin above).
+    Complements the fixed-shape tests with off-path shapes (odd buckets,
+    partial frame and speaker padding, every mesh factorization of 8)."""
+    rng = np.random.default_rng(99)
+    for mesh_shape in ((1, 8), (2, 4), (4, 2), (8, 1)):
+        n_dp, n_sp = mesh_shape
+        B = n_dp * int(rng.integers(1, 3))
+        T = n_sp * int(rng.integers(20, 40))
+        S = int(rng.integers(3, 9))
+        D = int(rng.integers(6, 16))
+        problems = [random_vb_problem(rng, T, S, D) for _ in range(B)]
+        phi = problems[0][1]
+        X = np.stack([p[0] for p in problems]).astype(np.float32)
+        G = np.stack([p[2] for p in problems]).astype(np.float32)
+        PI = np.stack([p[3] for p in problems]).astype(np.float32)
+        FM = np.ones((B, T), bool)
+        SM = np.ones((B, S), bool)
+        # random pad suffixes (frames must pad in whole 'sp' blocks only
+        # on the LAST blocks — any suffix works since padding is a
+        # suffix of the global frame axis)
+        cut = int(rng.integers(T // 2, T))
+        FM[0, cut:] = False
+        X[0, cut:] = 0
+        G[0, cut:] = 0
+        if S > 3:
+            SM[-1, -1] = False
+            G[-1, :, -1] = 0
+            G[-1] /= G[-1].sum(1, keepdims=True)
+            PI[-1, -1] = 0
+            PI[-1] /= PI[-1].sum()
+        kw = dict(loop_prob=0.85, Fa=0.35, Fb=9.0, max_iters=7,
+                  epsilon=1e-6)
+        ref = vbx_batched(jnp.asarray(X), jnp.asarray(phi), jnp.asarray(G),
+                          jnp.asarray(PI), jnp.asarray(FM),
+                          jnp.asarray(SM), **kw)
+        res = vbx_sharded(make_mesh(n_dp=n_dp, n_sp=n_sp), jnp.asarray(X),
+                          jnp.asarray(phi), jnp.asarray(G),
+                          jnp.asarray(PI), jnp.asarray(FM),
+                          jnp.asarray(SM), **kw)
+        for i in range(B):
+            di = abs(int(res.n_iters[i]) - int(ref.n_iters[i]))
+            assert di <= (0 if n_sp == 1 else 1), (mesh_shape, i)
+            assert np.array_equal(
+                np.asarray(res.gamma[i]).argmax(-1),
+                np.asarray(ref.gamma[i]).argmax(-1)), mesh_shape
+            n_it = min(int(ref.n_iters[i]), int(res.n_iters[i]))
+            np.testing.assert_allclose(
+                np.asarray(res.elbo[i, :n_it]),
+                np.asarray(ref.elbo[i, :n_it]), rtol=1e-5)
