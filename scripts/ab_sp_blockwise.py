@@ -81,14 +81,23 @@ def main():
     # solo_pallas would conflate engine-family divergence (structured vs
     # pallas legitimately drift apart on near-tied frames once forced
     # past convergence) with sharding error
-    g_pallas = np.asarray(run("solo_pallas", G).gamma)
-    g_struct = np.asarray(
-        vbx_batched(X, phi, G, PI, FM, SM, fb_impl="structured", **kw).gamma)
-    for form, ref, name in (("sp_pallas_bf16", g_pallas, "solo_pallas"),
-                            ("sp_pallas", g_pallas, "solo_pallas"),
-                            ("sp_structured", g_struct, "solo_structured")):
-        g_b = np.asarray(run(form, G).gamma)
+    r_pallas = run("solo_pallas", G)
+    g_pallas = np.asarray(r_pallas.gamma)
+    e_pallas = np.asarray(r_pallas.elbo)
+    r_struct = vbx_batched(X, phi, G, PI, FM, SM, fb_impl="structured", **kw)
+    g_struct, e_struct = np.asarray(r_struct.gamma), np.asarray(r_struct.elbo)
+    for form, ref, e_ref, name in (
+            ("sp_pallas_bf16", g_pallas, e_pallas, "solo_pallas"),
+            ("sp_pallas", g_pallas, e_pallas, "solo_pallas"),
+            ("sp_structured", g_struct, e_struct, "solo_structured")):
+        r_b = run(form, G)
+        g_b = np.asarray(r_b.gamma)
         agree = float(np.mean(ref.argmax(-1) == g_b.argmax(-1)))
+        # ELBO diff is the round-5 regression's actual signal: the old
+        # blockwise log_px accumulated sequentially in f32 (error ~3.6e2
+        # at this shape) and silently fired the stop rules; the fixed
+        # path must sit within a few f32 ulps of |ELBO| (~0.25 at 2e6)
+        ed = np.abs(np.asarray(r_b.elbo) - e_ref).max()
         # expected since round 5: BOTH matching-engine K=1 pairs read
         # 0.00e+00 / agreement 1.0 (the K=1 mesh short-circuits the
         # blockwise smoothers to the solo programs; the round-4 0.86 was
@@ -96,7 +105,8 @@ def main():
         # round-5 correction)
         print(f"gamma maxdiff {name} vs {form}: "
               f"{np.abs(ref - g_b).max():.2e} "
-              f"(label agreement {agree:.6f})", flush=True)
+              f"(label agreement {agree:.6f}, elbo maxdiff {ed:.2e})",
+              flush=True)
 
     slopes = {f: [] for f in forms}
     for _ in range(REPS):
