@@ -840,3 +840,38 @@ def test_http_overload_returns_503(tmp_path):
         with svc._lock:
             svc._pending = 0
         svc.close()
+
+
+@needs_assets
+def test_admission_backpressure_soak(tmp_path):
+    """Sustained overload against a small max_pending_requests: clients
+    that retry on ServiceOverloaded must all eventually complete, with
+    the pending gauge back at zero — guards the admission/release
+    interplay (no slot leak, no deadlock with the dispatcher's absorb
+    loop)."""
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vbx_tpu.serving import ServiceOverloaded
+
+    _, _, names, recs = _corpus_requests(tmp_path, n_rec=2)
+    x_raw, ts = recs[names[0]]
+    with DiarizationService.from_files(
+            get_preset("example"), PLDA, H5,
+            max_pending_requests=3, batch_window_ms=10.0) as svc:
+        def one(i):
+            for _ in range(300):
+                try:
+                    fut = svc.submit(f"soak{i}", x_raw, ts)
+                    break
+                except ServiceOverloaded:
+                    _t.sleep(0.02)
+            else:
+                raise AssertionError("never admitted")
+            return fut.result(timeout=300).n_speakers
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            spk = list(pool.map(one, range(24)))
+        assert all(s >= 1 for s in spk)
+        assert svc.stats()["pending"] == 0
+        assert svc.stats()["failed"] == 0
