@@ -150,6 +150,35 @@ def test_rediagonalize_plda_whitening_property():
     np.testing.assert_array_equal(mu2, mu)
 
 
+def test_single_thread_blas_guard_restores_pool():
+    """The tiny-LAPACK guard (utils/hostblas.py) pins BLAS to 1 thread
+    inside the block and restores the ambient pool after — model prep must
+    not permanently serialize the big f64 AHC dgemms."""
+    import vbx_tpu.utils.hostblas as hb
+    from vbx_tpu.utils.hostblas import single_thread_blas
+
+    if hb._ThreadpoolController is None:
+        # image without threadpoolctl: the guard must be a no-op context
+        with single_thread_blas():
+            pass
+        return
+    before = {(m["internal_api"], m["prefix"]): m["num_threads"]
+              for m in hb._ThreadpoolController().info()
+              if m["user_api"] == "blas"}
+    with single_thread_blas():
+        inside = {(m["internal_api"], m["prefix"]): m["num_threads"]
+                  for m in hb._ThreadpoolController().info()
+                  if m["user_api"] == "blas"}
+        assert all(n == 1 for n in inside.values())
+        # reentrant: a nested guard must not corrupt the restore chain
+        with single_thread_blas():
+            pass
+    after = {(m["internal_api"], m["prefix"]): m["num_threads"]
+             for m in hb._ThreadpoolController().info()
+             if m["user_api"] == "blas"}
+    assert after == before
+
+
 def test_read_xvec_transform():
     mean1, lda, mean2 = read_xvec_transform(REF_H5)
     assert mean1.shape == (256,)

@@ -103,9 +103,16 @@ def rediagonalize_plda(
     """
     import scipy.linalg
 
-    W = np.linalg.inv(tr.T @ tr)
-    B = np.linalg.inv((tr.T / psi) @ tr)
-    acvar, wccn = scipy.linalg.eigh(B, W)
+    from vbx_tpu.utils.hostblas import single_thread_blas
+
+    # 128x128 LAPACK under the default OpenBLAS pool is load-dependently
+    # ~200x slower than single-threaded (utils/hostblas.py has the
+    # measurement); this runs once per Diarizer construction, which the
+    # corpus CLI pays per ark and serving pays per daemon.
+    with single_thread_blas():
+        W = np.linalg.inv(tr.T @ tr)
+        B = np.linalg.inv((tr.T / psi) @ tr)
+        acvar, wccn = scipy.linalg.eigh(B, W)
     psi_new = acvar[::-1]
     tr_new = wccn.T[::-1]
     return mu, tr_new, psi_new

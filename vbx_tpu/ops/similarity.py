@@ -68,18 +68,25 @@ def kaldi_plda_scoring_dense(
     """
     import scipy.linalg
 
-    plda_mu, plda_tr, plda_psi = plda
-    energy, PCA = scipy.linalg.eigh(np.cov(x.T, bias=True))
-    if pca_dim is None:
-        energy = np.cumsum(energy[::-1])
-        # at least 2 dims: 2 extra are always added (reference :81-82)
-        pca_dim = int(np.sum(energy / energy[-1] <= target_energy) + 2)
-    PCA = PCA[:, :-pca_dim - 1:-1]
+    from vbx_tpu.utils.hostblas import single_thread_blas
 
-    plda_tr_inv_pca = PCA.T @ np.linalg.inv(plda_tr)
-    W = plda_tr_inv_pca @ plda_tr_inv_pca.T
-    B = (plda_tr_inv_pca * plda_psi) @ plda_tr_inv_pca.T
-    acvar, wccn = scipy.linalg.eigh(B, W)
+    plda_mu, plda_tr, plda_psi = plda
+    cov = np.cov(x.T, bias=True)   # O(N*R^2) dgemm: keeps the full pool
+    # tiny (<=256x256) per-recording LAPACK: pinned to one BLAS thread —
+    # the multi-threaded path is load-dependently ~200x slower at this
+    # size (utils/hostblas.py)
+    with single_thread_blas():
+        energy, PCA = scipy.linalg.eigh(cov)
+        if pca_dim is None:
+            energy = np.cumsum(energy[::-1])
+            # at least 2 dims: 2 extra are always added (reference :81-82)
+            pca_dim = int(np.sum(energy / energy[-1] <= target_energy) + 2)
+        PCA = PCA[:, :-pca_dim - 1:-1]
+
+        plda_tr_inv_pca = PCA.T @ np.linalg.inv(plda_tr)
+        W = plda_tr_inv_pca @ plda_tr_inv_pca.T
+        B = (plda_tr_inv_pca * plda_psi) @ plda_tr_inv_pca.T
+        acvar, wccn = scipy.linalg.eigh(B, W)
     x = (x - plda_mu) @ PCA @ wccn
     # kaldi-style length norm (reference :92)
     x *= np.sqrt(x.shape[1] / (x ** 2 @ (1.0 / (acvar + 1.0))))[:, None]
