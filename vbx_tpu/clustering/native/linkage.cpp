@@ -453,7 +453,15 @@ int nn_chain_linkage_f32(float* dist, int64_t n, int32_t method,
 // for any thread count (a bare `omp reduction(+)` would combine partials
 // in thread order and drift ~1e-12 run-to-run; the threshold feeds the
 // linkage cut and hence the cluster count, so it must be reproducible).
-static constexpr int64_t kEmChunk = 4096;
+//
+// SERIAL ON PURPOSE: every caller passes <= 2^18 atoms (bigger score sets
+// are binned to <= 2^16 moments first — ops/calibration.adaptive_bins),
+// and at that size OpenMP measured NO speedup quiet (21.4 vs 21.1 ms at
+// n=152k, 20 iters) and up to ~10x SLOWER under concurrent host load
+// (libgomp barrier spin-wait thrash, 20 parallel regions per call — the
+// same small-problem pathology utils/hostblas.py pins for BLAS). Serial
+// is also the right shape under the serving init pool, which already
+// parallelizes ACROSS requests through this GIL-free call.
 
 double two_gmm_weighted_em(const double* cnt, const double* ssum,
                            const double* s2sum, const double* sc, int64_t n,
@@ -470,6 +478,7 @@ double two_gmm_weighted_em(const double* cnt, const double* ssum,
   if (!(var > var_floor)) return mean;  // degenerate scores: any threshold
   double w0 = 0.5, w1 = 0.5;
   double m0 = mean - std::sqrt(var), m1 = mean + std::sqrt(var);
+  constexpr int64_t kEmChunk = 4096;
   const int64_t nchunks = (n + kEmChunk - 1) / kEmChunk;
   std::vector<double> pc(nchunks), p1(nchunks), p2(nchunks);
   for (int32_t it = 0; it < niters; ++it) {
@@ -477,9 +486,6 @@ double two_gmm_weighted_em(const double* cnt, const double* ssum,
     const double d = (m1 - m0) / var;
     const double c =
         std::log(w1) - std::log(w0) - 0.5 * (m1 * m1 - m0 * m0) / var;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
     for (int64_t k = 0; k < nchunks; ++k) {
       const int64_t lo = k * kEmChunk;
       const int64_t hi = std::min(n, lo + kEmChunk);
