@@ -128,6 +128,61 @@ def test_device_cosine_calibration_matches_host_blocked():
     assert abs(thr_dev - thr_host) < 5e-5, (thr_dev, thr_host)
 
 
+def test_batched_device_calibration_matches_single_and_host():
+    """two_gmm_calib_cosine_device_batched (round-5 continuation: one
+    dispatch per EM pass for a whole corpus group) must agree with the
+    sequential per-recording device sweep essentially exactly — group
+    padding only appends exact-zero masked blocks — and with the host f64
+    path at the documented ~1e-7 scale. A degenerate lane (identical
+    vectors) must freeze to its mean without touching its neighbors."""
+    from vbx_tpu.ops.calibration import (
+        two_gmm_calib_cosine_device, two_gmm_calib_cosine_device_batched,
+        two_gmm_calib_lin_binned)
+
+    rng = np.random.default_rng(7)
+    xns = []
+    for n in (900, 1400, 2100):     # spans three padding octaves
+        c = rng.standard_normal((4, 32)) * 0.5
+        x = c[rng.integers(0, 4, n)] + 0.7 * rng.standard_normal((n, 32))
+        xns.append(x / np.linalg.norm(x, axis=1, keepdims=True))
+    thr_b = two_gmm_calib_cosine_device_batched(xns)
+    for m, x in enumerate(xns):
+        thr_s = two_gmm_calib_cosine_device(x)
+        thr_h = two_gmm_calib_lin_binned((x @ x.T).reshape(-1))
+        assert abs(thr_b[m] - thr_s) < 1e-9, (m, thr_b[m], thr_s)
+        assert abs(thr_b[m] - thr_h) < 5e-5, (m, thr_b[m], thr_h)
+    # degenerate lane: every pairwise cosine is 1.0 -> threshold = mean
+    degen = np.tile(xns[0][:1], (700, 1))
+    thr_d = two_gmm_calib_cosine_device_batched([degen, xns[0]])
+    np.testing.assert_allclose(thr_d[0], 1.0, atol=1e-5)
+    assert abs(thr_d[1] - thr_b[0]) < 1e-9
+
+
+def test_ahc_labels_precomputed_thr_short_circuits_host_passes():
+    """With both precomputed_Z and precomputed_thr (the fully batched
+    corpus pre-stage), ahc_labels must produce the cut directly — same
+    labels as handing it only the Z with the same threshold routing —
+    and never touch the O(N^2) host chain (monkeypatched to raise)."""
+    import vbx_tpu.engine.ahc as ahc_mod
+    from vbx_tpu.clustering import linkage_dot_avg
+    from vbx_tpu.ops.calibration import two_gmm_calib_lin_binned
+
+    rng = np.random.default_rng(9)
+    c = rng.standard_normal((4, 16)) * 0.6
+    x = c[rng.integers(0, 4, 600)] + 0.5 * rng.standard_normal((600, 16))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    Z = linkage_dot_avg(xn)
+    thr = two_gmm_calib_lin_binned((xn @ xn.T).reshape(-1))
+    want = ahc_labels(x, 0.0)
+
+    import unittest.mock as mock
+    with mock.patch.object(ahc_mod, "_blocked_cosine_condensed_and_thr",
+                           side_effect=AssertionError("host pass ran")), \
+         mock.patch.object(ahc_mod, "_BLOCKED_MIN_N", 512):
+        got = ahc_labels(x, 0.0, precomputed_Z=Z, precomputed_thr=thr)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_ahc_device_long_n_labels_match_host():
     """ahc_labels(compute_backend='device') at N >= the blocked cutoff
     (the streamed MXU calibration + host f64 on-demand linkage) must

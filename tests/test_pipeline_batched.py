@@ -300,9 +300,22 @@ def test_batched_pre_stage_linkage_matches_unbatched(tmp_path, monkeypatch):
         return real(xns)
 
     monkeypatch.setattr(dev, "linkage_dot_avg_device_batched", spy)
+    # the calibration batches too (round-5 continuation): one device
+    # threshold sweep per group, amortizing the per-pass dispatch
+    import vbx_tpu.ops.calibration as calib_mod
+    calib_calls = []
+    real_calib = calib_mod.two_gmm_calib_cosine_device_batched
+
+    def calib_spy(xns, **kw):
+        calib_calls.append(len(xns))
+        return real_calib(xns, **kw)
+
+    monkeypatch.setattr(calib_mod, "two_gmm_calib_cosine_device_batched",
+                        calib_spy)
     got = diarize_ark(ark, seg, str(tmp_path / "pre"), cfg, plda, h5,
                       verbose=False)
     assert calls == [3]          # one batched call covering all three
+    assert calib_calls == [3]    # and one batched calibration sweep
     for rec in ref:
         np.testing.assert_array_equal(got[rec].labels1st,
                                       ref[rec].labels1st)

@@ -62,6 +62,7 @@ def ahc_labels(
     linkage_backend: Optional[str] = None,
     compute_backend: str = "auto",
     precomputed_Z: Optional[np.ndarray] = None,
+    precomputed_thr: Optional[float] = None,
 ) -> np.ndarray:
     """Cluster x-vectors; returns 0-based integer labels [N].
 
@@ -112,31 +113,40 @@ def ahc_labels(
             and n >= _BLOCKED_MIN_N):
         # corpus pre-stage (engine.pipeline round 5): the caller already
         # ran this recording's NN-chain in one BATCHED device call
-        # (clustering.device.linkage_dot_avg_device_batched); only the
-        # calibration threshold remains, routed exactly as the unbatched
-        # 'auto' path would route it (host blocked sweep in the mid-N
-        # band, MXU-streamed device sweep from _DEVICE_CALIB_MIN_N), so
-        # labels are identical to the unbatched pipeline
-        # (tests/test_pipeline_batched.py)
-        x64 = np.asarray(x, dtype=np.float64)
-        xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True))
-                    + 1e-32)
-        if n >= _DEVICE_CALIB_MIN_N:
-            import jax
-            if jax.default_backend() != "cpu":
-                from vbx_tpu.ops.calibration import (
-                    two_gmm_calib_cosine_device)
-                try:
-                    thr = two_gmm_calib_cosine_device(xn)
-                except Exception as exc:   # noqa: BLE001
-                    import warnings
-                    warnings.warn(
-                        f"device AHC calibration failed ({exc!r}); "
-                        f"falling back to the blocked host sweep",
-                        stacklevel=2)
-        if thr is None:
-            _, thr = _blocked_cosine_condensed_and_thr(
-                xn, want_condensed=False)
+        # (clustering.device.linkage_dot_avg_device_batched). When the
+        # caller also batched the CALIBRATION (round-5 continuation:
+        # ops.calibration.two_gmm_calib_cosine_device_batched — one
+        # device dispatch per EM pass for the whole corpus, amortizing
+        # the ~21 tunnel round-trips that make per-meeting device
+        # calibration LOSE in the mid-N band), `precomputed_thr` skips
+        # every O(N^2) host pass here; it agrees with the sequential
+        # device sweep bit-near-exactly and with the host f64 sweep at
+        # the documented ~1e-7 bound (PARITY.md deviation 6). Otherwise
+        # the threshold routes exactly as the unbatched 'auto' path
+        # would (host blocked sweep mid-N, MXU-streamed sweep from
+        # _DEVICE_CALIB_MIN_N).
+        if precomputed_thr is not None:
+            thr = float(precomputed_thr)
+        else:
+            x64 = np.asarray(x, dtype=np.float64)
+            xn = x64 / (np.sqrt((x64 * x64).sum(axis=1, keepdims=True))
+                        + 1e-32)
+            if n >= _DEVICE_CALIB_MIN_N:
+                import jax
+                if jax.default_backend() != "cpu":
+                    from vbx_tpu.ops.calibration import (
+                        two_gmm_calib_cosine_device)
+                    try:
+                        thr = two_gmm_calib_cosine_device(xn)
+                    except Exception as exc:   # noqa: BLE001
+                        import warnings
+                        warnings.warn(
+                            f"device AHC calibration failed ({exc!r}); "
+                            f"falling back to the blocked host sweep",
+                            stacklevel=2)
+            if thr is None:
+                _, thr = _blocked_cosine_condensed_and_thr(
+                    xn, want_condensed=False)
         Z = precomputed_Z
     elif similarity == "cosine":
         long_n = n >= _BLOCKED_MIN_N

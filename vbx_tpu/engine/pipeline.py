@@ -161,7 +161,8 @@ class Diarizer:
         return y
 
     def initial_labels(self, x: np.ndarray, seed: int = 0,
-                       precomputed_Z: Optional[np.ndarray] = None
+                       precomputed_Z: Optional[np.ndarray] = None,
+                       precomputed_thr: Optional[float] = None
                        ) -> np.ndarray:
         kind, n_rand, _ = _parse_init(self.config.init)
         ahc_cfg = self.config.ahc
@@ -183,7 +184,8 @@ class Diarizer:
                 plda=self.raw_plda,
                 target_energy=ahc_cfg.target_energy,
                 compute_backend=ahc_cfg.compute_backend,
-                precomputed_Z=precomputed_Z)
+                precomputed_Z=precomputed_Z,
+                precomputed_thr=precomputed_thr)
         return random_labels(len(x), n_rand, seed=seed)
 
     def vb_inputs(self, x: np.ndarray, labels: np.ndarray):
@@ -550,14 +552,35 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                     cur.append(i)
                 if cur:
                     groups.append(cur)
+                from vbx_tpu.ops.calibration import (
+                    two_gmm_calib_cosine_device_batched)
                 for grp in groups:
                     xns = [np.ascontiguousarray(
                         xs[i] / (np.sqrt((xs[i] * xs[i]).sum(
                             axis=1, keepdims=True)) + 1e-32))
                         for i in grp]
                     Zs = linkage_dot_avg_device_batched(xns)
+                    # round-5 continuation: the CALIBRATION batches too —
+                    # one device dispatch per EM pass for the whole
+                    # group, amortizing the ~21 tunnel round-trips that
+                    # price per-meeting device calibration out of the
+                    # mid-N band (ops/calibration.py has the numbers).
+                    # On failure thresholds stay None and prep() routes
+                    # each meeting's calibration as before (host f64
+                    # mid-N) on the already-computed Z.
+                    try:
+                        thrs = two_gmm_calib_cosine_device_batched(xns)
+                    except Exception as exc:    # noqa: BLE001
+                        import warnings
+                        warnings.warn(
+                            f"batched device calibration failed "
+                            f"({exc!r}); per-recording calibration "
+                            f"routing keeps the precomputed linkage",
+                            stacklevel=2)
+                        thrs = [None] * len(grp)
                     pre_xz.update(
-                        {i: (xs[i], Z) for i, Z in zip(grp, Zs)})
+                        {i: (xs[i], Z, t)
+                         for i, Z, t in zip(grp, Zs, thrs)})
             except Exception as exc:    # noqa: BLE001 — fall back to the
                 import warnings         # per-recording route
                 warnings.warn(
@@ -569,7 +592,7 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
                 # paying the O(N*256*128) transform twice on the failure
                 # path (recordings already pre-linkaged keep their Z)
                 for i, x in xs.items():
-                    pre_xz.setdefault(i, (x, None))
+                    pre_xz.setdefault(i, (x, None, None))
     if stage_log is not None and pre_xz:
         stage_log["pre_linkage_s"] = round(_time.perf_counter() - _t_pre, 3)
         stage_log["pre_linkage_recordings"] = sum(
@@ -579,8 +602,9 @@ def _diarize_batched(diar: Diarizer, recs, max_batch_frames: int,
         rec, _, x_raw = recs[i]
         pre = pre_xz.pop(i, None)
         if pre is not None:
-            x, Z_pre = pre
-            labels = diar.initial_labels(x, precomputed_Z=Z_pre)
+            x, Z_pre, thr_pre = pre
+            labels = diar.initial_labels(x, precomputed_Z=Z_pre,
+                                         precomputed_thr=thr_pre)
         else:
             x = diar.transform_xvectors(x_raw)
             labels = diar.initial_labels(x)

@@ -370,6 +370,99 @@ def two_gmm_calib_cosine_device(xn, niters: int = 20,
     return thr if np.isfinite(thr) else float(mean)
 
 
+@functools.lru_cache(maxsize=8)
+def _cosine_sweep_batched_jit(blk: int):
+    """vmapped form of _cosine_sweep_jit: one dispatch sweeps EVERY lane's
+    implicit N x N score matrix. This is what makes the device calibration
+    win in the mid-N band: the per-meeting sweep is ~10 ms of MXU work
+    behind ~21 tunnel round-trips (1 init + 20 EM passes), so sequential
+    per-meeting calls pay 21 x ~26 ms latency EACH (measured: device
+    0.9 s warm vs host 1.2 s at N=10k — no win), while the batched form
+    pays the same 21 round-trips ONCE for the whole corpus."""
+    single = _cosine_sweep_jit(blk)
+    return jax.jit(jax.vmap(single, in_axes=(0, 0, 0, 0)))
+
+
+def two_gmm_calib_cosine_device_batched(xns, niters: int = 20,
+                                        blk: int = 512) -> np.ndarray:
+    """Batched `two_gmm_calib_cosine_device`: one calibration threshold
+    per recording, all lanes swept by ONE device dispatch per EM pass.
+
+    xns: list of [N_m, D] L2-NORMALIZED x-vector matrices (same caller
+    contract as the single form). Returns float64 thresholds [M].
+
+    Per-lane semantics mirror the single function exactly — same init,
+    same update order, same degenerate-variance freeze (a frozen lane
+    keeps sweeping with d=c=0 and returns its overall mean, like the
+    single form's early return) and the same non-finite closed-form
+    fallback. Lanes are padded to the GROUP's octave (the single form
+    pads to its own), which regroups the f32 block partial sums — the
+    threshold agrees with the sequential device path to the same
+    ~1e-6-relative partial-sum bound documented there, two orders below
+    the ~1e-4 AHC merge-decision scale. The caller (engine.pipeline
+    pre-stage) bounds lane-width waste with the same size-aware grouping
+    it uses for the batched linkage."""
+    import numpy as np
+
+    m = len(xns)
+    if m == 0:
+        return np.zeros(0)
+    ns = np.array([x.shape[0] for x in xns], np.int64)
+    d_dim = xns[0].shape[1]
+    n_pad = int(max(blk, 1 << int(ns.max() - 1).bit_length()))
+    x_pad = np.zeros((m, n_pad, d_dim), np.float32)
+    for i, x in enumerate(xns):
+        x_pad[i, :x.shape[0]] = np.asarray(x, np.float32)
+    xd = jnp.asarray(x_pad)
+    nsd = jnp.asarray(ns, jnp.int32)
+    sweep = _cosine_sweep_batched_jit(blk)
+
+    def full_pass(d, c):
+        parts = np.asarray(
+            sweep(xd, nsd, jnp.asarray(d, np.float32),
+                  jnp.asarray(c, np.float32)), np.float64)     # [M, nb, 5]
+        return parts.sum(axis=1)                               # [M, 5]
+
+    total = ns.astype(np.float64) ** 2
+    zeros = np.zeros(m)
+    _, _, _, sum_s, sum_s2 = full_pass(zeros, zeros).T
+    mean = sum_s / total
+    var = sum_s2 / total - mean ** 2
+    floor = 1e-12 * np.maximum(1.0, mean * mean)   # fixed, like the
+    frozen = ~(var > floor)                        # single form's `mean`
+    weights = np.full((m, 2), 0.5)
+    means = (mean[:, None]
+             + np.sqrt(np.maximum(var, 0.0))[:, None] * np.array([-1., 1.]))
+    sel = np.array([1.0, -1.0])
+    for _ in range(niters):
+        frozen |= ~(var > floor)
+        active = ~frozen
+        if not active.any():
+            break
+        with np.errstate(all="ignore"):
+            d = (means[:, 1] - means[:, 0]) / var
+            c = (np.log(weights[:, 1]) - np.log(weights[:, 0])
+                 - 0.5 * (means[:, 1] ** 2 - means[:, 0] ** 2) / var)
+        d = np.where(active, d, 0.0)
+        c = np.where(active, c, 0.0)
+        cnt1, s1, s2, _, _ = full_pass(d, c).T
+        with np.errstate(all="ignore"):
+            cnt0, s0, q0 = total - cnt1, sum_s - s1, sum_s2 - s2
+            w_new = np.stack([cnt0, cnt1], axis=1) / total[:, None]
+            m_new = np.stack([s0 / cnt0, s1 / cnt1], axis=1)
+            second = np.stack([q0 / cnt0, s2 / cnt1], axis=1)
+            v_new = ((second - m_new ** 2) * w_new).sum(axis=1)
+        weights = np.where(active[:, None], w_new, weights)
+        means = np.where(active[:, None], m_new, means)
+        var = np.where(active, v_new, var)
+    with np.errstate(all="ignore"):
+        thr = (-0.5
+               * ((np.log(weights ** 2 / var[:, None])
+                   - means ** 2 / var[:, None]) @ sel)
+               / ((means / var[:, None]) @ sel))
+    return np.where(np.isfinite(thr) & ~frozen, thr, mean)
+
+
 def two_gmm_calib_with_llrs(scores: jax.Array,
                             niters: int = 20) -> Tuple[jax.Array, jax.Array]:
     """Threshold plus linearly calibrated log-odds-ratio scores.
