@@ -208,7 +208,7 @@ def bench_trace(fea, phi, qinit, hp, fb_impl):
     return ms
 
 
-def bench_e2e(cfg, n_reps: int = 3):
+def bench_e2e(cfg, n_reps: int = 5):
     """Full-pipeline stage (VERDICT r4 #4): ark -> transform -> AHC init
     -> VB -> RTTM through the SHIPPED diarize_ark, warm cache — the
     reference's actual unit of work (AMI_run.sh:38-67: one vbhmm.py
@@ -230,18 +230,24 @@ def bench_e2e(cfg, n_reps: int = 3):
         # warm: first call compiles / populates caches
         diarize_ark(ARK, f"{REF}/exp/ES2005a.seg", d, cfg, PLDA, H5,
                     verbose=False)
-        t0 = time.perf_counter()
+        reps = []
         for _ in range(n_reps):
+            t0 = time.perf_counter()
             diarize_ark(ARK, f"{REF}/exp/ES2005a.seg", d, cfg, PLDA, H5,
                         verbose=False)
-        t = (time.perf_counter() - t0) / n_reps
+            reps.append(time.perf_counter() - t0)
+        # median, not mean: a single multi-second tunnel stall otherwise
+        # dominates the stage (the chained-wall swing BENCHMARKS
+        # "Measurement caveat" documents, at per-call scale)
+        t = float(np.median(reps))
         _, tot = der_from_rttm_files(
             f"{REF}/example/rttm/ES2005a.rttm",
             os.path.join(d, "ES2005a.rttm"), collar=0.25,
             ignore_overlaps=True)
         der = round(tot.der, 2)
-    log(f"e2e ark->RTTM (warm, {n_reps} reps): {t:.3f}s/recording "
-        f"-> {3600.0 / t:,.0f} recordings/hour at DER {der}")
+    log(f"e2e ark->RTTM (warm, median of {n_reps}): {t:.3f}s/recording "
+        f"-> {3600.0 / t:,.0f} recordings/hour at DER {der} "
+        f"(reps: {' '.join(f'{r:.3f}' for r in reps)})")
     return t, der
 
 
