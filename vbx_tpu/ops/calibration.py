@@ -409,7 +409,17 @@ def two_gmm_calib_cosine_device_batched(xns, niters: int = 20,
         return np.zeros(0)
     ns = np.array([x.shape[0] for x in xns], np.int64)
     d_dim = xns[0].shape[1]
-    n_pad = int(max(blk, 1 << int(ns.max() - 1).bit_length()))
+    # finer padding quantum than the single form's octave: the sweep's
+    # cost is O(n_pad^2) HIGHEST-f32 MXU work, so pow-2 padding at AMI
+    # meeting sizes (N=10-11k -> 16384) wastes ~78% extra flops — the
+    # same-process A/B measured 65 ms/pass at n_pad=12288 vs 94 ms at
+    # 16384 (1.44x). The clustering walk uses the same quantum
+    # (_NP_QUANTUM); padded rows are exact zeros, so the statistics are
+    # unchanged (the ops parity test pins batched == single across
+    # padding choices). More distinct shapes per octave means more
+    # one-time compiles; the persistent compile cache amortizes them.
+    q = 2048
+    n_pad = int(max(blk, -(-int(ns.max()) // q) * q))
     x_pad = np.zeros((m, n_pad, d_dim), np.float32)
     for i, x in enumerate(xns):
         x_pad[i, :x.shape[0]] = np.asarray(x, np.float32)
